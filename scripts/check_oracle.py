@@ -13,8 +13,21 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+import numpy as np
+
+def normcell(v):
+    # Normalize BEFORE sorting so float jitter can't reorder rows (ADVICE r1).
+    # 12 significant digits: strict enough to catch real per-cent errors,
+    # loose enough to absorb last-ulp aggregation-order noise.
+    if isinstance(v, (float, np.floating)):
+        if v == 0.0:
+            v = 0.0  # map -0.0 to 0.0
+        return f"{float(v):.12g}"
+    return str(v)
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    df = df.map(normcell) if hasattr(df, "map") else df.applymap(normcell)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -40,14 +53,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(sdf.columns)} vs {list(ddf.columns)}"); fail += 1; continue
         if len(sdf) != len(ddf):
             print(f"FAIL {name}: rows {len(sdf)} vs {len(ddf)}"); fail += 1; continue
-        # value compare: stringify (mimics hashing) with float normalization
-        def normcell(v):
-            if isinstance(v, float):
-                return f"{v:.6g}"
-            return str(v)
+        # value compare: cells are already normalized strings (see canon)
         mism = 0
         for c in sdf.columns:
-            a = sdf[c].map(normcell).tolist(); b = ddf[c].map(normcell).tolist()
+            a = sdf[c].tolist(); b = ddf[c].tolist()
             if a != b:
                 mism += 1
                 diffs = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]

@@ -17,7 +17,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // §2.1/§2.4 baseline: partial-agg groupBy (map-side combine, single shuffle).
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -29,7 +29,7 @@ object SparkEntry {
         )
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
-  )
+  ) ++ graft.queries.RelationalQueries.defs
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -40,5 +40,5 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  ) ++ graft.queries.RelationalQueries.oracles
 }

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loaders for the driver-provided testdata layout
   * (`TESTDATA.md`): one parquet file per table under a scale-factor dir.
@@ -20,7 +21,20 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright. Read nanos as long and convert to a
+    * microsecond timestamp — exact for this data (all values are whole µs,
+    * which is also what DuckDB's µs TIMESTAMP sees).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.index.Diff
+import graft.streaming.Sessionize
+
+/** Relational engine operators (SURVEY.md §2.4/§2.5 Spark mappings) expressed
+  * over the driver testdata tables, each with a DuckDB oracle.
+  *
+  * Plan-shape notes (verified with .explain("formatted")):
+  *  - dimension joins broadcast (nation/region/supplier are tiny; customer at
+  *    sf0.1 is 15k rows — still broadcast under the 10 MB default);
+  *  - groupBy aggregates are partial (map-side combine) before the single
+  *    shuffle;
+  *  - top-k goes through TakeOrderedAndProject (no global sort);
+  *  - filters and column pruning reach the parquet scan (PushedFilters).
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def defs: Map[String, Q] = Map(
+    // §2.4 broadcast-dim join chain: fact table joins up a snowflake. At
+    // 100 TB lineitem shuffles only for the final groupBy; all dims broadcast.
+    "q2_join_dim" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // §2.4 top-k: TakeOrderedAndProject — per-partition limit then global
+    // merge of k rows; never a full sort at scale. Tie-broken by key.
+    "q3_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))),
+
+    // §2.4 window functions (the RRF-fusion primitive): rank + running sum
+    // inside one partitioning — single shuffle on o_custkey.
+    "q4_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum_spend", round(sum(col("o_totalprice")).over(w), 2))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("cum_spend"))
+    }),
+
+    // §2.5 semi-join (the CALLS-edge entity-name filter pattern,
+    // indexer.py:1212-1247): customers having a big order.
+    "q5_semi_join" -> ((s, dir) => {
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 100000.0)
+      val c = Tables.customer(s, dir)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // §2.5 anti-join (content-dedup / orphan pattern): customers with no
+    // high-value order. The filter is applied on the right side BEFORE the
+    // anti-join so the pushed predicate shrinks the build side.
+    "q6_anti_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+      val c = Tables.customer(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
+    // §2.1 scan + pushdown showcase (TPC-H q6 shape): the predicate and the
+    // 3-column projection must reach the parquet reader.
+    "q7_scan_filter" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+        .agg(
+          round(sum(col("l_extendedprice") * col("l_discount")), 2).as("promo_revenue"),
+          count(lit(1)).as("cnt"))),
+
+    // §2.6 tumbling-window aggregation over the events stream table (batch
+    // form of the Structured Streaming windowed agg).
+    "q8_events_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"), col("cnt"), col("sum_value"))),
+
+    // §2.6 debounce/coalesce analog: gap-based sessionization (30 min quiet
+    // period starts a new session), then per-session summaries.
+    "q9_sessionize" -> ((s, dir) =>
+      Sessionize.sessionSummaries(Tables.events(s, dir), "user_id", "ts", "event_id", 1800L)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("sess_start"), col("sess_end"))),
+
+    // §2.5 diff sketch (diff_layers.py:11-77): old/new snapshot full-outer
+    // join → added/removed/modified/unchanged. Content compared as exact
+    // bigint cents (no float hashing).
+    "q10_diff" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val withContent = orders.withColumn(
+        "content",
+        (round(col("o_totalprice") * 100).cast("long")
+          + when(col("o_orderkey") % 3 === 0, 1L).otherwise(0L)))
+      val oldSnap = orders
+        .filter(col("o_orderkey") % 10 =!= 0)
+        .withColumn("content", round(col("o_totalprice") * 100).cast("long"))
+      val newSnap = withContent.filter(col("o_orderkey") % 7 =!= 0)
+      Diff.diffByKey(oldSnap, newSnap, "o_orderkey", "content")
+        .groupBy(col("status")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // §2.5 orphan-relation cleanup (qdrant.py:1937-2323): edges (lineitem)
+    // whose endpoints are missing from the surviving node sets — two
+    // anti-joins, labeled by reason.
+    "q11_orphan" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val liveOrders = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "F")
+      val liveParts = Tables.part(s, dir).filter(col("p_size") > 10)
+      val noOrder = Diff.orphanEdges(li, liveOrders, "l_orderkey", "o_orderkey")
+        .select(lit("missing_order").as("reason"))
+      val noPart = Diff.orphanEdges(li, liveParts, "l_partkey", "p_partkey")
+        .select(lit("missing_part").as("reason"))
+      noOrder.unionByName(noPart).groupBy(col("reason")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // §2.4 read_graph-style 1-hop neighborhood: entities (customers of one
+    // nation) + their edge summaries (orders), one broadcast semi-side join
+    // + one aggregate.
+    "q12_graph_read" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_nationkey") === 1)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"),
+          max(col("o_orderdate")).as("last_order"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q2_join_dim" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q4_window" ->
+      """SELECT o_custkey, o_orderkey, rn, cum_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER w AS rn,
+        |         round(sum(o_totalprice) OVER w, 2) AS cum_spend
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) WHERE rn <= 3""".stripMargin,
+
+    "q5_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""".stripMargin,
+
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+
+    "q7_scan_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin,
+
+    "q8_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q9_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS sess_start, max(ts) AS sess_end
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q10_diff" ->
+      """WITH old_snap AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |), new_snap AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |           + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS c
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |)
+        |SELECT CASE WHEN o.k IS NULL THEN 'added'
+        |            WHEN n.k IS NULL THEN 'removed'
+        |            WHEN o.c = n.c THEN 'unchanged'
+        |            ELSE 'modified' END AS status,
+        |       count(*) AS cnt
+        |FROM old_snap o FULL OUTER JOIN new_snap n ON o.k = n.k
+        |GROUP BY 1""".stripMargin,
+
+    "q11_orphan" ->
+      """SELECT reason, count(*) AS cnt FROM (
+        |  SELECT 'missing_order' AS reason FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                    WHERE o_orderkey = l_orderkey AND o_orderstatus <> 'F')
+        |  UNION ALL
+        |  SELECT 'missing_part' AS reason FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM part
+        |                    WHERE p_partkey = l_partkey AND p_size > 10)
+        |) GROUP BY reason""".stripMargin,
+
+    "q12_graph_read" ->
+      """SELECT c_custkey, c_name,
+        |       count(o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend,
+        |       max(o_orderdate) AS last_order
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE c_nationkey = 1
+        |GROUP BY c_custkey, c_name""".stripMargin
+  )
+}

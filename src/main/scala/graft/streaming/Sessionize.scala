@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization — the batch analog of the reference's
+  * file-change debounce/coalesce (reference: watcher/debounce.py:149-260,
+  * "quiet period ≥ delay ⇒ emit batch"): events separated by more than
+  * `gapSeconds` of quiet start a new session.
+  *
+  * Implemented with one window partitioned by the session key: a single
+  * shuffle on `userCol`, then lag + running-sum inside each partition (no
+  * second shuffle — the session-id assignment reuses the same partitioning).
+  * At 100 TB the shuffle is unavoidable (grouping is per-key by definition);
+  * skewed keys are handled by AQE skew-join/partition splitting.
+  */
+object Sessionize {
+
+  /** Assigns `session_id` (0-based per user) to each event. `tieCol` breaks
+    * ordering ties deterministically (required for exact oracle parity).
+    */
+  def assignSessions(events: DataFrame, userCol: String, tsCol: String,
+                     tieCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val isNew = when(
+      prevTs.isNull.or(unix_timestamp(col(tsCol)) - unix_timestamp(prevTs) > gapSeconds),
+      lit(1L)).otherwise(lit(0L))
+    events
+      .withColumn("_new_sess", isNew)
+      .withColumn("session_id", sum(col("_new_sess")).over(w) - lit(1L))
+      .drop("_new_sess")
+  }
+
+  /** Per-session summary: event count and span. */
+  def sessionSummaries(events: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, gapSeconds: Long): DataFrame =
+    assignSessions(events, userCol, tsCol, tieCol, gapSeconds)
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("sess_start"),
+        max(col(tsCol)).as("sess_end")
+      )
+}
