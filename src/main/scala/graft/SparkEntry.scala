@@ -29,7 +29,7 @@ object SparkEntry {
         )
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
-  ) ++ graft.queries.RelationalQueries.defs
+  ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.SearchQueries.defs
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -40,5 +40,5 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ graft.queries.RelationalQueries.oracles
+  ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.SearchQueries.oracles
 }

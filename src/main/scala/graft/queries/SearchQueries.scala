@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.search.{Bm25, Hybrid, KnnSearch, LshAnn}
+
+/** Search-stack operators (SURVEY.md §2.3/§2.4) over the driver testdata:
+  * `embeddings` stands in for the dense chunk vectors, `documents` for the
+  * chunk text corpus; ids are shared (vec_id ≡ doc_id).
+  */
+object SearchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed hybrid-search query: terms present in the synthetic corpus. */
+  val QueryTerms: Seq[String] = Seq("spark", "join", "stream", "window")
+
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    KnnSearch.vectorOf(Tables.embeddings(s, dir), "vec_id", "embedding", 0L)
+
+  def defs: Map[String, Q] = Map(
+    // §2.4 dense top-k: codegen'd cosine + TakeOrderedAndProject.
+    "q13_knn_cosine" -> ((s, dir) =>
+      KnnSearch.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryVec(s, dir), 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))),
+
+    // §2.3 BM25 corpus fit → the (term, df, idf) model table.
+    "q14_bm25_fit" -> ((s, dir) =>
+      Bm25.fit(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("term"), col("df"), round(col("idf"), 6).as("idf"))),
+
+    // §2.4 sparse/keyword top-k: explode-join-agg BM25 scorer.
+    "q15_bm25_search" -> ((s, dir) =>
+      Bm25.search(Tables.documents(s, dir), "doc_id", "text", QueryTerms, 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))),
+
+    // §2.4 hybrid RRF fusion of dense + sparse rankings.
+    "q16_hybrid_rrf" -> ((s, dir) => {
+      val fetch = Hybrid.fetchSize(10)
+      val dense = KnnSearch.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryVec(s, dir), fetch)
+        .withColumnRenamed("vec_id", "id")
+      val sparse = Bm25.search(Tables.documents(s, dir), "doc_id", "text", QueryTerms, fetch)
+        .withColumnRenamed("doc_id", "id")
+      Hybrid.rrf(dense, sparse, "id", 10)
+        .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"),
+          col("rank_dense").cast("long").as("rank_dense"),
+          col("rank_sparse").cast("long").as("rank_sparse"))
+    }),
+
+    // §7.4 scale path: sign-bit LSH bucket ANN with Hamming-1 probing.
+    "q17_ann_lsh" -> ((s, dir) =>
+      LshAnn.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryVec(s, dir), 5, nBits = 8)
+        .select(col("vec_id"), col("bucket"), round(col("score"), 6).as("score")))
+  )
+
+  private val bm25Cte =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                     x -> len(x) > 1) AS t
+      |  FROM documents
+      |), dt AS (
+      |  SELECT doc_id, len(t) AS dl, u.term, count(*) AS tf
+      |  FROM toks, unnest(t) AS u(term)
+      |  GROUP BY doc_id, dl, u.term
+      |), stats AS (
+      |  SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks
+      |), model AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY term
+      |)""".stripMargin
+
+  private val sparseCte =
+    s"""$bm25Cte, sparse AS (
+       |  SELECT doc_id AS id,
+       |         sum( ln((stats.n - df + 0.5) / (df + 0.5))
+       |              * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl)) ) AS score
+       |  FROM dt JOIN model USING (term) CROSS JOIN stats
+       |  WHERE term IN ('spark', 'join', 'stream', 'window')
+       |  GROUP BY doc_id
+       |  ORDER BY score DESC, id LIMIT 50
+       |)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q13_knn_cosine" ->
+      """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT v FROM qv)), 6) AS score
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT v FROM qv)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q14_bm25_fit" ->
+      s"""WITH $bm25Cte
+         |SELECT term, df,
+         |       round(ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5)), 6) AS idf
+         |FROM model""".stripMargin,
+
+    "q15_bm25_search" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id,
+         |       round(sum( ln((stats.n - df + 0.5) / (df + 0.5))
+         |              * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl)) ), 6) AS score
+         |FROM dt JOIN model USING (term) CROSS JOIN stats
+         |WHERE term IN ('spark', 'join', 'stream', 'window')
+         |GROUP BY doc_id
+         |ORDER BY sum( ln((stats.n - df + 0.5) / (df + 0.5))
+         |              * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl)) ) DESC, doc_id
+         |LIMIT 20""".stripMargin,
+
+    "q16_hybrid_rrf" ->
+      s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+         |dense AS (
+         |  SELECT vec_id AS id,
+         |         list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT v FROM qv)) AS score
+         |  FROM embeddings
+         |  ORDER BY score DESC, id LIMIT 50
+         |), $sparseCte,
+         |dr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank_dense FROM dense),
+         |sr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank_sparse FROM sparse)
+         |SELECT coalesce(dr.id, sr.id) AS id,
+         |       round(coalesce(0.5 / (60 + rank_dense), 0) + coalesce(0.5 / (60 + rank_sparse), 0), 6) AS rrf_score,
+         |       rank_dense, rank_sparse
+         |FROM dr FULL OUTER JOIN sr ON dr.id = sr.id
+         |ORDER BY (coalesce(0.5 / (60 + rank_dense), 0) + coalesce(0.5 / (60 + rank_sparse), 0)) DESC,
+         |         coalesce(dr.id, sr.id)
+         |LIMIT 10""".stripMargin,
+
+    "q17_ann_lsh" ->
+      """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |qb AS (
+        |  SELECT (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+        |       + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+        |       + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS b
+        |  FROM qv
+        |), bucketed AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+        |       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+        |       + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, bucket,
+        |       round(list_cosine_similarity(e, (SELECT v FROM qv)), 6) AS score
+        |FROM bucketed
+        |WHERE bucket IN (SELECT xor((SELECT b FROM qb), p)
+        |                 FROM (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS p))
+        |ORDER BY list_cosine_similarity(e, (SELECT v FROM qv)) DESC, vec_id
+        |LIMIT 5""".stripMargin
+  )
+}

@@ -1,0 +1,73 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 sparse retrieval as pure DataFrame jobs (SURVEY.md §2.3: corpus fit →
+  * vocab/df/idf model tables; §2.4: explode-join-agg scorer).
+  *
+  * Parameters mirror the reference (embeddings/bm25.py:35-38):
+  * k1=1.2, b=0.75, robertson IDF ln((N-df+0.5)/(df+0.5)).
+  *
+  * Scale shape:
+  *  - fit: one explode + two aggregations; the term-df table is tiny
+  *    relative to the corpus (vocabulary-sized) and is broadcast into the
+  *    scorer. Corpus stats (N, avgdl) are a 1-row cross join.
+  *  - score: the per-(doc, term) tf table shuffles once on doc; the query
+  *    terms are a literal `isin` filter pushed below the join, so at 100 TB
+  *    only postings of the query's terms are ever shuffled.
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Reference tokenizer (embeddings/bm25.py:163-180): lowercase,
+    * `[a-z0-9]` runs, length > 1.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 1)
+
+  /** Per-(doc, term) term frequencies + per-doc length. */
+  def docTerms(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Model fit: (term, df, idf) — the vocab/df/idf table of SURVEY §7.1. */
+  def fit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dt = docTerms(docs, idCol, textCol)
+    val n = docs.count()
+    dt.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+  }
+
+  /** BM25 score of every matching doc for `queryTerms`; returns
+    * (doc_id, score) sorted desc, tie-broken by doc_id, limited to k.
+    */
+  def search(docs: DataFrame, idCol: String, textCol: String,
+             queryTerms: Seq[String], k: Int): DataFrame = {
+    val dt = docTerms(docs, idCol, textCol)
+    val n = docs.count()
+    val avgdl = docs
+      .select(avg(size(tokens(col(textCol)))).as("avgdl"))
+    val model = dt.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .select(col("term"), col("idf"))
+    dt.filter(col("term").isin(queryTerms: _*))
+      .join(broadcast(model), "term")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,63 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Codegen'd cosine similarity over two double arrays — single pass
+  * accumulating dot, |a|², |b|² together; `dot / sqrt(na*nb)`; zero-norm
+  * inputs score 0.0.
+  *
+  * Lives under `org.apache.spark.sql` because `ExpressionUtils` /
+  * `AbstractDataType` are `private[sql]`; the public engine API is
+  * `graft.functions.VectorOps`.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double x = $a.getDouble(i); double y = $b.getDouble(i);
+         |  dot += x * y; na += x * x; nb += y * y;
+         |}
+         |${ev.value} = (na == 0.0 || nb == 0.0) ? 0.0 : dot / Math.sqrt(na * nb);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Column wrapper: casts both sides to array<double> (float32 embedding
+    * columns work directly).
+    */
+  def asColumn(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a.cast(ArrayType(DoubleType))),
+      ExpressionUtils.expression(b.cast(ArrayType(DoubleType)))))
+}
