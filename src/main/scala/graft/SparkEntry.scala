@@ -29,7 +29,8 @@ object SparkEntry {
         )
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
-  ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.SearchQueries.defs
+  ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.SearchQueries.defs ++
+    graft.queries.DedupQueries.defs
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -40,5 +41,6 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.SearchQueries.oracles
+  ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.SearchQueries.oracles ++
+    graft.queries.DedupQueries.oracles
 }

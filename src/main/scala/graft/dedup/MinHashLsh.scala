@@ -1,0 +1,63 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.search.Bm25
+
+/** MinHash + LSH banding near-dup detection: word 3-shingles → md5-based
+  * 31-bit hashes → affine-permutation minima → banded bucket join.
+  *
+  * Portable deterministic hashing: shingles hash via
+  * `conv(substring(md5(s),1,15),16,10) % p`, permutations are the affine
+  * family `h -> ((2i+1)*h + 7i+1) mod p` over p = 2^31-1, so the identical
+  * signature is computable in any engine with md5 (the DuckDB oracle
+  * reproduces it exactly). All products stay < 2^36 — no 64-bit overflow.
+  *
+  * Scale shape: signatures are one narrow map pass (no shuffle). Banding
+  * explodes to NumBands rows/doc; the candidate join shuffles on the band
+  * key, whose buckets are the (rare) near-dup groups — the whole point of
+  * LSH is that this join is sparse. Estimated jaccard verifies candidates
+  * from the signatures alone, never re-reading the text.
+  */
+object MinHashLsh {
+  val P: Long = 2147483647L // 2^31 - 1, prime
+  val NumPerm = 12
+  val RowsPerBand = 3
+  val NumBands: Int = NumPerm / RowsPerBand
+
+  /** (doc_id, sig) — MinHash signatures from word 3-shingles. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), Bm25.tokens(col(textCol)).as("tk"))
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, greatest(size(tk) - 2, 0)), " +
+          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ', element_at(tk, i + 2))))"))
+      .withColumn("hs", expr(
+        s"transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % ${P}L)"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${NumPerm - 1}), i -> array_min(transform(hs, h -> ((2*i + 1) * h + 7*i + 1) % ${P}L)))"))
+      .select(col("doc_id"), col("sig"))
+
+  /** (doc_id, sig, band, band_key) — band key is md5 of the band's minhashes. */
+  def bandKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    signatures(docs, idCol, textCol)
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
+      .withColumn("band_key", expr(
+        s"md5(concat_ws(',', ${(1 to RowsPerBand).map(r => s"element_at(sig, band * $RowsPerBand + $r)").mkString(", ")}))"))
+
+  /** Candidate pairs sharing ≥1 band, with estimated jaccard = fraction of
+    * equal signature components.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bk = bandKeys(docs, idCol, textCol)
+    val a = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("est_jaccard", expr(
+        s"aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, e) -> acc + e) / cast($NumPerm as double)"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .distinct()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NgramJaccard, SimHash}
+
+/** Deduplication operators over the documents/embeddings corpus — the
+  * LLM-training-pipeline family: exact hash, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def defs: Map[String, Q] = Map(
+    // Exact + bag-of-words duplicate stats per source.
+    "q18_dedup_exact" -> ((s, dir) =>
+      ExactDedup.dupStats(Tables.documents(s, dir), "source", "text")),
+
+    // MinHash(12 perms) + LSH(4 bands × 3 rows) candidate pairs.
+    "q19_minhash" -> ((s, dir) =>
+      MinHashLsh.candidatePairs(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
+
+    // SimHash(24-bit) near-dup pairs within source, Hamming ≤ 3.
+    "q20_simhash" -> ((s, dir) =>
+      SimHash.closePairs(Tables.documents(s, dir), "doc_id", "text", "source", 3)
+        .select(col("grp"), col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))),
+
+    // Exact char-3-gram jaccard pairs within source, ≥ 0.6.
+    "q21_ngram_jaccard" -> ((s, dir) =>
+      NgramJaccard.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 3, 0.6)
+        .select(col("grp"), col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // Embedding-cosine near-dup pairs (exact baseline; bucketed variant is
+    // the scale path, EmbeddingDedup.pairsBucketed).
+    "q22_embed_neardup" -> ((s, dir) =>
+      EmbeddingDedup.pairsBrute(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))
+  )
+
+  private val hash31 = "CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647"
+
+  def oracles: Map[String, String] = Map(
+    "q18_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_exact,
+        |       count(DISTINCT md5(array_to_string(list_sort(list_distinct(
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1))), ' '))) AS n_wordset
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q19_minhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sl
+         |  FROM toks
+         |), hashes AS (
+         |  SELECT doc_id, list_transform(sl, s -> $hash31) AS hs FROM sh
+         |), sigs AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 11), i ->
+         |    list_min(list_transform(hs, h -> ((2*i + 1) * h + 7*i + 1) % 2147483647))) AS sig
+         |  FROM hashes
+         |), bands AS (
+         |  SELECT doc_id, sig, b.band,
+         |         md5(concat_ws(',', sig[band*3 + 1], sig[band*3 + 2], sig[band*3 + 3])) AS band_key
+         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(list_sum(list_transform(generate_series(1, 12),
+         |    i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) / 12.0, 6) AS est_jaccard
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q20_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+         |  FROM documents
+         |), hs AS (
+         |  SELECT doc_id, source, list_transform(t, s -> $hash31) AS h FROM toks
+         |), fp AS (
+         |  SELECT doc_id, source,
+         |    list_sum(list_transform(generate_series(0, 23), j ->
+         |      CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |           THEN 1 << j ELSE 0 END)) AS fp
+         |  FROM hs
+         |)
+         |SELECT a.source AS grp, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) <= 3""".stripMargin,
+
+    "q21_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(text) - 2, 0)),
+        |      i -> substr(text, i, 3))) AS gr
+        |  FROM documents
+        |)
+        |SELECT grp, doc_a, doc_b, round(j, 6) AS jaccard FROM (
+        |  SELECT a.source AS grp, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.gr, b.gr)) * 1.0
+        |           / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS j
+        |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        |) WHERE j >= 0.6""".stripMargin,
+
+    "q22_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin
+  )
+}

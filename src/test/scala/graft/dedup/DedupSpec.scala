@@ -1,0 +1,66 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "s1", "the quick brown fox jumps over the lazy dog"),
+    (2L, "s1", "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+    (3L, "s1", "dog lazy the over jumps fox brown quick the"),          // word-set dup of 1
+    (4L, "s1", "completely different tokens appear in this line here"),
+    (5L, "s2", "the quick brown fox jumps over the lazy cat today ok")  // near-dup of 1
+  ).toDF("doc_id", "source", "text")
+
+  test("exact dedup: content hash catches exact, word-set catches reordered") {
+    val stats = ExactDedup.dupStats(docs, "source", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats("s1") == ((4L, 3L, 2L))) // 4 docs, 3 exact, 2 word-sets
+    assert(stats("s2") == ((1L, 1L, 1L)))
+    val kept = ExactDedup.dedupKeepFirst(docs, "doc_id", "text")
+    assert(kept.count() == 4) // doc 2 dropped
+    assert(!kept.collect().map(_.getLong(0)).contains(2L))
+  }
+
+  test("minhash: exact dups get identical signatures and est_jaccard 1.0") {
+    val sigs = MinHashLsh.signatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    assert(sigs.values.forall(_.length == MinHashLsh.NumPerm))
+    val pairs = MinHashLsh.candidatePairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // doc 4 shares no shingles with doc 1 -> never a candidate
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("simhash: exact dups have identical fingerprints; hamming 0") {
+    val pairs = SimHash.closePairs(docs, "doc_id", "text", "source", 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(!pairs.contains((1L, 4L))) // different text far in hamming
+  }
+
+  test("ngram jaccard: exact dup 1.0; near-dup high; unrelated low") {
+    val pairs = NgramJaccard.jaccardPairs(docs, "doc_id", "text", "source", 3, 0.0).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.5)  // reordered words share most 3-grams
+    assert(pairs((1L, 4L)) < 0.2)
+  }
+
+  test("embedding near-dup: brute and bucketed agree inside a bucket") {
+    val emb = Seq(
+      (1L, Array(1.0, 0.1, 0.2, 0.3)),
+      (2L, Array(0.9, 0.12, 0.22, 0.28)), // near-dup of 1
+      (3L, Array(-1.0, 0.5, -0.5, 0.1))
+    ).toDF("id", "v")
+    val brute = EmbeddingDedup.pairsBrute(emb, "id", "v", 0.9).collect()
+    assert(brute.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val bucketed = EmbeddingDedup.pairsBucketed(emb, "id", "v", 0.9, 4).collect()
+    assert(bucketed.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((1L, 2L)))
+  }
+}
