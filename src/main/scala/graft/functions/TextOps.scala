@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline: token counting,
+  * quality metrics, stopword/language profiles, content fingerprinting.
+  * All pure column expressions (codegen-friendly, no UDFs), each with an
+  * exact SQL analog for oracle parity.
+  */
+object TextOps {
+
+  /** All lowercase alnum runs (length ≥ 1 — unlike Bm25.tokens this keeps
+    * single-char words, needed for stopword ratios).
+    */
+  def words(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * non-alnum-non-space marks each count as one token (a cheap proxy for a
+    * byte-pair vocabulary's pre-tokenizer).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Mean token length. */
+  def avgWordLen(text: Column): Column = {
+    val w = words(text)
+    when(size(w) === 0, lit(0.0))
+      .otherwise(aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(w))
+  }
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val w = words(text)
+    when(size(w) === 0, lit(0.0))
+      .otherwise(size(filter(w, t => t.isin(stopwords.map(lit(_)): _*)))
+        .cast("double") / size(w))
+  }
+
+  /** Fraction of characters that are neither alnum nor whitespace. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+        .cast("double") / length(text))
+
+  /** Stopword-profile scores for language identification. Returns one score
+    * column per language: the count of tokens in that language's profile.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "it"),
+    "es" -> Seq("el", "la", "los", "y", "es", "de", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "que"),
+    "zh" -> Seq.empty // no latin stopwords; scores 0, never wins a tie
+  )
+
+  def langScore(text: Column, profile: Seq[String]): Column =
+    if (profile.isEmpty) lit(0L)
+    else size(filter(words(text), t => t.isin(profile.map(lit(_)): _*))).cast("long")
+
+  /** Argmax language with deterministic lexicographic tie-break: languages
+    * are checked in sorted order and the first one ≥ all others wins.
+    */
+  def langGuess(text: Column): Column = {
+    val scores = LangProfiles.map { case (l, p) => l -> langScore(text, p) }
+    val ordered = scores.sortBy(_._1)
+    ordered.foldRight(lit("unknown")) { case ((l, s), els) =>
+      when(ordered.filter(_._1 != l).map(o => s >= o._2).reduce(_ && _), lit(l)).otherwise(els)
+    }
+  }
+
+  /** Positional polynomial rolling-hash fingerprint over the token stream:
+    * fold `acc = (acc*31 + h31(token)) mod 1e9+7` — order-sensitive, so
+    * reordered documents get different fingerprints (unlike the word-set
+    * hash in ExactDedup).
+    */
+  val FpMod = 1000000007L
+  def fingerprint(textColName: String): Column =
+    expr(
+      s"""aggregate(
+         |  transform(filter(split(lower($textColName), '[^a-z0-9]+'), t -> length(t) > 0),
+         |            s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 2147483647),
+         |  cast(0 as bigint), (acc, h) -> (acc * 31 + h) % $FpMod)""".stripMargin)
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextOps
+
+/** Text-analysis operators over the documents corpus: token counting,
+  * quality scoring, language-ID, content fingerprinting. All narrow map
+  * passes + one aggregation — at 100 TB these are scan-bound, shuffle only
+  * the per-group partials.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "or", "in", "on", "is", "to", "it")
+
+  def defs: Map[String, Q] = Map(
+    // Token counting: whitespace + BPE-ish subword proxy, per source.
+    "q23_tokencount" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          TextOps.wsTokenCount(col("text")).as("ws"),
+          TextOps.bpeishTokenCount(col("text")).as("bpe"))
+        .groupBy(col("source"))
+        .agg(sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"),
+          round(avg(col("ws")), 4).as("avg_ws_per_doc"))),
+
+    // Quality metrics per labeled language.
+    "q24_textstats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(TextOps.words(col("text"))).as("wc"),
+          TextOps.avgWordLen(col("text")).as("awl"),
+          TextOps.stopwordRatio(col("text"), Stopwords).as("swr"),
+          TextOps.punctRatio(col("text")).as("pr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("wc")), 4).as("avg_words"),
+          round(avg(col("awl")), 4).as("avg_word_len"),
+          round(avg(col("swr")), 4).as("avg_stopword_ratio"),
+          round(avg(col("pr")), 4).as("avg_punct_ratio"))),
+
+    // Language-ID confusion: labeled lang vs stopword-profile guess.
+    "q25_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextOps.langGuess(col("text")).as("guess"))
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Order-sensitive rolling-hash fingerprint per document.
+    "q26_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint("text").as("fp")))
+  )
+
+  private def langScoreSql(profile: Seq[String]): String =
+    if (profile.isEmpty) "0"
+    else s"len(list_filter(w, t -> t IN (${profile.map(p => s"'$p'").mkString(", ")})))"
+
+  private val langGuessSql: String = {
+    val ordered = TextOps.LangProfiles.sortBy(_._1)
+    val scores = ordered.map { case (l, p) => l -> langScoreSql(p) }
+    // same fold as TextOps.langGuess: first lang (sorted) whose score >= all others
+    scores.foldRight("'unknown'") { case ((l, s), els) =>
+      val others = scores.filter(_._1 != l).map(o => s"$s >= ${o._2}").mkString(" AND ")
+      s"CASE WHEN $others THEN '$l' ELSE $els END"
+    }
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q23_tokencount" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS ws,
+        |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe
+        |  FROM documents
+        |)
+        |SELECT source, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+        |       round(avg(ws), 4) AS avg_ws_per_doc
+        |FROM d GROUP BY source""".stripMargin,
+
+    "q24_textstats" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS w,
+         |         len(text) AS nc,
+         |         len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS nclean
+         |  FROM documents
+         |), m AS (
+         |  SELECT lang, len(w) AS wc,
+         |         CASE WHEN len(w) = 0 THEN 0.0
+         |              ELSE list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w) END AS awl,
+         |         CASE WHEN len(w) = 0 THEN 0.0
+         |              ELSE len(list_filter(w, t -> t IN (${Stopwords.map(s => s"'$s'").mkString(", ")}))) * 1.0 / len(w) END AS swr,
+         |         CASE WHEN nc = 0 THEN 0.0 ELSE (nc - nclean) * 1.0 / nc END AS pr
+         |  FROM d
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |       round(avg(wc), 4) AS avg_words,
+         |       round(avg(awl), 4) AS avg_word_len,
+         |       round(avg(swr), 4) AS avg_stopword_ratio,
+         |       round(avg(pr), 4) AS avg_punct_ratio
+         |FROM m GROUP BY lang""".stripMargin,
+
+    "q25_langid" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS w
+         |  FROM documents
+         |)
+         |SELECT lang, $langGuessSql AS guess, count(*) AS n
+         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    "q26_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0),
+         |                     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647)),
+         |    (acc, h) -> (acc * 31 + h) % ${TextOps.FpMod}) AS fp
+         |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String) =
+    Seq(Tuple1(text)).toDF("text").select(c).head()
+
+  test("token counting: whitespace vs bpe-ish") {
+    assert(one(TextOps.wsTokenCount(col("text")), "hello world  again").getInt(0) == 3)
+    // "don't stop" -> [don]['][t][stop] = 4 bpe-ish, 2 ws
+    assert(one(TextOps.bpeishTokenCount(col("text")), "don't stop").getInt(0) == 4)
+    assert(one(TextOps.wsTokenCount(col("text")), "don't stop").getInt(0) == 2)
+    // digit runs split from letters: "abc123 x" -> [abc][123][x]
+    assert(one(TextOps.bpeishTokenCount(col("text")), "abc123 x").getInt(0) == 3)
+  }
+
+  test("quality metrics") {
+    assert(math.abs(one(TextOps.avgWordLen(col("text")), "ab abcd").getDouble(0) - 3.0) < 1e-12)
+    assert(math.abs(one(TextOps.stopwordRatio(col("text"), Seq("the", "a")), "the big a cat")
+      .getDouble(0) - 0.5) < 1e-12)
+    assert(math.abs(one(TextOps.punctRatio(col("text")), "ab!?").getDouble(0) - 0.5) < 1e-12)
+    assert(one(TextOps.punctRatio(col("text")), "").getDouble(0) == 0.0)
+  }
+
+  test("language guess: profile argmax with lexicographic tie-break") {
+    assert(one(TextOps.langGuess(col("text")), "the cat and the dog is here").getString(0) == "en")
+    assert(one(TextOps.langGuess(col("text")), "der hund und die katze ist").getString(0) == "de")
+    assert(one(TextOps.langGuess(col("text")), "le chat et la table est").getString(0) == "fr")
+    // no stopwords at all -> all scores 0 -> first sorted lang (de) wins
+    assert(one(TextOps.langGuess(col("text")), "xyzzy plugh").getString(0) == "de")
+  }
+
+  test("fingerprint: order-sensitive, deterministic, stable") {
+    val fp1 = one(TextOps.fingerprint("text"), "alpha beta gamma").getLong(0)
+    val fp2 = one(TextOps.fingerprint("text"), "gamma beta alpha").getLong(0)
+    val fp1b = one(TextOps.fingerprint("text"), "alpha beta gamma").getLong(0)
+    assert(fp1 == fp1b)
+    assert(fp1 != fp2) // order matters
+    assert(fp1 >= 0 && fp1 < TextOps.FpMod)
+    assert(one(TextOps.fingerprint("text"), "").getLong(0) == 0L)
+  }
+}
