@@ -30,7 +30,8 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
   ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.SearchQueries.defs ++
-    graft.queries.DedupQueries.defs ++ graft.queries.TextQueries.defs
+    graft.queries.DedupQueries.defs ++ graft.queries.TextQueries.defs ++
+    graft.queries.EngineQueries.defs
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -42,5 +43,6 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.SearchQueries.oracles ++
-    graft.queries.DedupQueries.oracles ++ graft.queries.TextQueries.oracles
+    graft.queries.DedupQueries.oracles ++ graft.queries.TextQueries.oracles ++
+    graft.queries.EngineQueries.oracles
 }

@@ -1,0 +1,175 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.index.{DeterministicEmbedder, Embedder, IndexPipeline, IndexStore}
+import graft.search.{Bm25, Hybrid}
+
+/** The user-facing engine API, mirroring the reference's verbs (SURVEY.md
+  * §7.1): index, searchSimilar (semantic | keyword | hybrid), readGraph,
+  * getImplementation, entitiesForFile, clearCollection.
+  *
+  * Query shape at scale: every search first prunes to the `metadata`
+  * chunk-type partition (progressive disclosure as partition pruning), then
+  * scores inside whole-stage codegen and reduces via
+  * TakeOrderedAndProject. Graph reads are joins on the relation partition.
+  */
+case class GraftEngine(spark: SparkSession, storeDir: String,
+                       embedder: Embedder = DeterministicEmbedder()) {
+
+  def index(projectDir: String): IndexPipeline.IndexingResult =
+    IndexPipeline.index(spark, projectDir, storeDir, embedder)
+
+  def chunks: DataFrame = IndexStore.readChunks(spark, storeDir)
+
+  private def metadataChunks: DataFrame = chunks.filter(col("chunkType") === "metadata")
+
+  /** Dense / sparse / hybrid top-k over metadata chunks
+    * (reference: storage/qdrant.py:692-1044).
+    */
+  def searchSimilar(query: String, mode: String = "semantic",
+                    entityTypes: Seq[String] = Seq.empty,
+                    limit: Int = 10, threshold: Double = Double.NegativeInfinity): DataFrame = {
+    val base0 = metadataChunks
+    val base = if (entityTypes.nonEmpty) base0.filter(col("entityType").isin(entityTypes: _*)) else base0
+
+    def dense(k: Int): DataFrame = {
+      val qv = VectorOps.vecLit(embedder.embedText(query))
+      val scored = base.withColumn("score", VectorOps.cosine(col("dense"), qv))
+      val thr = if (threshold.isNegInfinity) scored else scored.filter(col("score") >= threshold)
+      thr.orderBy(col("score").desc, col("chunkId").asc).limit(k)
+    }
+
+    def sparse(k: Int): DataFrame = {
+      val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.length > 1).toSeq.distinct
+      if (terms.isEmpty) spark.emptyDataFrame
+      else {
+        val scores = Bm25.search(base.select(col("chunkId"), col("contentBm25")),
+          "chunkId", "contentBm25", terms, k)
+          .withColumnRenamed("doc_id", "chunkId")
+        base.join(scores, "chunkId").orderBy(col("score").desc, col("chunkId").asc).limit(k)
+      }
+    }
+
+    mode match {
+      case "semantic" => dense(limit).drop("dense")
+      case "keyword" => sparse(limit).drop("dense")
+      case "hybrid" =>
+        val fetch = Hybrid.fetchSize(limit)
+        val d = dense(fetch).select(col("chunkId"), col("score"))
+        val s = sparse(fetch).select(col("chunkId"), col("score"))
+        Hybrid.rrf(d, s, "chunkId", limit)
+          .join(base.drop("dense"), "chunkId")
+          .orderBy(col("rrf_score").desc, col("chunkId").asc)
+      case other => throw new IllegalArgumentException(s"unknown search mode: $other")
+    }
+  }
+
+  /** Graph neighborhood read (reference MCP read_graph,
+    * CLAUDE.md:159-199): modes `entities` (nodes mentioning the entity),
+    * `relationships` (edges touching it), `smart` (both, summarized).
+    */
+  def readGraph(entity: String, mode: String = "smart", limit: Int = 50): DataFrame = {
+    val rel = chunks.filter(col("chunkType") === "relation")
+      .filter(col("entityName") === entity || col("relationTarget") === entity)
+    mode match {
+      case "relationships" | "raw" =>
+        rel.select(col("entityName").as("from"), col("relationType").as("type"),
+          col("relationTarget").as("to")).orderBy("from", "type", "to").limit(limit)
+      case "entities" =>
+        // neighborhood of ONE entity is small by construction: resolve the
+        // neighbor-name set driver-side (breaks the self-join lineage too)
+        val neighborNames = rel.select(col("entityName")).union(rel.select(col("relationTarget")))
+          .distinct().collect().map(_.getString(0)).toSeq
+        metadataChunks.filter(col("entityName").isin(neighborNames: _*))
+          .select(col("entityName"), col("entityType"), col("filePath"), col("lineNumber"))
+          .orderBy("entityName").limit(limit)
+      case _ => // smart: edges + 1-hop neighbor summaries
+        rel.groupBy(col("relationType").as("type"))
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_set(
+              when(col("entityName") === entity, col("relationTarget"))
+                .otherwise(col("entityName")))).as("neighbors"))
+          .orderBy("type")
+    }
+  }
+
+  /** Implementation fetch (reference MCP get_implementation): `minimal` =
+    * the entity's impl chunks; `logical` adds same-file siblings;
+    * `dependencies` adds direct call/import targets' impls.
+    */
+  def getImplementation(name: String, scope: String = "minimal"): DataFrame = {
+    val impls = chunks.filter(col("chunkType") === "implementation")
+    val own = impls.filter(col("entityName") === name)
+    scope match {
+      case "minimal" => own.select(col("entityName"), col("filePath"), col("lineNumber"),
+        col("endLineNumber"), col("content"))
+      case "logical" =>
+        val files = own.select(col("filePath")).distinct()
+        impls.join(files, Seq("filePath"), "left_semi")
+          .select(col("entityName"), col("filePath"), col("lineNumber"),
+            col("endLineNumber"), col("content")).orderBy("filePath", "lineNumber")
+      case "dependencies" =>
+        val deps = chunks.filter(col("chunkType") === "relation" &&
+          col("entityName") === name &&
+          col("relationType").isin("calls", "imports", "uses"))
+          .select(col("relationTarget").as("entityName"))
+        own.select(col("entityName"), col("filePath"), col("lineNumber"),
+          col("endLineNumber"), col("content"))
+          .unionByName(impls.join(deps, Seq("entityName"), "left_semi")
+            .select(col("entityName"), col("filePath"), col("lineNumber"),
+              col("endLineNumber"), col("content")))
+          .dropDuplicates("entityName", "filePath", "lineNumber")
+          .orderBy("filePath", "lineNumber")
+      case other => throw new IllegalArgumentException(s"unknown scope: $other")
+    }
+  }
+
+  /** All chunks of a file, grouped by chunk type
+    * (reference: storage/qdrant.py:1692-1845).
+    */
+  def entitiesForFile(path: String): DataFrame =
+    chunks.filter(col("filePath") === path || col("entityName") === path)
+      .groupBy(col("chunkType"))
+      .agg(sort_array(collect_set(col("entityName"))).as("entities"))
+      .orderBy("chunkType")
+
+  /** Distinct entity-name set (reference: storage/qdrant.py:1613-1653). */
+  def allEntityNames(): DataFrame =
+    chunks.filter(col("chunkType") =!= "relation").select(col("entityName")).distinct()
+
+  /** Clear auto-generated points, optionally preserving manual memories
+    * (chunks with no filePath and no relation markers —
+    * reference: storage/qdrant.py:1303-1401).
+    */
+  def clearCollection(preserveManual: Boolean = true): Unit = {
+    if (!preserveManual) {
+      IndexStore.overwrite(chunks.limit(0), IndexStore.chunksPath(storeDir), Seq("chunkType"))
+    } else {
+      val manual = chunks.filter(col("filePath") === "" && col("chunkType") =!= "relation")
+      IndexStore.writeChunks(manual, storeDir)
+    }
+  }
+
+  /** Orphan + phantom maintenance pass (reference: qdrant.py:1937-2381).
+    * Uses the SAME well-formedness rule as the index pass, so a
+    * freshly-written store is a fixed point (cleanup removes 0).
+    */
+  def cleanup(): Long = {
+    val all = chunks.cache()
+    val names = all.filter(col("chunkType") =!= "relation")
+      .select(col("entityName")).distinct()
+    val rel = all.filter(col("chunkType") === "relation")
+    val keep = IndexPipeline.keepWellFormedRelations(rel, names)
+    val phantoms = IndexPipeline.phantomCalls(all).collect().map(_.getString(0)).toSet
+    val keepClean = if (phantoms.isEmpty) keep else keep.filter(!col("chunkId").isin(phantoms.toSeq: _*))
+    val removed = rel.count() - keepClean.count()
+    if (removed > 0) {
+      val result = all.filter(col("chunkType") =!= "relation").unionByName(keepClean)
+      IndexStore.writeChunks(result, storeDir)
+    }
+    all.unpersist()
+    removed
+  }
+}

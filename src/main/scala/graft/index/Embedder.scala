@@ -1,0 +1,48 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Ids
+
+/** Embedding stage (SURVEY.md §2.3). The trait is the pluggability seam the
+  * reference gets from EmbedderRegistry (embeddings/registry.py): production
+  * implementations batch HTTP calls inside `mapPartitions`; the default is
+  * [[DeterministicEmbedder]] — offline, reproducible, and expressed as a
+  * pure column expression so embedding 100 TB of chunks is a narrow
+  * codegen'd map pass with NO shuffle and no UDF boxing.
+  */
+trait Embedder {
+  def dim: Int
+
+  /** Adds column `dense: array<double>` computed from `textCol`. */
+  def embed(df: DataFrame, textCol: String, outCol: String = "dense"): DataFrame
+
+  /** Driver-side embedding of a query string (must agree exactly with
+    * [[embed]]).
+    */
+  def embedText(text: String): Seq[Double]
+}
+
+/** Deterministic hash embedder (the engine-native analog of the reference
+  * test fixture DummyEmbedder, tests/conftest.py:241-270 — but seeded by a
+  * salted md5 instead of Python's salted `hash()`, so values are stable
+  * across processes AND reproducible in plain SQL):
+  *
+  *   v_d(text) = ((md5_31(text || ':' || d) mod 2001) - 1000) / 1000.0
+  *
+  * Distinct texts give near-orthogonal vectors; identical text gives the
+  * identical vector (so content-hash dedup ≡ embedding cache).
+  */
+case class DeterministicEmbedder(dim: Int = 64) extends Embedder {
+
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, expr(
+      s"""transform(sequence(0, ${dim - 1}), d ->
+         |  ((cast(conv(substring(md5(concat($textCol, ':', d)), 1, 15), 16, 10) as bigint)
+         |    % 2147483647 % 2001) - 1000) / 1000.0)""".stripMargin))
+
+  override def embedText(text: String): Seq[Double] =
+    (0 until dim).map { d =>
+      ((Ids.hash31(s"$text:$d") % 2001L) - 1000L) / 1000.0
+    }
+}

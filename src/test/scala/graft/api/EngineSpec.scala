@@ -1,0 +1,175 @@
+package graft.api
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** End-to-end engine spec over the temp_repo fixture (FIXTURES.md §1;
+  * reference: tests/conftest.py:45-103): index → search → graph reads →
+  * incremental → delete cascade.
+  */
+class EngineSpec extends SparkSpec {
+
+  private def writeFixture(root: String): Unit = {
+    def w(rel: String, content: String): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    w("foo.py",
+      """def add(x, y):
+        |    '''Add two numbers and return the sum.'''
+        |    return x + y
+        |
+        |class Calculator:
+        |    '''A tiny calculator.'''
+        |    def multiply(self, a, b):
+        |        return a * b
+        |""".stripMargin)
+    w("bar.py",
+      """from foo import add, Calculator
+        |
+        |def main():
+        |    '''Entry point calling add and multiply.'''
+        |    c = Calculator()
+        |    print(add(1, 2))
+        |    return c.multiply(3, 4)
+        |""".stripMargin)
+    w("utils/helpers.py",
+      """LOG_LEVEL = "INFO"
+        |
+        |def format_output(value):
+        |    '''Format a value for printing.'''
+        |    return f"[{LOG_LEVEL}] {value}"
+        |""".stripMargin)
+    w("README.md",
+      """# Sample project
+        |
+        |A tiny fixture project.
+        |
+        |## Usage
+        |
+        |Run main() from bar.py.
+        |""".stripMargin)
+  }
+
+  private val root = Files.createTempDirectory("graft_repo").toString
+  private val store = Files.createTempDirectory("graft_store").toString
+  private lazy val engine = GraftEngine(spark, store)
+
+  test("full index extracts the expected entities, relations and chunks") {
+    writeFixture(root)
+    val res = engine.index(root)
+    assert(res.mode == "full")
+    assert(res.filesScanned == 4)
+    assert(res.errors.isEmpty)
+
+    val chunks = engine.chunks
+    val names = chunks.filter(col("chunkType") === "metadata")
+      .select("entityName").collect().map(_.getString(0)).toSet
+    assert(Set("add", "multiply", "main", "format_output", "Calculator", "LOG_LEVEL",
+      "foo.py", "bar.py", "utils/helpers.py", "README.md").subsetOf(names))
+
+    // CALLS edges survived the entity-aware filter (add/multiply are known)
+    val calls = chunks.filter(col("chunkType") === "relation" && col("relationType") === "calls")
+      .select("entityName", "relationTarget").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(calls.contains(("main", "add")))
+    assert(calls.contains(("main", "multiply")))
+
+    // dense vectors present with the embedder's dim
+    val dims = chunks.select(size(col("dense"))).distinct().collect().map(_.getInt(0)).toSet
+    assert(dims == Set(64))
+
+    // LOG_LEVEL is a constant; add is a function; Calculator a class
+    val types = chunks.filter(col("chunkType") === "metadata")
+      .select("entityName", "entityType").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types("LOG_LEVEL") == "constant")
+    assert(types("add") == "function")
+    assert(types("multiply") == "method")
+    assert(types("Calculator") == "class")
+  }
+
+  test("semantic, keyword and hybrid search find the add function") {
+    val sem = engine.searchSimilar("add two numbers", "semantic", limit = 5).collect()
+    assert(sem.length == 5)
+    val kw = engine.searchSimilar("add numbers sum", "keyword", limit = 5)
+      .select("entityName").collect().map(_.getString(0))
+    assert(kw.contains("add"))
+    val hy = engine.searchSimilar("add two numbers", "hybrid", limit = 5)
+      .select("entityName").collect().map(_.getString(0))
+    assert(hy.nonEmpty)
+    // entityTypes filter restricts results
+    val onlyClasses = engine.searchSimilar("calculator", "keyword",
+      entityTypes = Seq("class"), limit = 5)
+      .select("entityType").collect().map(_.getString(0)).toSet
+    assert(onlyClasses.subsetOf(Set("class")))
+  }
+
+  test("getImplementation returns the source slice; scopes widen") {
+    val impl = engine.getImplementation("add").collect()
+    assert(impl.length == 1)
+    assert(impl.head.getAs[String]("content").contains("def add(x, y):"))
+    val logical = engine.getImplementation("add", "logical").collect()
+    assert(logical.map(_.getAs[String]("entityName")).toSet.contains("Calculator"))
+    val deps = engine.getImplementation("main", "dependencies").collect()
+    assert(deps.map(_.getAs[String]("entityName")).toSet.contains("add"))
+  }
+
+  test("readGraph modes") {
+    val rels = engine.readGraph("add", "relationships").collect()
+    assert(rels.nonEmpty)
+    val smart = engine.readGraph("main", "smart").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(smart.contains("calls"))
+    val ents = engine.readGraph("add", "entities").collect()
+    assert(ents.map(_.getString(0)).contains("main"))
+  }
+
+  test("entitiesForFile and allEntityNames") {
+    val forFile = engine.entitiesForFile("foo.py").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(forFile("metadata").contains("add"))
+    assert(forFile("implementation").contains("Calculator"))
+    assert(engine.allEntityNames().count() >= 10)
+  }
+
+  test("incremental: no changes -> nothing re-embedded; edit -> only that file") {
+    val res1 = engine.index(root)
+    assert(res1.mode == "incremental")
+    assert(res1.filesParsed == 0)
+    assert(res1.chunksWritten == 0)
+
+    // edit bar.py: remove the multiply call
+    Files.writeString(Paths.get(root, "bar.py"),
+      """from foo import add
+        |
+        |def main():
+        |    '''Entry point calling only add now.'''
+        |    return add(1, 2)
+        |""".stripMargin)
+    val res2 = engine.index(root)
+    assert(res2.mode == "incremental")
+    assert(res2.filesParsed == 1)
+    val calls = engine.chunks
+      .filter(col("chunkType") === "relation" && col("relationType") === "calls")
+      .select("entityName", "relationTarget").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(calls.contains(("main", "add")))
+    assert(!calls.contains(("main", "multiply")), s"stale calls edge survived: $calls")
+  }
+
+  test("delete cascade: removing a file drops its chunks and orphaned edges") {
+    Files.delete(Paths.get(root, "utils/helpers.py"))
+    val res = engine.index(root)
+    assert(res.mode == "incremental")
+    val names = engine.chunks.select("entityName").collect().map(_.getString(0)).toSet
+    assert(!names.contains("format_output"))
+    assert(!names.contains("LOG_LEVEL"))
+  }
+
+  test("cleanup is a no-op on a healthy store") {
+    assert(engine.cleanup() == 0L)
+  }
+}

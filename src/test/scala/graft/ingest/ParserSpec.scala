@@ -1,0 +1,132 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Ids
+
+class ParserSpec extends AnyFunSuite {
+
+  test("python: functions, classes, methods, docstrings, calls, inherits") {
+    val src =
+      """import os
+        |from typing import List
+        |
+        |MAX_SIZE = 100
+        |
+        |class Base:
+        |    pass
+        |
+        |class Worker(Base):
+        |    '''Does the work.'''
+        |    def run(self, items: List) -> int:
+        |        '''Run over items.'''
+        |        total = compute(items)
+        |        try:
+        |            return total
+        |        except ValueError:
+        |            return 0
+        |
+        |def compute(items):
+        |    '''Compute a total.'''
+        |    if items:
+        |        return len(items)
+        |    return 0
+        |""".stripMargin
+    val r = PythonParser.parse("w.py", src)
+    val byName = r.entities.map(e => e.name -> e).toMap
+    assert(byName("Worker").entityType == "class")
+    assert(byName("Worker").docstring == "Does the work.")
+    assert(byName("run").entityType == "method")
+    assert(byName("run").signature.contains("-> int"))
+    assert(byName("compute").entityType == "function")
+    assert(byName("MAX_SIZE").entityType == "constant")
+    assert(byName("os").entityType == "import")
+    val rels = r.relations.map(x => (x.fromEntity, x.relationType, x.toEntity)).toSet
+    assert(rels.contains(("Worker", "inherits", "Base")))
+    assert(rels.contains(("run", "calls", "compute")))
+    assert(rels.contains(("w.py", "imports", "os")))
+    assert(rels.contains(("Worker", "contains", "run")))
+    assert(byName("run").observations.exists(_.startsWith("handles exceptions: ValueError")))
+    // implementation chunk holds the verbatim slice
+    val impl = r.implementationChunks.find(_.entityName == "compute").get
+    assert(impl.content.contains("def compute(items):"))
+    assert(impl.contentHash == Ids.sha256Hex(impl.content))
+  }
+
+  test("markdown: headers, chunk grouping, overlap") {
+    val md = "# Title\n\nintro text\n\n## Section A\n\n" + ("alpha " * 100) +
+      "\n\n## Section B\n\n" + ("beta " * 100)
+    val r = MarkdownParser.parse("doc.md", md)
+    val names = r.entities.map(_.name)
+    assert(names.contains("Title"))
+    assert(names.contains("Section A"))
+    assert(r.implementationChunks.nonEmpty)
+    // all source text is covered by chunks
+    assert(r.implementationChunks.map(_.content).mkString.contains("alpha"))
+  }
+
+  test("text: 50-line chunks") {
+    val txt = (1 to 120).map(i => s"line number $i with content").mkString("\n")
+    val r = TextParser.parse("notes.txt", txt)
+    assert(r.implementationChunks.length == 3) // 50+50+20
+    assert(r.implementationChunks.head.lineNumber == 1)
+    assert(r.implementationChunks.head.endLineNumber == 50)
+    assert(r.implementationChunks(1).lineNumber == 51)
+  }
+
+  test("js: functions, classes, imports") {
+    val js =
+      """import { thing } from './lib';
+        |const helper = (x) => x * 2;
+        |export class Widget extends Base {
+        |}
+        |function render(props) {
+        |  return helper(props);
+        |}
+        |const MAX = 10;
+        |""".stripMargin
+    val r = JsParser.parse("app.ts", js)
+    val byName = r.entities.map(e => e.name -> e.entityType).toMap
+    assert(byName("Widget") == "class")
+    assert(byName("render") == "function")
+    assert(byName("helper") == "function")
+    assert(byName("MAX") == "constant")
+    val rels = r.relations.map(x => (x.fromEntity, x.relationType, x.toEntity)).toSet
+    assert(rels.contains(("app.ts", "imports", "./lib")))
+    assert(rels.contains(("Widget", "extends", "Base")))
+  }
+
+  test("yaml: github workflow jobs; json: package deps; ini: sections; csv: columns") {
+    val wf = "name: CI\non: push\njobs:\n  build:\n    steps: []\n  test:\n    steps: []\n"
+    val ry = YamlParser.parse(".github/workflows/ci.yml", wf)
+    assert(ry.entities.map(_.name).contains("CI"))
+    assert(ry.entities.count(_.entityType == "function") == 2)
+
+    val pkg = """{"name": "mypkg", "dependencies": {"react": "^18", "lodash": "4"}}"""
+    val rj = JsonParser.parse("package.json", pkg)
+    assert(rj.entities.map(_.name).contains("mypkg"))
+    assert(rj.relations.exists(r => r.relationType == "imports" && r.toEntity == "react"))
+
+    val ini = "[server]\nhost = localhost\nport = 8080\n[client]\ntimeout = 5\n"
+    val ri = IniParser.parse("conf.ini", ini)
+    assert(ri.entities.map(_.name).toSet.contains("server"))
+
+    val csv = "id,name,score\n1,a,2\n"
+    val rc = CsvParser.parse("data.csv", csv)
+    assert(rc.entities.map(_.name).contains("data.csv::score"))
+  }
+
+  test("registry dispatch + graceful failure") {
+    assert(ParserRegistry.canParse("x/y.py"))
+    assert(!ParserRegistry.canParse("x/y.exe"))
+    val bad = ParserRegistry.parse("f.unknownext", "x")
+    assert(bad.errors.nonEmpty)
+  }
+
+  test("ids: deterministic, positive, stable derivation") {
+    assert(Ids.pointId("abc") == Ids.pointId("abc"))
+    assert(Ids.pointId("abc") > 0)
+    assert(Ids.pointId("abc") != Ids.pointId("abd"))
+    assert(Ids.sha256Hex("abc") == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(Ids.md5Hex("abc") == "900150983cd24fb0d6963f7d28e17f72")
+  }
+}
