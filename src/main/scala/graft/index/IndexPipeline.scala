@@ -81,19 +81,38 @@ object IndexPipeline {
       case _ => (scanned, Seq.empty[String])
     }
 
-    // --- parse + chunk build --------------------------------------------
+    // --- parse + merge ---------------------------------------------------
     val results = SourceScan.parseAll(toParse).cache()
     val filesParsed = results.count()
-    val errors = results.flatMap(_.errors).collect().toSeq
+    val replacedPaths = toParse.map(_.relPath).collect().toSet ++ removedPaths
 
+    val res = applyChanges(spark, storeDir, results, replacedPaths, incremental, embedder)
+
+    IndexStore.writeState(currentMeta.toDF(), storeDir)
+    scanned.unpersist(); results.unpersist()
+    res.copy(mode = if (incremental) "incremental" else "full",
+      filesScanned = filesScanned, filesParsed = filesParsed)
+  }
+
+  /** Merge a batch of parse results into the store: drop replaced/deleted
+    * files' chunks, entity-aware relation filter, content-hash dedup,
+    * embed what's new, copy-on-write swap. Shared by the batch indexer and
+    * the streaming `foreachBatch` path (SURVEY.md §3.3 "same batch
+    * pipeline").
+    */
+  def applyChanges(spark: SparkSession, storeDir: String,
+                   results: Dataset[ParserResult], replacedPaths: Set[String],
+                   incremental: Boolean, embedder: Embedder): IndexingResult = {
+    import spark.implicits._
+
+    val errors = results.flatMap(_.errors).collect().toSeq
     val entities = results.flatMap(_.entities.map(e => (e.filePath, e.name, e.entityType)))
       .toDF("filePath", "name", "entityType")
     val nEntities = entities.count()
 
     val newChunksRaw = results.flatMap(r => ChunkBuilder.chunksOf(r)).toDF().cache()
 
-    // --- carry over unchanged chunks, drop replaced/deleted/orphans ------
-    val replacedPaths = toParse.map(_.relPath).collect().toSet ++ removedPaths
+    // --- carry over unchanged chunks, drop replaced/deleted --------------
     val carried: DataFrame =
       if (incremental) {
         val existing = IndexStore.readChunks(spark, storeDir)
@@ -148,11 +167,9 @@ object IndexPipeline {
     val nRelations = all.filter(col("chunkType") === "relation").count()
 
     IndexStore.writeChunks(all, storeDir)
-    IndexStore.writeState(currentMeta.toDF(), storeDir)
-
-    scanned.unpersist(); results.unpersist(); newChunksRaw.unpersist(); names.unpersist()
+    newChunksRaw.unpersist(); names.unpersist()
     IndexingResult(if (incremental) "incremental" else "full",
-      filesScanned, filesParsed, nEntities, nRelations, chunksWritten, chunksCarried, errors)
+      0, 0, nEntities, nRelations, chunksWritten, chunksCarried, errors)
   }
 
   /** Phantom-CALLS detection (reference: storage/qdrant.py:2325-2381):

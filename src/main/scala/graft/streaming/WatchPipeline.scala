@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.core.Model.{FileState, ParserResult}
+import graft.index.{DeterministicEmbedder, Embedder, IndexPipeline, IndexStore}
+import graft.ingest.ParserRegistry
+
+/** Streaming watch pipeline (reference lifecycle SURVEY.md §3.3 — watchdog
+  * → debounce/coalesce → incremental index, watcher/handler.py +
+  * watcher/debounce.py) as Structured Streaming:
+  *
+  *   file-event stream → `foreachBatch { coalesce → parse → same merge as
+  *   batch indexing }`, with the debounce quiet-period expressed as the
+  *   processing-time trigger interval, and per-file coalescing (last event
+  *   wins) as a window inside each micro-batch.
+  *
+  * Event semantics (watcher/handler.py:80-320): created/modified →
+  * reparse+upsert; deleted → cascade delete; moved → delete+create (two
+  * events).
+  */
+object WatchPipeline {
+
+  val DefaultDebounceMs = 2000L // reference debounce=2.0s (config/models.py:99)
+
+  case class FileEvent(relPath: String, eventType: String, ts: Long, content: String)
+
+  /** Last event per path wins (the FileChangeCoalescer,
+    * watcher/debounce.py:149-260, as a window): ties broken by event order
+    * preference so a delete arriving with the same timestamp as a create
+    * does not resurrect the file.
+    */
+  def coalesce(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("relPath"))
+      .orderBy(col("ts").desc, col("eventType").desc) // modified > deleted > created at same ts
+    events.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Apply one micro-batch of events to the store — the exact batch-merge
+    * code path (IndexPipeline.applyChanges), scoped to the touched files.
+    */
+  def processBatch(spark: SparkSession, batch: Dataset[FileEvent], storeDir: String,
+                   embedder: Embedder = DeterministicEmbedder()): IndexPipeline.IndexingResult = {
+    import spark.implicits._
+    val latest = coalesce(batch.toDF).as[FileEvent].cache()
+    val deletes = latest.filter(_.eventType == "deleted").map(_.relPath).collect().toSet
+    val upserts = latest.filter(e => e.eventType == "created" || e.eventType == "modified")
+    val parsed: Dataset[ParserResult] = upserts.map(e => ParserRegistry.parse(e.relPath, e.content))
+    val replaced = upserts.map(_.relPath).collect().toSet ++ deletes
+    val incremental = IndexStore.exists(storeDir)
+    val res = IndexPipeline.applyChanges(spark, storeDir, parsed, replaced, incremental, embedder)
+
+    // maintain file_state so a later batch index stays incremental
+    val newStates = upserts.map(e => FileState(e.relPath, graft.core.Ids.sha256Hex(e.content), e.content.length.toLong, e.ts))
+    val prev = IndexStore.readState(spark, storeDir).map(_.as[FileState])
+      .getOrElse(spark.emptyDataset[FileState])
+    val touched = replaced
+    val state = prev.filter(s => !touched.contains(s.relPath)).union(newStates)
+    IndexStore.writeState(state.toDF, storeDir)
+    latest.unpersist()
+    res
+  }
+
+  /** Wire a streaming Dataset[FileEvent] into the store. The trigger
+    * interval IS the debounce quiet period.
+    */
+  def start(events: Dataset[FileEvent], storeDir: String,
+            embedder: Embedder = DeterministicEmbedder(),
+            debounceMs: Long = DefaultDebounceMs,
+            checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(debounceMs))
+      .foreachBatch { (batch: Dataset[FileEvent], _: Long) =>
+        processBatch(batch.sparkSession, batch, storeDir, embedder): Unit
+      }
+      .start()
+
+  /** Watermarked tumbling-window event-rate monitor (the streaming analog
+    * of q8; demonstrates real watermark semantics the reference never had,
+    * SURVEY.md §2.6 note).
+    */
+  def eventRate(events: DataFrame, tsCol: String, window: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("eventType"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("eventType"), col("n"))
+}

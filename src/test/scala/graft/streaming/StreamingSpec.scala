@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.streaming.WatchPipeline.FileEvent
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val store = Files.createTempDirectory("graft_stream_store").toString
+
+  test("coalesce: last event per path wins; delete beats same-ts create") {
+    val events = Seq(
+      FileEvent("a.py", "created", 100L, "def f(): pass"),
+      FileEvent("a.py", "modified", 200L, "def f(): return 1"),
+      FileEvent("b.py", "created", 100L, "def g(): pass"),
+      FileEvent("b.py", "deleted", 100L, "")
+    ).toDF
+    val out = WatchPipeline.coalesce(events).as[FileEvent].collect()
+      .map(e => e.relPath -> e.eventType).toMap
+    assert(out("a.py") == "modified")
+    assert(out("b.py") == "deleted")
+  }
+
+  test("processBatch: upsert then modify then delete, via the batch-merge path") {
+    val b1 = Seq(
+      FileEvent("m.py", "created", 1L, "def hello():\n    '''Say hi.'''\n    return 'hi'\n"),
+      FileEvent("n.py", "created", 1L, "def other():\n    return hello()\n")
+    ).toDS
+    val r1 = WatchPipeline.processBatch(spark, b1, store)
+    assert(r1.chunksWritten > 0)
+    val names1 = spark.read.parquet(s"$store/chunks")
+      .filter(col("chunkType") === "metadata").select("entityName")
+      .collect().map(_.getString(0)).toSet
+    assert(names1.contains("hello") && names1.contains("other"))
+
+    // modify m.py: rename hello -> greet; the calls edge other->hello dies
+    val b2 = Seq(FileEvent("m.py", "modified", 2L,
+      "def greet():\n    '''Say hi.'''\n    return 'hi'\n")).toDS
+    WatchPipeline.processBatch(spark, b2, store)
+    val chunks2 = spark.read.parquet(s"$store/chunks")
+    val names2 = chunks2.filter(col("chunkType") === "metadata")
+      .select("entityName").collect().map(_.getString(0)).toSet
+    assert(names2.contains("greet") && !names2.contains("hello"))
+    val calls2 = chunks2.filter(col("relationType") === "calls")
+      .select("relationTarget").collect().map(_.getString(0)).toSet
+    assert(!calls2.contains("hello"))
+
+    // delete n.py: its chunks cascade away
+    val b3 = Seq(FileEvent("n.py", "deleted", 3L, "")).toDS
+    WatchPipeline.processBatch(spark, b3, store)
+    val names3 = spark.read.parquet(s"$store/chunks")
+      .filter(col("chunkType") === "metadata").select("entityName")
+      .collect().map(_.getString(0)).toSet
+    assert(!names3.contains("other"))
+    assert(names3.contains("greet"))
+  }
+
+  test("streaming end-to-end: MemoryStream -> foreachBatch -> store") {
+    val store2 = Files.createTempDirectory("graft_stream_store2").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FileEvent]
+    val q = WatchPipeline.start(mem.toDS(), store2, checkpointDir = ckpt, debounceMs = 100L)
+    try {
+      mem.addData(FileEvent("s.py", "created", 1L, "def stream_fn():\n    return 42\n"))
+      q.processAllAvailable()
+      val names = spark.read.parquet(s"$store2/chunks")
+        .filter(col("chunkType") === "metadata").select("entityName")
+        .collect().map(_.getString(0)).toSet
+      assert(names.contains("stream_fn"))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed event rate compiles against a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "eventType")
+    val agg = WatchPipeline.eventRate(df, "ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("rates").start()
+    try {
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "created"))
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "created")) // advances watermark
+      q.processAllAvailable()
+      // first window is closed by the watermark advance and emitted
+      assert(spark.table("rates").count() >= 1)
+    } finally q.stop()
+  }
+}
