@@ -50,7 +50,9 @@ object MinHashLsh {
     * equal signature components.
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bk = bandKeys(docs, idCol, textCol)
+    // persist: signatures are 12 longs per doc — the band self-join must
+    // not recompute the shingle->md5->minhash pipeline for each side
+    val bk = bandKeys(docs, idCol, textCol).persist()
     val a = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_key"))

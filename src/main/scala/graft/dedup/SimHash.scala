@@ -44,7 +44,9 @@ object SimHash {
   /** Pairs within `groupCol` whose fingerprints are ≤ maxHamming apart. */
   def closePairs(docs: DataFrame, idCol: String, textCol: String,
                  groupCol: String, maxHamming: Int): DataFrame = {
-    val fp = fingerprints(docs, idCol, textCol, groupCol)
+    // persist: the fingerprint table is one long per doc — tiny — and the
+    // self-join must not recompute the per-bit md5 votes for each side
+    val fp = fingerprints(docs, idCol, textCol, groupCol).persist()
     val a = fp.select(col("grp"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
     val b = fp.select(col("grp"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
     a.join(b, Seq("grp"))
