@@ -1,0 +1,150 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Ids
+import graft.core.Model.Chunk
+
+/** Chat-conversation pipeline (SURVEY.md §2.7; reference: chat/parser.py,
+  * chat/summarizer.py): JSONL conversations → normalized messages →
+  * per-session metadata aggregation → keyword-scored 9-category
+  * classification → chat chunks for the vector store.
+  *
+  * All session aggregation is one groupBy (single shuffle on session_id);
+  * language detection and classification are narrow regexp/contains
+  * expressions — scan-bound at 100 TB of chat logs.
+  */
+object ChatPipeline {
+
+  /** Normalize raw JSONL rows (three format variants the reference
+    * accepts, chat/parser.py:110-213) into
+    * (session_id, role, content, ts, source_file).
+    * Expected available columns (any subset): sessionId/session_id, role or
+    * message.role or type, content (string) or message.content, timestamp.
+    */
+  def normalize(raw: DataFrame): DataFrame = {
+    def colOr(name: String, fallback: Column): Column =
+      if (raw.columns.contains(name.split('.').head)) {
+        try col(name) catch { case _: Exception => fallback }
+      } else fallback
+    val role = coalesce(
+      colOr("role", lit(null)), colOr("message.role", lit(null)),
+      colOr("type", lit(null))).as("role")
+    val content = coalesce(
+      colOr("content", lit(null)), colOr("message.content", lit(null)),
+      colOr("text", lit(null))).cast("string").as("content")
+    val session = coalesce(
+      colOr("sessionId", lit(null)), colOr("session_id", lit(null)),
+      lit("unknown")).cast("string").as("session_id")
+    val ts = coalesce(colOr("timestamp", lit(null)), colOr("ts", lit(null)))
+      .cast("timestamp").as("ts")
+    raw.select(session, role, content, ts, input_file_name().as("source_file"))
+      .filter(col("role").isin("user", "assistant") && col("content").isNotNull)
+  }
+
+  /** Code-heaviness indicator (chat/parser.py:26-30). */
+  def isCodeHeavy(content: Column): Column =
+    Seq("```", "def ", "class ", "import ", "function", "{", "}")
+      .map(ind => content.contains(ind)).reduce(_ || _)
+
+  /** Per-session metadata aggregation (chat/parser.py:215-270):
+    * start/end, message_count, total_words, has_code, primary language
+    * (most frequent non-shell code-fence language, lexicographic
+    * tie-break).
+    */
+  def sessionMetadata(messages: DataFrame): DataFrame = {
+    val base = messages.groupBy(col("session_id"))
+      .agg(
+        min(col("ts")).as("start_time"),
+        max(col("ts")).as("end_time"),
+        count(lit(1)).as("message_count"),
+        sum(size(split(col("content"), "\\s+"))).as("total_words"),
+        max(isCodeHeavy(col("content")).cast("int")).cast("boolean").as("has_code"))
+    val langs = messages
+      .select(col("session_id"),
+        explode(expr("regexp_extract_all(content, '```(\\\\w+)', 1)")).as("lang"))
+      .withColumn("lang", lower(col("lang")))
+      .filter(!col("lang").isin("bash", "shell", "text", "plaintext"))
+      .groupBy(col("session_id"), col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("session_id")).orderBy(col("n").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("session_id"), col("lang").as("primary_language"))
+    base.join(langs, Seq("session_id"), "left")
+  }
+
+  /** Sessions whose last activity is older than thresholdHours before
+    * `now` (chat/parser.py:272-287).
+    */
+  def inactiveSessions(meta: DataFrame, nowEpoch: Long, thresholdHours: Double): DataFrame =
+    meta.filter(unix_timestamp(col("end_time")) < nowEpoch - (thresholdHours * 3600).toLong)
+
+  /** The reference's 9 category keyword lists, verbatim
+    * (chat/summarizer.py:59-184).
+    */
+  val CategoryPatterns: Seq[(String, Seq[String])] = Seq(
+    "debugging_pattern" -> Seq("error", "exception", "bug", "fix", "debug", "traceback",
+      "stack trace", "memory leak", "crash", "failure", "issue", "problem", "troubleshoot"),
+    "implementation_pattern" -> Seq("class", "function", "method", "algorithm", "pattern",
+      "best practice", "code", "solution", "implement", "create", "build", "develop"),
+    "integration_pattern" -> Seq("api", "service", "integration", "database", "authentication",
+      "pipeline", "external", "third-party", "connect", "interface", "endpoint"),
+    "configuration_pattern" -> Seq("config", "environment", "deploy", "setup", "docker",
+      "ci/cd", "install", "settings", "parameters", "variables", "build", "deployment"),
+    "architecture_pattern" -> Seq("architecture", "design", "structure", "component",
+      "system", "module", "organization", "framework", "pattern", "design pattern"),
+    "performance_pattern" -> Seq("performance", "optimization", "scalability", "memory",
+      "speed", "bottleneck", "cache", "efficient", "fast", "slow", "optimize", "scale"),
+    "knowledge_insight" -> Seq("research", "learning", "methodology", "strategy", "analysis",
+      "insight", "findings", "discovery", "understanding", "lesson"),
+    "active_issue" -> Seq("active", "issue", "bug", "problem", "todo", "fixme", "hack",
+      "workaround", "blocked", "investigate", "urgent", "critical", "blocker", "regression"),
+    "ideas" -> Seq("idea", "feature", "suggestion", "enhancement", "brainstorm", "concept",
+      "proposal", "future", "roadmap", "vision", "inspiration", "innovation")
+  )
+
+  /** Keyword-presence score for one category (count of list keywords
+    * appearing as substrings of the lowercased content).
+    */
+  def categoryScore(content: Column, keywords: Seq[String]): Column =
+    keywords.map(k => when(lower(content).contains(k), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Argmax category with deterministic declaration-order tie-break
+    * (first listed category ≥ all others wins); all-zero scores →
+    * 'general'.
+    */
+  def classify(content: Column): Column = {
+    val scores = CategoryPatterns.map { case (c, ks) => c -> categoryScore(content, ks) }
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("general"): Column) { case ((c, s), els) =>
+      when(maxScore > 0 && s === maxScore, lit(c)).otherwise(els)
+    }
+  }
+
+  /** Chat chunks for the store (reference ChatChunk,
+    * analysis/entities.py:309-343): one summary chunk per session.
+    */
+  def chatChunks(meta: DataFrame, messages: DataFrame): DataFrame = {
+    import meta.sparkSession.implicits._
+    val firstUser = messages.filter(col("role") === "user")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("session_id")).orderBy(col("ts").asc, col("content").asc)))
+      .filter(col("rn") === 1)
+      .select(col("session_id"), col("content").as("first_user"))
+    meta.join(firstUser, Seq("session_id"), "left")
+      .select(col("session_id"), col("message_count"), col("total_words"),
+        col("has_code"), coalesce(col("primary_language"), lit("")).as("lang"),
+        coalesce(col("first_user"), lit("")).as("first_user"))
+      .as[(String, Long, Long, Boolean, String, String)]
+      .map { case (sid, n, words, hasCode, lang, firstUserMsg) =>
+        val content = s"Chat session $sid: $n messages, $words words" +
+          (if (hasCode) s", code-heavy${if (lang.nonEmpty) s" ($lang)" else ""}" else "") +
+          s" | ${firstUserMsg.take(300)}"
+        Chunk(s"chat::$sid::chat_summary", "metadata", s"chat_$sid", "chat_history",
+          "", 0, 0, content, content, Ids.sha256Hex(content), "", "",
+          hasImplementation = false)
+      }.toDF()
+  }
+}
