@@ -139,6 +139,25 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
   def allEntityNames(): DataFrame =
     chunks.filter(col("chunkType") =!= "relation").select(col("entityName")).distinct()
 
+  /** Store a manual memory (the MCP create_entities/add_observations
+    * analog): a metadata chunk with no file provenance — it survives
+    * re-indexing (never in a replaced-file set) and
+    * `clearCollection(preserveManual = true)`.
+    */
+  def addManualMemory(name: String, content: String, entityType: String = "documentation"): Unit = {
+    import spark.implicits._
+    val chunkId = s"manual::$name::metadata"
+    val chunk = graft.core.Model.Chunk(chunkId, "metadata", name, entityType, "",
+      0, 0, content, s"$name $name $content", graft.core.Ids.sha256Hex(content),
+      "", "", hasImplementation = false)
+    val df = embedder.embed(Seq(chunk).toDS.toDF, "content")
+      .withColumn("pointId", expr("cast(conv(substring(sha2(chunkId, 256), 1, 15), 16, 10) as bigint)"))
+    val existing = chunks
+    val all = existing.filter(col("chunkId") =!= chunkId)
+      .unionByName(df.select(existing.columns.map(col): _*))
+    IndexStore.writeChunks(all, storeDir)
+  }
+
   /** Clear auto-generated points, optionally preserving manual memories
     * (chunks with no filePath and no relation markers —
     * reference: storage/qdrant.py:1303-1401).

@@ -23,6 +23,35 @@ trait Embedder {
   def embedText(text: String): Seq[Double]
 }
 
+/** Token-budgeted request batching for remote embedders (reference:
+  * embeddings/voyage.py:176-246 — 30k/120k tokens per request): splits a
+  * partition's chunk stream into batches whose estimated token sum stays
+  * under budget (len/4 heuristic), also capping batch item count. Runs
+  * inside `mapPartitions` in an HTTP embedder implementation.
+  */
+object EmbedBatching {
+  def estimateTokens(text: String): Long = math.max(1L, text.length / 4L)
+
+  def batchByTokenBudget(texts: Iterator[String], tokenBudget: Long,
+                         maxItems: Int = 128): Iterator[Seq[String]] =
+    new Iterator[Seq[String]] {
+      private val it = texts.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): Seq[String] = {
+        val batch = scala.collection.mutable.ArrayBuffer[String]()
+        var tokens = 0L
+        // always take at least one item, even if it alone exceeds budget
+        while (it.hasNext && (batch.isEmpty ||
+          (tokens + estimateTokens(it.head) <= tokenBudget && batch.length < maxItems))) {
+          val t = it.next()
+          tokens += estimateTokens(t)
+          batch += t
+        }
+        batch.toSeq
+      }
+    }
+}
+
 /** Deterministic hash embedder (the engine-native analog of the reference
   * test fixture DummyEmbedder, tests/conftest.py:241-270 — but seeded by a
   * salted md5 instead of Python's salted `hash()`, so values are stable

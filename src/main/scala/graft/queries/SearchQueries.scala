@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.search.{Bm25, Hybrid, KnnSearch, LshAnn}
+import graft.search.{Bm25, Hybrid, IvfAnn, KnnSearch, LshAnn}
 
 /** Search-stack operators (SURVEY.md §2.3/§2.4) over the driver testdata:
   * `embeddings` stands in for the dense chunk vectors, `documents` for the
@@ -54,7 +54,13 @@ object SearchQueries {
     "q17_ann_lsh" -> ((s, dir) =>
       LshAnn.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
           queryVec(s, dir), 5, nBits = 8)
-        .select(col("vec_id"), col("bucket"), round(col("score"), 6).as("score")))
+        .select(col("vec_id"), col("bucket"), round(col("score"), 6).as("score"))),
+
+    // §7.4 IVF partition-pruned ANN: 16 seeded centroids, probe 4.
+    "q30_ann_ivf" -> ((s, dir) =>
+      IvfAnn.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryVec(s, dir), 5, numClusters = 16, nprobe = 4)
+        .select(col("vec_id"), col("cluster"), round(col("score"), 6).as("score")))
   )
 
   private val bm25Cte =
@@ -151,6 +157,29 @@ object SearchQueries {
         |WHERE bucket IN (SELECT xor((SELECT b FROM qb), p)
         |                 FROM (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS p))
         |ORDER BY list_cosine_similarity(e, (SELECT v FROM qv)) DESC, vec_id
+        |LIMIT 5""".stripMargin,
+
+    "q30_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cluster, v AS centroid FROM e ORDER BY vec_id LIMIT 16),
+        |qv AS (SELECT v FROM e WHERE vec_id = 0),
+        |assigned AS (
+        |  SELECT vec_id, cluster, v FROM (
+        |    SELECT e.vec_id, c.cluster, e.v,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cluster) AS rn
+        |    FROM e CROSS JOIN cents c
+        |  ) WHERE rn = 1
+        |),
+        |probed AS (
+        |  SELECT cluster FROM cents
+        |  ORDER BY list_cosine_similarity(centroid, (SELECT v FROM qv)) DESC, cluster
+        |  LIMIT 4
+        |)
+        |SELECT vec_id, cluster,
+        |       round(list_cosine_similarity(v, (SELECT v FROM qv)), 6) AS score
+        |FROM assigned JOIN probed USING (cluster)
+        |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, vec_id
         |LIMIT 5""".stripMargin
   )
 }

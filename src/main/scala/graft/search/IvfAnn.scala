@@ -1,0 +1,60 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** IVF-style ANN (SURVEY.md §7.4 "IVF partition pruning by cluster-id
+  * partition column"): vectors are assigned to the nearest of K centroids;
+  * a query probes only its `nprobe` nearest clusters and runs exact cosine
+  * inside them.
+  *
+  * Centroid choice is deterministic-seeded: the vectors with the K lowest
+  * ids (a k-means|| replacement that stays reproducible across engines —
+  * a production deployment would run k-means and persist the centroid
+  * table; everything downstream is identical).
+  *
+  * Everything is relational: assignment is a (vectors × centroids) cosine
+  * ranked by a window — a broadcast join since centroids are K rows. At
+  * 100 TB the assignment runs once at ingest, `cluster` becomes the
+  * table's partition column, and probing prunes to nprobe/K of the data.
+  */
+object IvfAnn {
+
+  /** K-row centroid table: (cluster, centroid) from the K lowest ids. */
+  def centroids(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    emb.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).as("cluster"), col(vecCol).cast("array<double>").as("centroid"))
+
+  /** Assign each vector to its max-cosine centroid (ties → lowest cluster
+    * id).
+    */
+  def assign(emb: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_ccos").desc, col("cluster").asc)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("_ccos", VectorOps.cosine(col(vecCol), col("centroid")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_ccos", "centroid")
+  }
+
+  /** Probed ANN top-k. */
+  def topK(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
+           k: Int, numClusters: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(emb, idCol, vecCol, numClusters)
+    val qv = VectorOps.vecLit(query)
+    val probed = cents
+      .withColumn("qcos", VectorOps.cosine(col("centroid"), qv))
+      .orderBy(col("qcos").desc, col("cluster").asc)
+      .limit(nprobe)
+      .select(col("cluster"))
+    assign(emb, idCol, vecCol, cents)
+      .join(broadcast(probed), Seq("cluster"), "left_semi")
+      .withColumn("score", VectorOps.cosine(col(vecCol), qv))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cluster"), col("score"))
+  }
+}

@@ -172,4 +172,20 @@ class EngineSpec extends SparkSpec {
   test("cleanup is a no-op on a healthy store") {
     assert(engine.cleanup() == 0L)
   }
+
+  test("manual memories survive re-index and clear-preserve-manual") {
+    engine.addManualMemory("deploy-notes", "Remember to bump the schema version before deploying")
+    val hit = engine.searchSimilar("schema version deploying", "keyword", limit = 3)
+      .select("entityName").collect().map(_.getString(0))
+    assert(hit.contains("deploy-notes"))
+
+    // re-index: manual chunk has no file provenance -> carried untouched
+    engine.index(root)
+    assert(engine.chunks.filter(col("entityName") === "deploy-notes").count() == 1)
+
+    // clear with preserveManual: only the manual memory remains
+    engine.clearCollection(preserveManual = true)
+    val remaining = engine.chunks.select("entityName").collect().map(_.getString(0)).toSet
+    assert(remaining == Set("deploy-notes"))
+  }
 }
