@@ -25,18 +25,37 @@ object MinHashLsh {
   val RowsPerBand = 3
   val NumBands: Int = NumPerm / RowsPerBand
 
-  /** (doc_id, sig) — MinHash signatures from word 3-shingles. */
-  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), Bm25.tokens(col(textCol)).as("tk"))
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, greatest(size(tk) - 2, 0)), " +
-          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ', element_at(tk, i + 2))))"))
-      .withColumn("hs", expr(
-        s"transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % ${P}L)"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${NumPerm - 1}), i -> array_min(transform(hs, h -> ((2*i + 1) * h + 7*i + 1) % ${P}L)))"))
-      .select(col("doc_id"), col("sig"))
+  /** (doc_id, sig) — MinHash signatures from word 3-shingles.
+    *
+    * Computed in a typed map rather than nested higher-order functions:
+    * HOF lambdas evaluate interpreted per element (they have no codegen),
+    * and the signature loop is shingles × NumPerm — the one place where a
+    * JIT'd Scala inner loop is an order of magnitude faster. The formula
+    * is identical to the SQL derivation the oracle replays
+    * (conv(substring(md5(s),1,15),16,10) % p; affine minima).
+    */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.length > 1)
+        val shingles = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toArray.distinct
+        val hs = shingles.map(graft.core.Ids.hash31)
+        val sig = Array.tabulate(NumPerm) { i =>
+          var m = P
+          var k = 0
+          while (k < hs.length) {
+            val v = ((2 * i + 1) * hs(k) + 7 * i + 1) % P
+            if (v < m) m = v
+            k += 1
+          }
+          m
+        }
+        (id, sig.toSeq)
+      }
+      .toDF("doc_id", "sig")
+  }
 
   /** (doc_id, sig, band, band_key) — band key is md5 of the band's minhashes. */
   def bandKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame =

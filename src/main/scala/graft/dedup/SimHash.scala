@@ -19,27 +19,35 @@ import graft.search.Bm25
 object SimHash {
   val Bits = 24
 
-  /** Fingerprint from a precomputed token-hash array column `_sh_hs`
-    * (hashes computed once, re-scanned per bit).
+  /** (doc_id, grp, fp) fingerprints.
+    *
+    * Typed map instead of nested HOFs for the bit-vote loop (interpreted
+    * lambda evaluation is the bottleneck — see MinHashLsh.signatures);
+    * formula identical to the SQL derivation the oracle replays.
     */
-  private def fpExpr: Column =
-    expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${Bits - 1}), j ->
-         |    CASE WHEN aggregate(
-         |           transform(_sh_hs, x -> CASE WHEN (shiftright(x, j) & 1) = 1 THEN 1 ELSE -1 END),
-         |           0, (a, v) -> a + v) > 0
-         |         THEN cast(shiftleft(1, j) as bigint) ELSE cast(0 as bigint) END),
-         |  cast(0 as bigint), (a, v) -> a + v)""".stripMargin)
-
-  /** (doc_id, grp, fp) fingerprints. */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String, groupCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"), Bm25.tokens(col(textCol)).as("tk"))
-      .withColumn("_sh_hs", expr(
-        s"transform(tk, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % ${MinHashLsh.P}L)"))
-      .withColumn("fp", fpExpr)
-      .select(col("doc_id"), col("grp"), col("fp"))
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String, groupCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"), col(groupCol).as("grp"), col(textCol).as("text"))
+      .as[(Long, String, String)]
+      .map { case (id, grp, text) =>
+        val hs = text.toLowerCase.split("[^a-z0-9]+").filter(_.length > 1)
+          .map(graft.core.Ids.hash31)
+        var fp = 0L
+        var j = 0
+        while (j < Bits) {
+          var votes = 0L
+          var k = 0
+          while (k < hs.length) {
+            votes += (if (((hs(k) >> j) & 1L) == 1L) 1L else -1L)
+            k += 1
+          }
+          if (votes > 0) fp |= (1L << j)
+          j += 1
+        }
+        (id, grp, fp)
+      }
+      .toDF("doc_id", "grp", "fp")
+  }
 
   /** Pairs within `groupCol` whose fingerprints are ≤ maxHamming apart. */
   def closePairs(docs: DataFrame, idCol: String, textCol: String,

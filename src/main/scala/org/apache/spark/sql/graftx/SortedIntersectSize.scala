@@ -40,16 +40,21 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: plain `i`/`n` would collide with variables of the
+      // enclosing whole-stage-generated method and break compilation
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |int n = $a.numElements(); int m = $b.numElements();
-         |int i = 0; int j = 0; int c = 0;
-         |while (i < n && j < m) {
-         |  long xv = $a.getLong(i); long yv = $b.getLong(j);
-         |  if (xv == yv) { c++; i++; j++; }
-         |  else if (xv < yv) i++;
-         |  else j++;
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++;
+         |  else $j++;
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
          |""".stripMargin
     })
 
