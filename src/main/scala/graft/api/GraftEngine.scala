@@ -66,6 +66,20 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
     }
   }
 
+  /** The CLI's unified "all" search (reference: cli_full.py:976-1072,
+    * 1010-1026): run the regular search AND a chat-history-only search,
+    * merge, re-sort by score, re-limit.
+    */
+  def searchAll(query: String, mode: String = "semantic", limit: Int = 10): DataFrame = {
+    val regular = searchSimilar(query, mode, limit = limit)
+    val chat = searchSimilar(query, mode, entityTypes = Seq("chat_history"), limit = limit)
+    val scoreCol = if (mode == "hybrid") "rrf_score" else "score"
+    regular.unionByName(chat, allowMissingColumns = true)
+      .dropDuplicates("chunkId")
+      .orderBy(col(scoreCol).desc, col("chunkId").asc)
+      .limit(limit)
+  }
+
   /** Graph neighborhood read (reference MCP read_graph,
     * CLAUDE.md:159-199): modes `entities` (nodes mentioning the entity),
     * `relationships` (edges touching it), `smart` (both, summarized).

@@ -27,6 +27,12 @@ object PythonParser {
   private val AttrRe = """([A-Za-z_]\w*)\.([A-Za-z_]\w*)""".r
   private val ExceptRe = """except\s+([A-Za-z_]\w*)""".r
   private val DecoratorRe = """^\s*@([\w.]+)""".r
+  // file-operation patterns (reference detects ~30 I/O call families,
+  // analysis/parser.py:1198-1441); op name + optional string-literal arg
+  private val FileOpRe =
+    ("""(open|json\.loads?|json\.dumps?|yaml\.safe_load|yaml\.load|pickle\.loads?|pickle\.dumps?|""" +
+      """csv\.reader|csv\.writer|pd\.read_\w+|requests\.(?:get|post|put|delete)|""" +
+      """configparser\.ConfigParser|toml\.load|Path)\s*\(\s*(?:['"]([^'"]*)['"])?""").r
   private val ControlKeywords = Seq("if ", "elif ", "for ", "while ", "except", "with ", " and ", " or ")
   private val Builtins = Set("print", "len", "range", "str", "int", "float", "list", "dict", "set",
     "tuple", "isinstance", "super", "type", "open", "enumerate", "zip", "map", "filter", "sorted")
@@ -169,6 +175,15 @@ object PythonParser {
           entities += Entity(name, entityType, relPath, i + 1, endL, obs.toSeq, doc, sig)
           relations += Relation(owner, name, "contains", "", "", 1.0)
           calls.foreach(c => relations += Relation(name, c, "calls", "", s"$relPath:${i + 1}", 0.9))
+          // file-operation edges, typed by the detected op
+          // (reference: analysis/parser.py:1198-1441)
+          FileOpRe.findAllMatchIn(bodyNoDef).toSeq
+            .map(m => (m.group(1), Option(m.group(2)).getOrElse("")))
+            .distinct.take(10)
+            .foreach { case (op, target) =>
+              val to = if (target.nonEmpty) target else op
+              relations += Relation(name, to, "uses", s"file_op:$op", "", 0.8)
+            }
           // imports_used pairs (reference: analysis/parser.py:1161-1181)
           AttrRe.findAllMatchIn(bodyNoDef).map(_.group(1)).toSeq.distinct.take(10)
             .foreach(m => relations += Relation(name, m, "uses", "", "", 0.5))

@@ -46,6 +46,45 @@ object Bm25 {
       .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
   }
 
+  /** Persist the fitted model as store tables (`bm25_model`: term/df/idf;
+    * `bm25_stats`: N, avgdl) — the reference's pickled bm25s cache
+    * (embeddings/bm25.py:100-161) as queryable tables. Refresh policy:
+    * refit periodically (stale-model tolerance is acceptable, same as the
+    * reference's sha256-keyed pickle cache); scoring against a slightly
+    * stale vocabulary only misses terms newer than the last refit.
+    */
+  def fitAndSave(docs: DataFrame, idCol: String, textCol: String, storeDir: String): Unit = {
+    import graft.index.IndexStore
+    val model = fit(docs, idCol, textCol)
+    IndexStore.overwrite(model, s"$storeDir/bm25_model")
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      avg(size(tokens(col(textCol)))).as("avgdl"))
+    IndexStore.overwrite(stats, s"$storeDir/bm25_stats")
+  }
+
+  /** Score with a PERSISTED model (no refit): the incremental-search path.
+    * Terms absent from the stored vocabulary are ignored (reference
+    * behavior: unseen query tokens get no postings).
+    */
+  def searchWithModel(docs: DataFrame, idCol: String, textCol: String,
+                      storeDir: String, queryTerms: Seq[String], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val model = spark.read.parquet(s"$storeDir/bm25_model").select(col("term"), col("idf"))
+    val stats = spark.read.parquet(s"$storeDir/bm25_stats")
+    docTerms(docs, idCol, textCol)
+      .filter(col("term").isin(queryTerms: _*))
+      .join(broadcast(model), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** BM25 score of every matching doc for `queryTerms`; returns
     * (doc_id, score) sorted desc, tie-broken by doc_id, limited to k.
     */

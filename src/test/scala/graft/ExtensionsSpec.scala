@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.PythonParser
+import graft.search.Bm25
+
+/** Extension points + persisted-model paths. Uses its own session because
+  * SQL-function injection happens at session build time.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate() would hand back another suite's session (no
+    // extensions); clearing active+default forces a fresh session on the
+    // shared context with the extensions applied
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("ExtensionsSpec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
+      .getOrCreate()
+  }
+
+  test("injected SQL functions: cosine_similarity and sorted_intersect_size") {
+    val cos = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val inter = spark.sql(
+      "SELECT sorted_intersect_size(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n").head().getInt(0)
+    assert(inter == 2)
+  }
+
+  test("bm25 model persistence: fitAndSave then searchWithModel on a stale corpus") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_bm25").toString
+    val docs = Seq((1L, "spark join stream"), (2L, "spark filter"), (3L, "window sort"))
+      .toDF("doc_id", "text")
+    Bm25.fitAndSave(docs, "doc_id", "text", store)
+    val model = spark.read.parquet(s"$store/bm25_model")
+    assert(model.columns.toSet == Set("term", "df", "idf"))
+    assert(model.count() == 6)
+    // search with the persisted model matches a fresh fit+search
+    val viaModel = Bm25.searchWithModel(docs, "doc_id", "text", store, Seq("spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fresh = Bm25.search(docs, "doc_id", "text", Seq("spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaModel.keySet == fresh.keySet)
+    viaModel.foreach { case (k, v) => assert(math.abs(v - fresh(k)) < 1e-12) }
+    // a NEW doc scores against the stale vocabulary without refit
+    val docs2 = docs.union(Seq((4L, "spark spark spark")).toDF("doc_id", "text"))
+    val stale = Bm25.searchWithModel(docs2, "doc_id", "text", store, Seq("spark"), 10)
+    assert(stale.collect().map(_.getLong(0)).contains(4L))
+  }
+
+  test("python file-operation relations typed by op") {
+    val src =
+      """import json
+        |
+        |def load_config(path):
+        |    with open("config.json") as f:
+        |        data = json.load(f)
+        |    resp = requests.get("https://api.example.com/items")
+        |    return data
+        |""".stripMargin
+    val r = PythonParser.parse("cfg.py", src)
+    val ops = r.relations.filter(_.importType.startsWith("file_op:"))
+      .map(x => (x.fromEntity, x.importType, x.toEntity)).toSet
+    assert(ops.contains(("load_config", "file_op:open", "config.json")))
+    assert(ops.exists { case (f, t, _) => f == "load_config" && t == "file_op:json.load" })
+    assert(ops.contains(("load_config", "file_op:requests.get", "https://api.example.com/items")))
+  }
+}
