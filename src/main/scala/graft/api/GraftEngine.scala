@@ -149,6 +149,16 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
       .agg(sort_array(collect_set(col("entityName"))).as("entities"))
       .orderBy("chunkType")
 
+  /** Collection info (reference: storage/qdrant.py:1046-1158): point
+    * counts per chunk type + vector dimensionality.
+    */
+  def collectionInfo(): DataFrame =
+    chunks.groupBy(col("chunkType"))
+      .agg(count(lit(1)).as("points"),
+        countDistinct(col("entityName")).as("entities"),
+        max(size(col("dense"))).as("vector_dim"))
+      .orderBy("chunkType")
+
   /** Distinct entity-name set (reference: storage/qdrant.py:1613-1653). */
   def allEntityNames(): DataFrame =
     chunks.filter(col("chunkType") =!= "relation").select(col("entityName")).distinct()

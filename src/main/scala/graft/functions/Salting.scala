@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting. AQE handles skewed JOINS at runtime;
+  * salting is the complementary lever for skewed AGGREGATIONS, where one
+  * hot key (e.g. one giant file's chunks, one dominant content hash) would
+  * pin a single reducer.
+  *
+  * Two-phase aggregation: a deterministic salt (hash of the whole row
+  * modulo `saltFactor`) splits each key into `saltFactor` sub-keys, the
+  * partial aggregate shuffles on (key, salt), and a second, tiny aggregate
+  * over at most `saltFactor` rows per key removes the salt. Results are
+  * bit-identical for sums/counts (addition is associative over the exact
+  * longs / the same doubles either way only regrouped — use for
+  * count/sum-of-integers or tolerance-checked doubles).
+  */
+object Salting {
+
+  def withSalt(df: DataFrame, saltFactor: Int, saltCol: String = "_salt"): DataFrame =
+    df.withColumn(saltCol, pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor)))
+
+  /** Salted count per key: (key, salt) partial counts → final sum. */
+  def saltedCount(df: DataFrame, keyCols: Seq[String], saltFactor: Int): DataFrame =
+    withSalt(df, saltFactor)
+      .groupBy((keyCols :+ "_salt").map(col): _*)
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_partial")).as("cnt"))
+
+  /** Salted long-sum per key (exact — integer addition is associative). */
+  def saltedSumLong(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                    saltFactor: Int): DataFrame =
+    withSalt(df, saltFactor)
+      .groupBy((keyCols :+ "_salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_partial")).as("sum"))
+}

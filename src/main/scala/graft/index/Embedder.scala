@@ -52,6 +52,55 @@ object EmbedBatching {
     }
 }
 
+/** Remote-embedder skeleton (the OpenAI/Voyage shape, SURVEY.md §2.3):
+  * batches each partition's texts under a token budget, calls a pluggable
+  * `transport` per batch, retries transient failures with exponential
+  * backoff (reference: embeddings/base.py:171-240 — 3 retries). The
+  * deterministic test transport stands in for HTTPS in this zero-egress
+  * environment; swapping in a real client changes only `transport`.
+  */
+case class RemoteEmbedder(
+    dim: Int,
+    transport: Seq[String] => Seq[Seq[Double]],
+    tokenBudget: Long = 30000L, // voyage-3-lite request budget (voyage.py:183-186)
+    maxRetries: Int = 3,
+    backoffMs: Long = 50L) extends Embedder {
+
+  private def callWithRetry(batch: Seq[String]): Seq[Seq[Double]] = {
+    var attempt = 0
+    while (true) {
+      try return transport(batch)
+      catch {
+        case e: Exception if attempt < maxRetries =>
+          Thread.sleep(backoffMs << attempt) // exp backoff
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(outCol, ArrayType(DoubleType)))
+    val idx = df.schema.fieldIndex(textCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      val buffered = rows.toSeq
+      val texts = buffered.map(_.getString(idx))
+      val vectors = EmbedBatching.batchByTokenBudget(texts.iterator, tokenBudget)
+        .flatMap(callWithRetry).toSeq
+      buffered.iterator.zip(vectors.iterator).map { case (r, v) =>
+        Row.fromSeq(r.toSeq :+ v)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  override def embedText(text: String): Seq[Double] = callWithRetry(Seq(text)).head
+}
+
 /** Deterministic hash embedder (the engine-native analog of the reference
   * test fixture DummyEmbedder, tests/conftest.py:241-270 — but seeded by a
   * salted md5 instead of Python's salted `hash()`, so values are stable

@@ -134,6 +134,16 @@ object RelationalQueries {
       noOrder.unionByName(noPart).groupBy(col("reason")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // §2.1 JSON payload extraction (the schemaless-payload column of the
+    // reference's point store): typed value out of a JSON string column.
+    "q31_props_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"))),
+
     // §2.4 read_graph-style 1-hop neighborhood: entities (customers of one
     // nation) + their edge summaries (orders), one broadcast semi-side join
     // + one aggregate.
@@ -245,6 +255,13 @@ object RelationalQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM part
         |                    WHERE p_partkey = l_partkey AND p_size > 10)
         |) GROUP BY reason""".stripMargin,
+
+    "q31_props_extract" ->
+      """SELECT event_type, count(k) AS n, sum(k) AS sum_k, round(avg(k), 4) AS avg_k
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
 
     "q12_graph_read" ->
       """SELECT c_custkey, c_name,
