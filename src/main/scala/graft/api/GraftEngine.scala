@@ -109,6 +109,32 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
     }
   }
 
+  /** Multi-hop neighborhood (the read_graph "dependencies" scope as real
+    * BFS): iterative frontier expansion over the relation partition.
+    * Frontier names resolve driver-side per level (neighborhoods are small
+    * by construction); the edge table itself never leaves the cluster.
+    * Returns (entityName, depth) for every node within `maxDepth` hops.
+    */
+  def readGraphBfs(entity: String, maxDepth: Int = 2): DataFrame = {
+    import spark.implicits._
+    val edges = chunks.filter(col("chunkType") === "relation")
+      .select(col("entityName").as("src"), col("relationTarget").as("dst")).cache()
+    var visited = Map(entity -> 0)
+    var frontier = Set(entity)
+    var d = 0
+    while (frontier.nonEmpty && d < maxDepth) {
+      d += 1
+      val fr = frontier.toSeq
+      val next = edges.filter(col("src").isin(fr: _*)).select(col("dst"))
+        .union(edges.filter(col("dst").isin(fr: _*)).select(col("src")))
+        .distinct().as[String].collect().toSet -- visited.keySet
+      next.foreach(n => visited += n -> d)
+      frontier = next
+    }
+    edges.unpersist()
+    visited.toSeq.toDF("entityName", "depth").orderBy("depth", "entityName")
+  }
+
   /** Implementation fetch (reference MCP get_implementation): `minimal` =
     * the entity's impl chunks; `logical` adds same-file siblings;
     * `dependencies` adds direct call/import targets' impls.

@@ -22,7 +22,10 @@ object PythonParser {
   private val ClassRe = """^(\s*)class\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*:.*""".r
   private val ImportRe = """^import\s+([\w. ,]+).*""".r
   private val FromImportRe = """^from\s+([\w.]+)\s+import\s+(.+)""".r
-  private val AssignRe = """^([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*(?::[^=]+)?=[^=].*""".r
+  // plain, tuple, starred, and (nested) parenthesized unpacks
+  // (reference: analysis/parser.py:521-607)
+  private val AssignRe = """^([(\[]?\s*\*?[A-Za-z_][\w.,()\[\]* ]*?[)\]]?)\s*(?::[^=]+)?=[^=].*""".r
+  private val WalrusRe = """\(\s*([A-Za-z_]\w*)\s*:=""".r
   private val CallRe = """([A-Za-z_]\w*)\s*\(""".r
   private val AttrRe = """([A-Za-z_]\w*)\.([A-Za-z_]\w*)""".r
   private val ExceptRe = """except\s+([A-Za-z_]\w*)""".r
@@ -144,6 +147,12 @@ object PythonParser {
           if (doc.nonEmpty) obs += s"responsibility: ${doc.split('.').head}"
           if (baseSeq.nonEmpty) obs += s"inherits: ${baseSeq.mkString(", ")}"
           if (methods.nonEmpty) obs += s"key methods: ${methods.mkString(", ")}"
+          // design-pattern detection by naming convention
+          // (reference: analysis/observation_extractor.py:124-168)
+          Seq("Factory", "Builder", "Singleton", "Adapter", "Observer",
+            "Strategy", "Visitor", "Proxy", "Decorator", "Facade")
+            .find(p => name.endsWith(p))
+            .foreach(p => obs += s"design pattern: ${p.toLowerCase}")
           entities += Entity(name, "class", relPath, i + 1, endL, obs.toSeq, doc,
             s"class $name${if (baseSeq.nonEmpty) baseSeq.mkString("(", ", ", ")") else ""}")
           relations += Relation(relPath, name, "contains", "", "", 1.0)
@@ -194,13 +203,25 @@ object PythonParser {
           if (!line.startsWith(" ") && !line.startsWith("\t")) {
             line match {
               case AssignRe(namesStr) if !line.trim.startsWith("#") =>
-                namesStr.split(",").map(_.trim).filter(_.matches("[A-Za-z_]\\w*")).foreach { n =>
-                  val t = if (n.toUpperCase == n) "constant" else "variable"
-                  entities += Entity(n, t, relPath, i + 1, i + 1,
-                    Seq(s"$t: $n"), "", line.trim.take(80))
+                // flatten nested/parenthesized unpacks, strip stars:
+                // (a, b), *rest = ... -> a, b, rest
+                namesStr.replaceAll("[()\\[\\]]", " ").split(",")
+                  .map(_.trim.stripPrefix("*").trim)
+                  .filter(n => n.matches("[A-Za-z_]\\w*") && n != "_").foreach { n =>
+                    val t = if (n.toUpperCase == n) "constant" else "variable"
+                    entities += Entity(n, t, relPath, i + 1, i + 1,
+                      Seq(s"$t: $n"), "", line.trim.take(80))
+                    relations += Relation(relPath, n, "contains", "", "", 1.0)
+                  }
+              case _ =>
+                // walrus at module scope: (x := ...)
+                // (reference: analysis/parser.py:615-641)
+                WalrusRe.findAllMatchIn(line).foreach { m =>
+                  val n = m.group(1)
+                  entities += Entity(n, "variable", relPath, i + 1, i + 1,
+                    Seq(s"variable: $n", "walrus assignment"), "", line.trim.take(80))
                   relations += Relation(relPath, n, "contains", "", "", 1.0)
                 }
-              case _ =>
             }
             if (currentClass.exists { case (_, _, ce) => i + 1 > ce }) currentClass = None
           }

@@ -127,6 +127,20 @@ class EngineSpec extends SparkSpec {
     assert(ents.map(_.getString(0)).contains("main"))
   }
 
+  test("readGraphBfs walks multi-hop neighborhoods with depth labels") {
+    // main -> add (calls, depth 1); add -> foo.py (contains, depth 2 via foo.py->add)
+    val reach = engine.readGraphBfs("main", maxDepth = 2).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(reach("main") == 0)
+    assert(reach("add") == 1)
+    assert(reach.contains("foo.py")) // 2 hops: main -> add -> foo.py
+    assert(reach("foo.py") == 2)
+    // depth 1 cut excludes the 2-hop nodes
+    val r1 = engine.readGraphBfs("main", maxDepth = 1).collect()
+      .map(_.getString(0)).toSet
+    assert(!r1.contains("foo.py"))
+  }
+
   test("entitiesForFile and allEntityNames") {
     val forFile = engine.entitiesForFile("foo.py").collect()
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap

@@ -115,6 +115,27 @@ class ParserSpec extends AnyFunSuite {
     assert(rc.entities.map(_.name).contains("data.csv::score"))
   }
 
+  test("python: tuple/star/nested unpack, walrus, design patterns") {
+    val src =
+      """a, b = 1, 2
+        |(c, d), e = (3, 4), 5
+        |first, *rest = [1, 2, 3]
+        |if (n := 10) > 5:
+        |    pass
+        |
+        |class WidgetFactory:
+        |    def create(self):
+        |        return 1
+        |""".stripMargin
+    val r = PythonParser.parse("u.py", src)
+    val names = r.entities.filter(e => e.entityType == "variable" || e.entityType == "constant")
+      .map(_.name).toSet
+    assert(Set("a", "b", "c", "d", "e", "first", "rest").subsetOf(names), names.toString)
+    assert(names.contains("n")) // walrus
+    val factory = r.entities.find(_.name == "WidgetFactory").get
+    assert(factory.observations.contains("design pattern: factory"))
+  }
+
   test("registry dispatch + graceful failure") {
     assert(ParserRegistry.canParse("x/y.py"))
     assert(!ParserRegistry.canParse("x/y.exe"))
