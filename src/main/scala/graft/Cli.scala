@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.api.GraftEngine
+
+/** Command-line entry point mirroring the reference CLI's verbs
+  * (claude-indexer index / search / read-graph / get-implementation /
+  * info) so a reference user can drive the Spark engine the same way.
+  *
+  * Usage:
+  *   graft.Cli index <projectDir> <storeDir>
+  *   graft.Cli search <storeDir> <query> [semantic|keyword|hybrid] [limit]
+  *   graft.Cli search-all <storeDir> <query> [mode] [limit]
+  *   graft.Cli graph <storeDir> <entity> [smart|entities|relationships]
+  *   graft.Cli bfs <storeDir> <entity> [depth]
+  *   graft.Cli impl <storeDir> <entity> [minimal|logical|dependencies]
+  *   graft.Cli file <storeDir> <path>
+  *   graft.Cli info <storeDir>
+  *   graft.Cli cleanup <storeDir>
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { System.err.println("usage: see Cli scaladoc"); sys.exit(2) }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def engine(store: String) = GraftEngine(spark, store)
+    val cmd = args(0)
+    try cmd match {
+      case "index" =>
+        val Array(_, project, store) = args.take(3)
+        val r = engine(store).index(project)
+        println(s"mode=${r.mode} files=${r.filesScanned} parsed=${r.filesParsed} " +
+          s"entities=${r.entities} relations=${r.relations} " +
+          s"written=${r.chunksWritten} carried=${r.chunksCarried} errors=${r.errors.length}")
+      case "search" | "search-all" =>
+        val store = args(1); val query = args(2)
+        val mode = if (args.length > 3) args(3) else "semantic"
+        val limit = if (args.length > 4) args(4).toInt else 10
+        val e = engine(store)
+        val df = if (cmd == "search") e.searchSimilar(query, mode, limit = limit)
+        else e.searchAll(query, mode, limit)
+        df.show(limit, truncate = 60)
+      case "graph" =>
+        engine(args(1)).readGraph(args(2),
+          if (args.length > 3) args(3) else "smart").show(50, truncate = 80)
+      case "bfs" =>
+        engine(args(1)).readGraphBfs(args(2),
+          if (args.length > 3) args(3).toInt else 2).show(100)
+      case "impl" =>
+        engine(args(1)).getImplementation(args(2),
+          if (args.length > 3) args(3) else "minimal").show(20, truncate = 100)
+      case "file" =>
+        engine(args(1)).entitiesForFile(args(2)).show(20, truncate = 100)
+      case "info" =>
+        engine(args(1)).collectionInfo().show()
+      case "cleanup" =>
+        println(s"removed=${engine(args(1)).cleanup()}")
+      case other =>
+        System.err.println(s"unknown command: $other"); sys.exit(2)
+    } finally spark.stop()
+  }
+}

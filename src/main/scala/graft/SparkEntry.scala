@@ -31,7 +31,8 @@ object SparkEntry {
     })
   ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.SearchQueries.defs ++
     graft.queries.DedupQueries.defs ++ graft.queries.TextQueries.defs ++
-    graft.queries.EngineQueries.defs ++ graft.queries.ChatQueries.defs
+    graft.queries.EngineQueries.defs ++ graft.queries.ChatQueries.defs ++
+    graft.queries.IndexBenchQueries.defs
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
