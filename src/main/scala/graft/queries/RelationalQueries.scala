@@ -144,6 +144,15 @@ object RelationalQueries {
           sum(col("k")).as("sum_k"),
           round(avg(col("k")), 4).as("avg_k"))),
 
+    // Skew-safe two-phase aggregation (salting library path): exact same
+    // result as a direct GROUP BY — the salt only reshapes the plan.
+    "q33_salted_agg" -> ((s, dir) => {
+      val cents = Tables.lineitem(s, dir)
+        .withColumn("qty_cents", round(col("l_quantity") * 100).cast("long"))
+      graft.functions.Salting.saltedSumLong(cents, Seq("l_returnflag"), "qty_cents", 16)
+        .withColumnRenamed("sum", "sum_qty_cents")
+    }),
+
     // §2.4 read_graph-style 1-hop neighborhood: entities (customers of one
     // nation) + their edge summaries (orders), one broadcast semi-side join
     // + one aggregate.
@@ -262,6 +271,10 @@ object RelationalQueries {
         |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
+
+    "q33_salted_agg" ->
+      """SELECT l_returnflag, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q12_graph_read" ->
       """SELECT c_custkey, c_name,
