@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.core.Tables
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
@@ -20,6 +21,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + codegen + parquet-footer caches, so the first
+    // measured query isn't charged for JVM startup
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      Tables.lineitem(spark, sfDir).limit(1000).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -115,9 +115,12 @@ case class DeterministicEmbedder(dim: Int = 64) extends Embedder {
 
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame =
     df.withColumn(outCol, expr(
+      // cast to double BEFORE the division: a bare `/ 1000.0` literal is
+      // DecimalType in Spark SQL and drags the whole expression through
+      // decimal arithmetic (slower, same values)
       s"""transform(sequence(0, ${dim - 1}), d ->
-         |  ((cast(conv(substring(md5(concat($textCol, ':', d)), 1, 15), 16, 10) as bigint)
-         |    % 2147483647 % 2001) - 1000) / 1000.0)""".stripMargin))
+         |  cast((cast(conv(substring(md5(concat($textCol, ':', d)), 1, 15), 16, 10) as bigint)
+         |    % 2147483647 % 2001) - 1000 as double) / cast(1000 as double))""".stripMargin))
 
   override def embedText(text: String): Seq[Double] =
     (0 until dim).map { d =>

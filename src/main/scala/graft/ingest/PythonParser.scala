@@ -153,6 +153,11 @@ object PythonParser {
             "Strategy", "Visitor", "Proxy", "Decorator", "Facade")
             .find(p => name.endsWith(p))
             .foreach(p => obs += s"design pattern: ${p.toLowerCase}")
+          // instance attributes (<=3), reference family:
+          // observation_extractor.py:124-168
+          val attrs = """self\.([A-Za-z_]\w*)\s*=""".r
+            .findAllMatchIn(body).map(_.group(1)).toSeq.distinct.take(3)
+          if (attrs.nonEmpty) obs += s"attributes: ${attrs.mkString(", ")}"
           entities += Entity(name, "class", relPath, i + 1, endL, obs.toSeq, doc,
             s"class $name${if (baseSeq.nonEmpty) baseSeq.mkString("(", ", ", ")") else ""}")
           relations += Relation(relPath, name, "contains", "", "", 1.0)

@@ -97,6 +97,7 @@ object HtmlParser {
   private val IdRe = """<(\w+)[^>]*\bid\s*=\s*["']([^"']+)["']""".r
   private val LinkRe = """<a[^>]*\bhref\s*=\s*["']([^"']+)["']""".r
   private val ClassRefRe = """\bclass\s*=\s*["']([^"']+)["']""".r
+  private val StyleRe = """(?s)<style[^>]*>(.*?)</style>""".r
 
   def parse(relPath: String, content: String): ParserResult = {
     val entities = ArrayBuffer[Entity]()
@@ -104,6 +105,15 @@ object HtmlParser {
     val lines = content.split("\n", -1)
     entities += Entity(relPath, "file", relPath, 1, lines.length,
       Seq(s"HTML file with ${lines.length} lines"), "", "")
+    // inline <style> blocks run through the CSS parser
+    // (reference: analysis/html_parser.py inline-CSS extraction)
+    StyleRe.findAllMatchIn(content).zipWithIndex.foreach { case (m, si) =>
+      val css = CssParser.parse(s"$relPath#style$si", m.group(1))
+      entities ++= css.entities.filter(_.entityType != "file")
+        .map(e => e.copy(filePath = relPath))
+      relations ++= css.relations.map(r => r.copy(fromEntity =
+        if (r.fromEntity == s"$relPath#style$si") relPath else r.fromEntity))
+    }
     IdRe.findAllMatchIn(content).toSeq.take(100).foreach { m =>
       entities += Entity(s"#${m.group(2)}", "variable", relPath, 1, 1,
         Seq(s"element <${m.group(1)}> with id ${m.group(2)}"), "", "")

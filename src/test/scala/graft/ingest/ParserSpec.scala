@@ -136,6 +136,38 @@ class ParserSpec extends AnyFunSuite {
     assert(factory.observations.contains("design pattern: factory"))
   }
 
+  test("python: class instance attributes observation") {
+    val src =
+      """class Config:
+        |    def __init__(self):
+        |        self.host = "x"
+        |        self.port = 1
+        |        self.timeout = 5
+        |        self.extra = None
+        |""".stripMargin
+    val r = PythonParser.parse("c.py", src)
+    val cfg = r.entities.find(_.name == "Config").get
+    assert(cfg.observations.contains("attributes: host, port, timeout")) // capped at 3
+  }
+
+  test("html: ids, links and inline <style> css entities") {
+    val html =
+      """<html><head><style>
+        |.btn { color: red; }
+        |#hero { top: 0; }
+        |</style></head>
+        |<body><div id="main" class="btn wide"><a href="/about">about</a></div></body></html>
+        |""".stripMargin
+    val r = HtmlParser.parse("page.html", html)
+    val names = r.entities.map(_.name).toSet
+    assert(names.contains("#main"))
+    assert(names.contains(".btn")) // from the inline style block
+    assert(names.contains("#hero"))
+    val rels = r.relations.map(x => (x.relationType, x.toEntity)).toSet
+    assert(rels.contains(("references", "/about")))
+    assert(rels.contains(("uses", ".btn")))
+  }
+
   test("registry dispatch + graceful failure") {
     assert(ParserRegistry.canParse("x/y.py"))
     assert(!ParserRegistry.canParse("x/y.exe"))
