@@ -32,15 +32,19 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
 
     def engine(store: String) = GraftEngine(spark, store)
+    def requireArgs(n: Int, usage: String): Unit =
+      if (args.length < n) { System.err.println(s"usage: graft.Cli $usage"); spark.stop(); sys.exit(2) }
     val cmd = args(0)
     try cmd match {
       case "index" =>
-        val Array(_, project, store) = args.take(3)
+        requireArgs(3, "index <projectDir> <storeDir>")
+        val (project, store) = (args(1), args(2))
         val r = engine(store).index(project)
         println(s"mode=${r.mode} files=${r.filesScanned} parsed=${r.filesParsed} " +
           s"entities=${r.entities} relations=${r.relations} " +
           s"written=${r.chunksWritten} carried=${r.chunksCarried} errors=${r.errors.length}")
       case "search" | "search-all" =>
+        requireArgs(3, s"$cmd <storeDir> <query> [mode] [limit]")
         val store = args(1); val query = args(2)
         val mode = if (args.length > 3) args(3) else "semantic"
         val limit = if (args.length > 4) args(4).toInt else 10
@@ -49,15 +53,19 @@ object Cli {
         else e.searchAll(query, mode, limit)
         df.show(limit, truncate = 60)
       case "graph" =>
+        requireArgs(3, "graph <storeDir> <entity> [mode]")
         engine(args(1)).readGraph(args(2),
           if (args.length > 3) args(3) else "smart").show(50, truncate = 80)
       case "bfs" =>
+        requireArgs(3, "bfs <storeDir> <entity> [depth]")
         engine(args(1)).readGraphBfs(args(2),
           if (args.length > 3) args(3).toInt else 2).show(100)
       case "impl" =>
+        requireArgs(3, "impl <storeDir> <entity> [scope]")
         engine(args(1)).getImplementation(args(2),
           if (args.length > 3) args(3) else "minimal").show(20, truncate = 100)
       case "file" =>
+        requireArgs(3, "file <storeDir> <path>")
         engine(args(1)).entitiesForFile(args(2)).show(20, truncate = 100)
       case "info" =>
         engine(args(1)).collectionInfo().show()

@@ -43,7 +43,10 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
 
     def sparse(k: Int): DataFrame = {
       val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.length > 1).toSeq.distinct
-      if (terms.isEmpty) spark.emptyDataFrame
+      if (terms.isEmpty)
+        // schema-correct empty result (a bare emptyDataFrame has no
+        // columns and breaks every downstream select/join)
+        base.withColumn("score", lit(0.0)).limit(0)
       else {
         val scores = Bm25.search(base.select(col("chunkId"), col("contentBm25")),
           "chunkId", "contentBm25", terms, k)

@@ -38,21 +38,27 @@ object MinHashLsh {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
+      .flatMap { case (id, text) =>
         val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.length > 1)
         val shingles = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toArray.distinct
         val hs = shingles.map(graft.core.Ids.hash31)
-        val sig = Array.tabulate(NumPerm) { i =>
-          var m = P
-          var k = 0
-          while (k < hs.length) {
-            val v = ((2 * i + 1) * hs(k) + 7 * i + 1) % P
-            if (v < m) m = v
-            k += 1
+        // docs with no shingles (under 3 qualifying tokens) have no minhash
+        // evidence at all — emitting a degenerate all-P signature would
+        // bucket EVERY short doc together as est_jaccard-1.0 "duplicates"
+        if (hs.isEmpty) None
+        else {
+          val sig = Array.tabulate(NumPerm) { i =>
+            var m = P
+            var k = 0
+            while (k < hs.length) {
+              val v = ((2 * i + 1) * hs(k) + 7 * i + 1) % P
+              if (v < m) m = v
+              k += 1
+            }
+            m
           }
-          m
+          Some((id, sig.toSeq))
         }
-        (id, sig.toSeq)
       }
       .toDF("doc_id", "sig")
   }
@@ -70,15 +76,20 @@ object MinHashLsh {
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // persist: signatures are 12 longs per doc — the band self-join must
-    // not recompute the shingle->md5->minhash pipeline for each side
+    // not recompute the shingle->md5->minhash pipeline for each side. The
+    // (small) pair output is materialized eagerly via localCheckpoint so
+    // the signature cache can be released before returning.
     val bk = bandKeys(docs, idCol, textCol).persist()
     val a = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
+    val pairs = a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("est_jaccard", expr(
         s"aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, e) -> acc + e) / cast($NumPerm as double)"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .distinct()
+      .localCheckpoint(true)
+    bk.unpersist()
+    pairs
   }
 }

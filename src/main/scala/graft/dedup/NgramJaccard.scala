@@ -44,7 +44,7 @@ object NgramJaccard {
       .persist()
     val a = grams.select(col("grp"), col("doc_id").as("doc_a"), col("g").as("g_a"), col("sz").as("sz_a"))
     val b = grams.select(col("grp"), col("doc_id").as("doc_b"), col("g").as("g_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("grp"))
+    val pairs = a.join(b, Seq("grp"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("sz_a"), col("sz_b")).cast("double") /
         greatest(col("sz_a"), col("sz_b")) >= minJaccard)
@@ -53,5 +53,8 @@ object NgramJaccard {
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("grp"), col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint(true) // materialize small output, free the gram cache
+    grams.unpersist()
+    pairs
   }
 }

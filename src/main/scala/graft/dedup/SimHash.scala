@@ -57,10 +57,13 @@ object SimHash {
     val fp = fingerprints(docs, idCol, textCol, groupCol).persist()
     val a = fp.select(col("grp"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
     val b = fp.select(col("grp"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("grp"))
+    val pairs = a.join(b, Seq("grp"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("grp"), col("doc_a"), col("doc_b"), col("hamming"))
+      .localCheckpoint(true) // materialize small output, free the fp cache
+    fp.unpersist()
+    pairs
   }
 }

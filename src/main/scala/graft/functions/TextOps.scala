@@ -65,13 +65,16 @@ object TextOps {
 
   /** Argmax language with deterministic lexicographic tie-break: languages
     * are checked in sorted order and the first one ≥ all others wins.
+    * All-zero scores → "unknown" (no profile evidence at all).
     */
   def langGuess(text: Column): Column = {
     val scores = LangProfiles.map { case (l, p) => l -> langScore(text, p) }
     val ordered = scores.sortBy(_._1)
-    ordered.foldRight(lit("unknown")) { case ((l, s), els) =>
+    val anySignal = ordered.map(_._2).reduce((a, b) => greatest(a, b)) > 0
+    val argmax = ordered.foldRight(lit("unknown")) { case ((l, s), els) =>
       when(ordered.filter(_._1 != l).map(o => s >= o._2).reduce(_ && _), lit(l)).otherwise(els)
     }
+    when(anySignal, argmax).otherwise(lit("unknown"))
   }
 
   /** Positional polynomial rolling-hash fingerprint over the token stream:

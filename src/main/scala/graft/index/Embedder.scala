@@ -90,7 +90,15 @@ case class RemoteEmbedder(
       val buffered = rows.toSeq
       val texts = buffered.map(_.getString(idx))
       val vectors = EmbedBatching.batchByTokenBudget(texts.iterator, tokenBudget)
-        .flatMap(callWithRetry).toSeq
+        .flatMap { batch =>
+          val vs = callWithRetry(batch)
+          // a silent zip over a short response would DROP rows from the
+          // index (reference does post-write count verification,
+          // storage/qdrant.py:614-662 — fail loudly instead)
+          require(vs.length == batch.length,
+            s"embedder transport returned ${vs.length} vectors for ${batch.length} texts")
+          vs
+        }.toSeq
       buffered.iterator.zip(vectors.iterator).map { case (r, v) =>
         Row.fromSeq(r.toSeq :+ v)
       }

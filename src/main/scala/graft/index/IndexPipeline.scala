@@ -158,16 +158,21 @@ object IndexPipeline {
     val reused = reusable
       .withColumn("pointId", expr("cast(conv(substring(sha2(chunkId, 256), 1, 15), 16, 10) as bigint)"))
 
+    // persist: the embed DAG must run ONCE — the stat counts and the store
+    // write would otherwise each re-embed every new chunk (4x the work; with
+    // a remote embedder, 4x the HTTP spend)
     val finalNew = embedded.unionByName(reused.select(embedded.columns.map(col): _*))
+      .persist()
     val all = carriedClean.select(finalNew.columns.map(col): _*).unionByName(finalNew)
       .dropDuplicates("chunkId")
+      .persist()
 
     val chunksWritten = finalNew.count()
     val chunksCarried = all.count() - chunksWritten
     val nRelations = all.filter(col("chunkType") === "relation").count()
 
     IndexStore.writeChunks(all, storeDir)
-    newChunksRaw.unpersist(); names.unpersist()
+    newChunksRaw.unpersist(); names.unpersist(); all.unpersist(); finalNew.unpersist()
     IndexingResult(if (incremental) "incremental" else "full",
       0, 0, nEntities, nRelations, chunksWritten, chunksCarried, errors)
   }

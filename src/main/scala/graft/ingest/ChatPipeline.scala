@@ -24,10 +24,22 @@ object ChatPipeline {
     * message.role or type, content (string) or message.content, timestamp.
     */
   def normalize(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    // schema-aware resolution: col() never throws at construction time, so
+    // presence (including nested struct fields) must be checked against the
+    // schema up front
+    def fieldExists(path: String): Boolean = {
+      def walk(dt: org.apache.spark.sql.types.DataType, parts: List[String]): Boolean =
+        (dt, parts) match {
+          case (_, Nil) => true
+          case (st: StructType, p :: rest) =>
+            st.fields.find(_.name == p).exists(f => walk(f.dataType, rest))
+          case _ => false
+        }
+      walk(StructType(raw.schema.fields), path.split('.').toList)
+    }
     def colOr(name: String, fallback: Column): Column =
-      if (raw.columns.contains(name.split('.').head)) {
-        try col(name) catch { case _: Exception => fallback }
-      } else fallback
+      if (fieldExists(name)) col(name) else fallback
     val role = coalesce(
       colOr("role", lit(null)), colOr("message.role", lit(null)),
       colOr("type", lit(null))).as("role")

@@ -142,7 +142,10 @@ object PythonParser {
           val doc = docstringAt(i + 1)
           val baseSeq = Option(bases).map(_.split(",").map(_.trim.split("\\[")(0).trim)
             .filter(b => b.nonEmpty && b != "object").toSeq).getOrElse(Seq.empty)
-          val methods = DefRe.findAllMatchIn(body).map(_.group(2)).toSeq.take(5)
+          // NB: DefRe anchors with ^ and no (?m) — it would only ever match
+          // at offset 0 of `body` (the class line); use a multiline scan
+          val methods = """(?m)^\s*(?:async\s+)?def\s+([A-Za-z_]\w*)""".r
+            .findAllMatchIn(body).map(_.group(1)).toSeq.take(5)
           val obs = ArrayBuffer[String](s"class: $name")
           if (doc.nonEmpty) obs += s"responsibility: ${doc.split('.').head}"
           if (baseSeq.nonEmpty) obs += s"inherits: ${baseSeq.mkString(", ")}"

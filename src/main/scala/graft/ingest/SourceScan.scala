@@ -36,20 +36,33 @@ object SourceScan {
       }
     }
 
-  /** List parseable files under `root` (driver-side metadata walk). */
+  /** List parseable files under `root` (driver-side metadata walk).
+    * Uses walkFileTree so (a) the stream is properly closed and (b)
+    * excluded DIRECTORIES are pruned with SKIP_SUBTREE — a node_modules or
+    * .git tree is never descended into at all.
+    */
   def listFiles(root: String, excludes: Seq[String] = DefaultExcludes,
                 maxSize: Long = DefaultMaxFileSize): Seq[(String, Long, Long)] = {
+    import java.nio.file.{FileVisitResult, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
     val rootPath = Paths.get(root)
-    Files.walk(rootPath).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map { p =>
-        val rel = rootPath.relativize(p).toString.replace('\\', '/')
-        (p, rel)
+    val excludedDirs = excludes.filter(_.endsWith("/")).map(_.stripSuffix("/")).toSet
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    Files.walkFileTree(rootPath, new SimpleFileVisitor[Path] {
+      override def preVisitDirectory(dir: Path, attrs: BasicFileAttributes): FileVisitResult =
+        if (dir != rootPath && excludedDirs.contains(dir.getFileName.toString))
+          FileVisitResult.SKIP_SUBTREE
+        else FileVisitResult.CONTINUE
+      override def visitFile(p: Path, attrs: BasicFileAttributes): FileVisitResult = {
+        if (attrs.isRegularFile) {
+          val rel = rootPath.relativize(p).toString.replace('\\', '/')
+          if (!excluded(rel, excludes) && ParserRegistry.canParse(rel) && attrs.size <= maxSize)
+            out += ((rel, attrs.size, attrs.lastModifiedTime.toMillis))
+        }
+        FileVisitResult.CONTINUE
       }
-      .filter { case (_, rel) => !excluded(rel, excludes) && ParserRegistry.canParse(rel) }
-      .map { case (p, rel) => (rel, Files.size(p), Files.getLastModifiedTime(p).toMillis) }
-      .filter(_._2 <= maxSize)
-      .toSeq.sortBy(_._1)
+    })
+    out.toSeq.sortBy(_._1)
   }
 
   /** Scan to a Dataset[FileRow]: paths parallelized, contents read

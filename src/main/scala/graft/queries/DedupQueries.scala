@@ -60,6 +60,7 @@ object DedupQueries {
          |  FROM toks
          |), hashes AS (
          |  SELECT doc_id, list_transform(sl, s -> $hash31) AS hs FROM sh
+         |  WHERE len(sl) > 0
          |), sigs AS (
          |  SELECT doc_id, list_transform(generate_series(0, 11), i ->
          |    list_min(list_transform(hs, h -> ((2*i + 1) * h + 7*i + 1) % 2147483647))) AS sig

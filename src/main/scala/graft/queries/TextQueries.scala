@@ -63,11 +63,14 @@ object TextQueries {
   private val langGuessSql: String = {
     val ordered = TextOps.LangProfiles.sortBy(_._1)
     val scores = ordered.map { case (l, p) => l -> langScoreSql(p) }
-    // same fold as TextOps.langGuess: first lang (sorted) whose score >= all others
-    scores.foldRight("'unknown'") { case ((l, s), els) =>
+    // same fold as TextOps.langGuess: first lang (sorted) whose score >= all
+    // others, guarded by any-signal (all-zero -> unknown)
+    val anySignal = scores.map(_._2).reduceLeft((a, b) => s"greatest($a, $b)") + " > 0"
+    val argmax = scores.foldRight("'unknown'") { case ((l, s), els) =>
       val others = scores.filter(_._1 != l).map(o => s"$s >= ${o._2}").mkString(" AND ")
       s"CASE WHEN $others THEN '$l' ELSE $els END"
     }
+    s"CASE WHEN $anySignal THEN $argmax ELSE 'unknown' END"
   }
 
   def oracles: Map[String, String] = Map(

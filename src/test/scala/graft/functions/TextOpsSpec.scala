@@ -30,8 +30,8 @@ class TextOpsSpec extends SparkSpec {
     assert(one(TextOps.langGuess(col("text")), "the cat and the dog is here").getString(0) == "en")
     assert(one(TextOps.langGuess(col("text")), "der hund und die katze ist").getString(0) == "de")
     assert(one(TextOps.langGuess(col("text")), "le chat et la table est").getString(0) == "fr")
-    // no stopwords at all -> all scores 0 -> first sorted lang (de) wins
-    assert(one(TextOps.langGuess(col("text")), "xyzzy plugh").getString(0) == "de")
+    // no stopwords at all -> no signal -> unknown
+    assert(one(TextOps.langGuess(col("text")), "xyzzy plugh").getString(0) == "unknown")
   }
 
   test("fingerprint: order-sensitive, deterministic, stable") {
