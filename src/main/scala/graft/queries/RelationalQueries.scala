@@ -96,6 +96,14 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .select(col("w.start").as("hour_start"), col("event_type"), col("cnt"), col("sum_value"))),
 
+    // §2.6 SLIDING window aggregation: 1-hour windows every 30 minutes —
+    // each event lands in two windows (window() with a slide interval).
+    "q34_sliding_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("cnt"))),
+
     // §2.6 debounce/coalesce analog: gap-based sessionization (30 min quiet
     // period starts a new session), then per-session summaries.
     "q9_sessionize" -> ((s, dir) =>
@@ -218,6 +226,21 @@ object RelationalQueries {
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+
+    "q34_sliding_window" ->
+      """WITH slotted AS (
+        |  SELECT event_type,
+        |         date_trunc('hour', ts)
+        |           + CASE WHEN extract(minute FROM ts) >= 30
+        |                  THEN INTERVAL '30 minutes' ELSE INTERVAL '0 minutes' END AS slot
+        |  FROM events
+        |), assigned AS (
+        |  SELECT event_type,
+        |         unnest([slot - INTERVAL '30 minutes', slot]) AS w_start
+        |  FROM slotted
+        |)
+        |SELECT w_start, event_type, count(*) AS cnt
+        |FROM assigned GROUP BY 1, 2""".stripMargin,
 
     "q9_sessionize" ->
       """WITH flagged AS (

@@ -63,6 +63,22 @@ object WatchPipeline {
     res
   }
 
+  /** Watch-start semantics (reference: watcher/handler.py:513-552): if the
+    * store doesn't exist yet, run a full batch index of the project BEFORE
+    * streaming events are applied, so the stream only ever does
+    * incremental work.
+    */
+  def initialIndexThenWatch(spark: SparkSession, projectDir: String,
+                            events: org.apache.spark.sql.Dataset[FileEvent],
+                            storeDir: String,
+                            checkpointDir: String,
+                            embedder: Embedder = DeterministicEmbedder(),
+                            debounceMs: Long = DefaultDebounceMs): StreamingQuery = {
+    if (!IndexStore.exists(storeDir))
+      IndexPipeline.index(spark, projectDir, storeDir, embedder)
+    start(events, storeDir, embedder, debounceMs, checkpointDir)
+  }
+
   /** Wire a streaming Dataset[FileEvent] into the store. The trigger
     * interval IS the debounce quiet period.
     */

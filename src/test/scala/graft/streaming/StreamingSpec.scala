@@ -74,6 +74,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("initialIndexThenWatch: full index first, then incremental stream") {
+    val repo = Files.createTempDirectory("graft_iw_repo")
+    java.nio.file.Files.writeString(repo.resolve("base.py"),
+      "def base_fn():\n    return 1\n")
+    val store3 = Files.createTempDirectory("graft_iw_store").toString
+    val ckpt = Files.createTempDirectory("graft_iw_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FileEvent]
+    val q = WatchPipeline.initialIndexThenWatch(spark, repo.toString, mem.toDS(), store3,
+      checkpointDir = ckpt, debounceMs = 100L)
+    try {
+      // initial index ran before any event
+      val names0 = spark.read.parquet(s"$store3/chunks")
+        .filter(col("chunkType") === "metadata").select("entityName")
+        .collect().map(_.getString(0)).toSet
+      assert(names0.contains("base_fn"))
+      // stream adds incrementally on top
+      mem.addData(FileEvent("added.py", "created", 1L, "def added_fn():\n    return 2\n"))
+      q.processAllAvailable()
+      val names1 = spark.read.parquet(s"$store3/chunks")
+        .filter(col("chunkType") === "metadata").select("entityName")
+        .collect().map(_.getString(0)).toSet
+      assert(names1.contains("base_fn") && names1.contains("added_fn"))
+    } finally q.stop()
+  }
+
   test("watermarked windowed event rate compiles against a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
