@@ -42,7 +42,7 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
     }
 
     def sparse(k: Int): DataFrame = {
-      val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.length > 1).toSeq.distinct
+      val terms = Bm25.tokenizeScala(query).toSeq.distinct
       if (terms.isEmpty)
         // schema-correct empty result (a bare emptyDataFrame has no
         // columns and breaks every downstream select/join)

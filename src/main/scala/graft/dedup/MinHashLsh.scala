@@ -39,7 +39,7 @@ object MinHashLsh {
     docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.length > 1)
+        val toks = Bm25.tokenizeScala(text)
         val shingles = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toArray.distinct
         val hs = shingles.map(graft.core.Ids.hash31)
         // docs with no shingles (under 3 qualifying tokens) have no minhash

@@ -17,8 +17,13 @@ object NgramJaccard {
     * API's fixed-position overloads).
     */
   def charNgrams(textCol: String, n: Int): Column =
+    // NB: Spark's sequence(1, 0) yields the DESCENDING [1, 0], not an empty
+    // list — texts shorter than n must short-circuit to array() or they get
+    // phantom grams (and diverge from the oracle's empty generate_series)
     array_distinct(expr(
-      s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 0)), i -> substring($textCol, i, $n))"))
+      s"""CASE WHEN length($textCol) >= $n
+         |     THEN transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))
+         |     ELSE array() END""".stripMargin))
 
   /** Pairwise jaccard within `groupCol`, threshold + sorted output.
     *

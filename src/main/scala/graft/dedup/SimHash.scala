@@ -30,8 +30,7 @@ object SimHash {
     docs.select(col(idCol).cast("long").as("doc_id"), col(groupCol).as("grp"), col(textCol).as("text"))
       .as[(Long, String, String)]
       .map { case (id, grp, text) =>
-        val hs = text.toLowerCase.split("[^a-z0-9]+").filter(_.length > 1)
-          .map(graft.core.Ids.hash31)
+        val hs = Bm25.tokenizeScala(text).map(graft.core.Ids.hash31)
         var fp = 0L
         var j = 0
         while (j < Bits) {

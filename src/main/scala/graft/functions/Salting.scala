@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
 object Salting {
 
   def withSalt(df: DataFrame, saltFactor: Int, saltCol: String = "_salt"): DataFrame =
-    df.withColumn(saltCol, pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor)))
+    // the salt must split even BYTE-IDENTICAL duplicate rows (the canonical
+    // hot key), so a pure row-content hash is not enough — mix in the
+    // physical row position; aggregation results are salt-invariant, so
+    // this nondeterminism never reaches the output
+    df.withColumn(saltCol, pmod(
+      xxhash64(struct(df.columns.map(col): _*), spark_partition_id(), monotonically_increasing_id()),
+      lit(saltFactor)))
 
   /** Salted count per key: (key, salt) partial counts → final sum. */
   def saltedCount(df: DataFrame, keyCols: Seq[String], saltFactor: Int): DataFrame =

@@ -87,21 +87,31 @@ case class RemoteEmbedder(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(outCol, ArrayType(DoubleType)))
     val idx = df.schema.fieldIndex(textCol)
     val rdd = df.rdd.mapPartitions { rows =>
-      val buffered = rows.toSeq
-      val texts = buffered.map(_.getString(idx))
-      val vectors = EmbedBatching.batchByTokenBudget(texts.iterator, tokenBudget)
-        .flatMap { batch =>
-          val vs = callWithRetry(batch)
+      // stream batch-by-batch: only ONE token-budget batch of rows (and its
+      // vectors) is resident at a time — buffering the whole partition would
+      // defeat the batching at the 100 TB design point
+      val src = rows.buffered // NB: do not name this `buffered` — it would be shadowed by Iterator#buffered inside the anonymous class
+      new Iterator[Seq[Row]] {
+        def hasNext: Boolean = src.hasNext
+        def next(): Seq[Row] = {
+          val batch = scala.collection.mutable.ArrayBuffer[Row]()
+          var tokens = 0L
+          while (src.hasNext && (batch.isEmpty ||
+            tokens + EmbedBatching.estimateTokens(src.head.getString(idx)) <= tokenBudget)) {
+            val r = src.next()
+            tokens += EmbedBatching.estimateTokens(r.getString(idx))
+            batch += r
+          }
+          val texts = batch.map(_.getString(idx)).toSeq
+          val vs = callWithRetry(texts)
           // a silent zip over a short response would DROP rows from the
           // index (reference does post-write count verification,
           // storage/qdrant.py:614-662 — fail loudly instead)
           require(vs.length == batch.length,
             s"embedder transport returned ${vs.length} vectors for ${batch.length} texts")
-          vs
-        }.toSeq
-      buffered.iterator.zip(vectors.iterator).map { case (r, v) =>
-        Row.fromSeq(r.toSeq :+ v)
-      }
+          batch.zip(vs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v) }.toSeq
+        }
+      }.flatten
     }
     spark.createDataFrame(rdd, outSchema)
   }

@@ -24,14 +24,31 @@ object IndexStore {
   def chunksPath(root: String) = s"$root/chunks"
   def statePath(root: String) = s"$root/file_state"
 
-  def exists(root: String): Boolean = Files.exists(Paths.get(chunksPath(root)))
+  /** Crash recovery for the two-rename swap: if a crash landed between
+    * `move(path -> old)` and `move(tmp -> path)`, the data lives in
+    * `<path>_old` — restore it instead of silently treating the store as
+    * absent (which would full-reindex and lose manual memories).
+    */
+  private def recover(path: String): Unit = {
+    val p = Paths.get(path); val old = Paths.get(path + "_old")
+    if (!Files.exists(p) && Files.exists(old)) Files.move(old, p)
+  }
 
-  def readChunks(spark: SparkSession, root: String): DataFrame =
+  def exists(root: String): Boolean = {
+    recover(chunksPath(root))
+    Files.exists(Paths.get(chunksPath(root)))
+  }
+
+  def readChunks(spark: SparkSession, root: String): DataFrame = {
+    recover(chunksPath(root))
     spark.read.parquet(chunksPath(root))
+  }
 
-  def readState(spark: SparkSession, root: String): Option[DataFrame] =
+  def readState(spark: SparkSession, root: String): Option[DataFrame] = {
+    recover(statePath(root))
     if (Files.exists(Paths.get(statePath(root)))) Some(spark.read.parquet(statePath(root)))
     else None
+  }
 
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
@@ -41,6 +58,7 @@ object IndexStore {
 
   /** Copy-on-write overwrite: write to `<path>_tmp`, swap, drop old. */
   def overwrite(df: DataFrame, path: String, partitionCols: Seq[String] = Seq.empty): Unit = {
+    recover(path) // heal a half-finished previous swap before reading lineage
     val tmp = path + "_tmp"
     val old = path + "_old"
     deleteRecursive(Paths.get(tmp))

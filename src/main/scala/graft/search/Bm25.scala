@@ -28,6 +28,19 @@ object Bm25 {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 1)
 
+  /** THE Scala-side twin of [[tokens]] — every driver/executor-side
+    * tokenization (query parsing, minhash/simhash signatures) must go
+    * through this one definition so it can never drift from the column
+    * expression the oracles replay.
+    */
+  def tokenizeScala(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.length > 1)
+
+  /** The BM25 term contribution, shared by every scoring path. */
+  def contrib(idf: Column, tf: Column, dl: Column, avgdl: Column): Column =
+    idf * (tf * lit(K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl))
+
   /** Per-(doc, term) term frequencies + per-doc length. */
   def docTerms(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -76,9 +89,7 @@ object Bm25 {
       .filter(col("term").isin(queryTerms: _*))
       .join(broadcast(model), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * lit(K1 + 1.0)) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .withColumn("contrib", contrib(col("idf"), col("tf"), col("dl"), col("avgdl")))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -87,23 +98,30 @@ object Bm25 {
 
   /** BM25 score of every matching doc for `queryTerms`; returns
     * (doc_id, score) sorted desc, tie-broken by doc_id, limited to k.
+    *
+    * Scan shape: corpus stats (N, avgdl) come from one aggregate; the
+    * posting lists are FILTERED to the query's terms before the per-term
+    * groupBy — at 100 TB only the query's postings are ever shuffled, not
+    * the whole vocabulary.
     */
   def search(docs: DataFrame, idCol: String, textCol: String,
              queryTerms: Seq[String], k: Int): DataFrame = {
-    val dt = docTerms(docs, idCol, textCol)
-    val n = docs.count()
-    val avgdl = docs
-      .select(avg(size(tokens(col(textCol)))).as("avgdl"))
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val statsRow = toks.agg(count(lit(1)).as("n"), avg(size(col("toks"))).as("avgdl")).head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+    val dt = toks
+      .withColumn("dl", size(col("toks")))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
     val model = dt.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
       .select(col("term"), col("idf"))
-    dt.filter(col("term").isin(queryTerms: _*))
-      .join(broadcast(model), "term")
-      .crossJoin(broadcast(avgdl))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * lit(K1 + 1.0)) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+    dt.join(broadcast(model), "term")
+      .withColumn("contrib", contrib(col("idf"), col("tf"), col("dl"), lit(avgdl)))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)

@@ -15,10 +15,14 @@ import graft.functions.VectorOps
   */
 object LshAnn {
 
-  /** Sign-bit bucket of dims [1..nBits] (1-based element_at). */
+  /** Sign-bit bucket of dims [1..nBits] (1-based element_at). Vectors
+    * shorter than nBits contribute 0-bits for the missing dims — the same
+    * rule the query side applies, so self-lookup is symmetric.
+    */
   def bucketOf(vec: Column, nBits: Int): Column =
     (1 to nBits).map { i =>
-      when(element_at(vec, i) >= 0.0, lit(1L << (i - 1))).otherwise(lit(0L))
+      when(coalesce(try_element_at(vec, lit(i)), lit(-1.0)) >= 0.0, lit(1L << (i - 1)))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Buckets within Hamming distance 1 of the query's bucket. */
@@ -28,7 +32,9 @@ object LshAnn {
   /** ANN top-k: restrict to probed buckets, exact cosine inside. */
   def topK(df: DataFrame, idCol: String, vecCol: String,
            query: Seq[Double], k: Int, nBits: Int, probes1: Boolean = true): DataFrame = {
-    val qBucket = (0 until nBits).map(i => if (query(i) >= 0.0) 1L << i else 0L).sum
+    // same missing-dim rule as bucketOf: dims beyond the vector are 0-bits
+    val qBucket = (0 until nBits).map(i =>
+      if (i < query.length && query(i) >= 0.0) 1L << i else 0L).sum
     val buckets = if (probes1) probeBuckets(qBucket, nBits) else Seq(qBucket)
     df.withColumn("bucket", bucketOf(col(vecCol).cast("array<double>"), nBits))
       .filter(col("bucket").isin(buckets: _*))

@@ -24,8 +24,11 @@ object Sessionize {
                      tieCol: String, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val prevTs = lag(col(tsCol), 1).over(w)
+    // cast-to-double keeps fractional seconds (unix_timestamp truncates to
+    // whole seconds and diverges from epoch() semantics on sub-second gaps
+    // straddling the threshold)
     val isNew = when(
-      prevTs.isNull.or(unix_timestamp(col(tsCol)) - unix_timestamp(prevTs) > gapSeconds),
+      prevTs.isNull.or(col(tsCol).cast("double") - prevTs.cast("double") > gapSeconds.toDouble),
       lit(1L)).otherwise(lit(0L))
     events
       .withColumn("_new_sess", isNew)

@@ -28,13 +28,16 @@ object WatchPipeline {
   case class FileEvent(relPath: String, eventType: String, ts: Long, content: String)
 
   /** Last event per path wins (the FileChangeCoalescer,
-    * watcher/debounce.py:149-260, as a window): ties broken by event order
-    * preference so a delete arriving with the same timestamp as a create
-    * does not resurrect the file.
+    * watcher/debounce.py:149-260, as a window): at equal timestamps the
+    * DESTRUCTIVE event wins (deleted > modified > created) — a same-ms
+    * modify+delete must not resurrect the file.
     */
   def coalesce(events: DataFrame): DataFrame = {
+    val priority = when(col("eventType") === "deleted", 3)
+      .when(col("eventType") === "modified", 2)
+      .otherwise(1)
     val w = Window.partitionBy(col("relPath"))
-      .orderBy(col("ts").desc, col("eventType").desc) // modified > deleted > created at same ts
+      .orderBy(col("ts").desc, priority.desc)
     events.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
