@@ -38,7 +38,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // side-channel: sbt prefixes stdout with [info], which can defeat a
+    // strict line parser — the same JSON is always available as a file
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => }
     spark.stop()
   }
 }
