@@ -17,12 +17,16 @@ import numpy as np
 
 def normcell(v):
     # Normalize BEFORE sorting so float jitter can't reorder rows (ADVICE r1).
-    # 12 significant digits: strict enough to catch real per-cent errors,
-    # loose enough to absorb last-ulp aggregation-order noise.
+    # Full-precision repr: the driver's gate hashes exact values, so the local
+    # gate must too. Crucially this keeps the int/float distinction visible —
+    # DuckDB integer sum() returns HUGEINT which pandas renders as float64
+    # ("123.0" vs Spark's "123"), the root cause of the r2 hash mismatches;
+    # oracles must CAST integer sums to BIGINT.
     if isinstance(v, (float, np.floating)):
-        if v == 0.0:
-            v = 0.0  # map -0.0 to 0.0
-        return f"{float(v):.12g}"
+        f = float(v)
+        if f == 0.0:
+            f = 0.0  # map -0.0 to 0.0
+        return repr(f)
     return str(v)
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:

@@ -252,7 +252,7 @@ object RelationalQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sess AS (
         |  SELECT user_id, ts,
-        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS session_id
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS session_id
         |  FROM flagged
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
@@ -289,14 +289,14 @@ object RelationalQueries {
         |) GROUP BY reason""".stripMargin,
 
     "q31_props_extract" ->
-      """SELECT event_type, count(k) AS n, sum(k) AS sum_k, round(avg(k), 4) AS avg_k
+      """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k
         |FROM (SELECT event_type,
         |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
 
     "q33_salted_agg" ->
-      """SELECT l_returnflag, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+      """SELECT l_returnflag, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q12_graph_read" ->

@@ -81,7 +81,7 @@ object TextQueries {
         |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe
         |  FROM documents
         |)
-        |SELECT source, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+        |SELECT source, CAST(sum(ws) AS BIGINT) AS ws_tokens, CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
         |       round(avg(ws), 4) AS avg_ws_per_doc
         |FROM d GROUP BY source""".stripMargin,
 

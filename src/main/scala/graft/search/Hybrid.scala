@@ -1,7 +1,6 @@
 package graft.search
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid RRF fusion (reference: storage/qdrant.py:888-1044):
@@ -25,9 +24,15 @@ object Hybrid {
     */
   def rrf(dense: DataFrame, sparse: DataFrame, idCol: String, limit: Int,
           alpha: Double = Alpha, k0: Double = RrfK): DataFrame = {
+    // Both inputs are already fetch-limited (≤ 3*limit rows), so a global
+    // rank over them is inherently single-partition; make that explicit with
+    // coalesce(1) + in-partition sort instead of a global WindowExec (which
+    // warns and adds a window exchange). monotonically_increasing_id on a
+    // single sorted partition is 0..n-1 in row order — a deterministic rank.
     def ranked(df: DataFrame, rankName: String) =
-      df.withColumn(rankName,
-        row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)))
+      df.coalesce(1)
+        .sortWithinPartitions(col("score").desc, col(idCol).asc)
+        .withColumn(rankName, (monotonically_increasing_id() + 1).cast("int"))
         .select(col(idCol), col(rankName))
     val d = ranked(dense, "rank_dense")
     val s = ranked(sparse, "rank_sparse")
