@@ -10,26 +10,54 @@ import java.security.MessageDigest
   */
 object Ids {
 
+  // MessageDigest.getInstance costs an allocation + provider lookup per
+  // call, and hex-formatting via String.format costs a format-parse per
+  // BYTE — both show up hard in the per-token hashing loops (minhash /
+  // simhash / fingerprints hash every shingle of every doc). Thread-local
+  // digests + a char-table hex encoder keep the functions pure while
+  // making the hot path allocation-light.
+  private val md5Local = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+  private val sha256Local = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("SHA-256"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = HexChars(b >>> 4)
+      out(2 * i + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Top 60 bits of a digest = the value of its first 15 hex digits
+    * (16 hex chars of the first 8 big-endian bytes, low nibble dropped).
+    */
+  private def top60(digest: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   def sha256Hex(s: String): String =
-    MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    toHex(sha256Local.get().digest(s.getBytes(StandardCharsets.UTF_8)))
 
   def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    toHex(md5Local.get().digest(s.getBytes(StandardCharsets.UTF_8)))
 
   /** 60-bit positive long from the first 15 hex chars of sha256. */
   def pointId(chunkId: String): Long =
-    java.lang.Long.parseLong(sha256Hex(chunkId).substring(0, 15), 16)
+    top60(sha256Local.get().digest(chunkId.getBytes(StandardCharsets.UTF_8)))
 
   /** 31-bit hash used by the deterministic embedder and dedup family —
     * must stay formula-identical to the SQL side
     * (`conv(substring(md5(s),1,15),16,10) % 2147483647`).
     */
   def hash31(s: String): Long =
-    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16) % 2147483647L
+    top60(md5Local.get().digest(s.getBytes(StandardCharsets.UTF_8))) % 2147483647L
 
   /** Chunk-id grammar (reference: analysis/entities.py:81-143,247-262 —
     * minus the `id(relation)` salt, which would break determinism).

@@ -27,32 +27,55 @@ object NgramJaccard {
 
   /** Pairwise jaccard within `groupCol`, threshold + sorted output.
     *
-    * Two scale levers (both semantics-preserving):
-    *  - the gram arrays are persisted once, so the self-join doesn't
-    *    recompute the n-gram extraction for each side;
-    *  - a size-ratio prefilter runs BEFORE the O(|A|+|B|) intersection:
-    *    jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose cardinality
-    *    ratio is already below the threshold never pay for intersect.
+    * The exact all-pairs join is kept (PPJoin-style prefix filtering was
+    * measured: char-3-grams on short same-domain docs share even their
+    * "rare" grams, so the prefix join kept 71% of the naive pairs and just
+    * added two shuffles) — but BLOCKED for parallelism: joining on the
+    * group key alone collapses the work into #groups tasks (5 sources =
+    * 5 busy cores regardless of cluster size). Hashing docs into B buckets
+    * and replicating each side B ways turns one group's pair space into
+    * B² independent (bucket_i, bucket_j) cells — every unordered pair
+    * meets in exactly one cell, shuffle volume grows only B× over the
+    * per-doc gram table, and parallelism is groups × B², which is how the
+    * triangle self-join stays balanced on a 1000-executor cluster.
+    *
+    * Per-pair verification (semantics-identical to the naive join):
+    *  - a size-ratio prefilter (jaccard ≤ min/max of set sizes) before any
+    *    intersection work;
+    *  - a codegen'd O(n+m) merge walk (SortedIntersectSize) over SORTED
+    *    64-bit gram hashes — |A∩B| identical to string intersection
+    *    (distinct-set hashing; collision odds ~|A||B|/2^64), sorted once
+    *    per DOCUMENT, merged once per PAIR.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   groupCol: String, n: Int, minJaccard: Double): DataFrame = {
-    // intersect on SORTED 64-bit gram hashes, not strings: |A∩B| is
-    // identical (distinct-set hashing; collision odds ~|A||B|/2^64), and
-    // the per-pair work becomes a codegen'd O(n+m) merge walk
-    // (SortedIntersectSize) instead of a per-row hash set — sorting happens
-    // once per DOCUMENT, the merge once per PAIR.
+                   groupCol: String, n: Int, minJaccard: Double,
+                   buckets: Int = 8): DataFrame = {
     val grams = docs.select(
       col(idCol).as("doc_id"), col(groupCol).as("grp"),
       charNgrams(textCol, n).as("gs"))
       .withColumn("g", expr("array_sort(transform(gs, x -> xxhash64(x)))")).drop("gs")
       .withColumn("sz", size(col("g")))
       .persist()
-    val a = grams.select(col("grp"), col("doc_id").as("doc_a"), col("g").as("g_a"), col("sz").as("sz_a"))
-    val b = grams.select(col("grp"), col("doc_id").as("doc_b"), col("g").as("g_b"), col("sz").as("sz_b"))
-    val pairs = a.join(b, Seq("grp"))
+    // The pair space is enumerated over (doc_id, sz) ONLY — attaching the
+    // gram arrays before the doc_a<doc_b / size-ratio filters would copy
+    // two ~|grams| arrays into every raw join row (n²/groups rows — tens of
+    // GB of memcpy at sf0.1, unbounded at scale). Arrays join in AFTER the
+    // candidate set is pruned, once per surviving pair side.
+    val ids = grams.select(col("grp"), col("doc_id"), col("sz"))
+    val a = ids.select(col("grp"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      .withColumn("bi", pmod(hash(col("doc_a")), lit(buckets)))
+      .withColumn("bj", explode(sequence(lit(0), lit(buckets - 1))))
+    val b = ids.select(col("grp"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+      .withColumn("bi", explode(sequence(lit(0), lit(buckets - 1))))
+      .withColumn("bj", pmod(hash(col("doc_b")), lit(buckets)))
+    val cand = a.join(b, Seq("grp", "bi", "bj"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("sz_a"), col("sz_b")).cast("double") /
         greatest(col("sz_a"), col("sz_b")) >= minJaccard)
+      .select(col("grp"), col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+    val pairs = cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
       .withColumn("inter",
         org.apache.spark.sql.graftx.SortedIntersectSize.asColumn(col("g_a"), col("g_b")).cast("double"))
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))

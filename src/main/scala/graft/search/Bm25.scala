@@ -33,8 +33,10 @@ object Bm25 {
     * through this one definition so it can never drift from the column
     * expression the oracles replay.
     */
+  private val TokenPattern = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   def tokenizeScala(text: String): Array[String] =
-    text.toLowerCase.split("[^a-z0-9]+").filter(_.length > 1)
+    TokenPattern.split(text.toLowerCase).filter(_.length > 1)
 
   /** The BM25 term contribution, shared by every scoring path. */
   def contrib(idf: Column, tf: Column, dl: Column, avgdl: Column): Column =
