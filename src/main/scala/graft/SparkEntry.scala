@@ -32,7 +32,7 @@ object SparkEntry {
   ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.SearchQueries.defs ++
     graft.queries.DedupQueries.defs ++ graft.queries.TextQueries.defs ++
     graft.queries.EngineQueries.defs ++ graft.queries.ChatQueries.defs ++
-    graft.queries.IndexBenchQueries.defs
+    graft.queries.IndexBenchQueries.defs ++ graft.queries.PipelineQueries.defs
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -45,5 +45,6 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.SearchQueries.oracles ++
     graft.queries.DedupQueries.oracles ++ graft.queries.TextQueries.oracles ++
-    graft.queries.EngineQueries.oracles ++ graft.queries.ChatQueries.oracles
+    graft.queries.EngineQueries.oracles ++ graft.queries.ChatQueries.oracles ++
+    graft.queries.PipelineQueries.oracles
 }

@@ -1,0 +1,54 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: connected components over a near-dup pair
+  * list (minhash / simhash / jaccard candidates), so a training pipeline can
+  * keep one representative per duplicate family ("cluster id = min doc id
+  * in the component" — the same convention the oracle's recursive CTE
+  * computes, so the fixpoint is engine-independent by construction).
+  *
+  * Algorithm: iterative min-label propagation. Each node starts labeled
+  * with itself; every round each node takes the min of its own label and
+  * its neighbors' labels; convergence (no label changed) is the exact
+  * component minimum. Rounds needed = graph diameter — duplicate families
+  * are short-diameter blobs, so this converges in a handful of joins.
+  *
+  * Scale shape: one join + one groupBy per round over the EDGE list (not
+  * the corpus); edges from LSH banding are sparse by construction. Each
+  * round's labels are persisted and the previous round freed, so the plan
+  * doesn't grow with iterations. For adversarial long-chain graphs swap in
+  * the large-star/small-star variant (O(log n) rounds) — same per-round
+  * primitives.
+  */
+object DupClusters {
+
+  /** (node, cluster_id) for every node appearing in `edges`. */
+  def components(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val sym0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val sym = sym0.union(sym0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).persist()
+    labels.count() // materialize before the loop mutates the reference
+
+    var changed = 1L
+    while (changed > 0) {
+      val neighborLbl = sym
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .select(col("src").as("node"), col("lbl"))
+      val next = labels.select(col("node"), col("lbl")).union(neighborLbl)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      changed = next.select(col("node"), col("lbl").as("new_lbl"))
+        .join(labels, Seq("node"))
+        .filter(col("new_lbl") =!= col("lbl"))
+        .count()
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("lbl", "cluster_id")
+  }
+}

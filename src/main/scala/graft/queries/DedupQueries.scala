@@ -42,6 +42,31 @@ object DedupQueries {
 
   private val hash31 = "CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647"
 
+  /** The minhash signature + banding CTE chain (tokens → 3-shingles →
+    * 31-bit hashes → 12 affine minima → 4 band keys), shared by the q19
+    * oracle and the duplicate-cluster oracle in [[PipelineQueries]].
+    */
+  private[queries] val minhashCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sl
+       |  FROM toks
+       |), hashes AS (
+       |  SELECT doc_id, list_transform(sl, s -> $hash31) AS hs FROM sh
+       |  WHERE len(sl) > 0
+       |), sigs AS (
+       |  SELECT doc_id, list_transform(generate_series(0, 11), i ->
+       |    list_min(list_transform(hs, h -> ((2*i + 1) * h + 7*i + 1) % 2147483647))) AS sig
+       |  FROM hashes
+       |), bands AS (
+       |  SELECT doc_id, sig, b.band,
+       |         md5(concat_ws(',', sig[band*3 + 1], sig[band*3 + 2], sig[band*3 + 3])) AS band_key
+       |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+       |)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q18_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
@@ -51,25 +76,7 @@ object DedupQueries {
         |FROM documents GROUP BY source""".stripMargin,
 
     "q19_minhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
-         |  FROM documents
-         |), sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
-         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sl
-         |  FROM toks
-         |), hashes AS (
-         |  SELECT doc_id, list_transform(sl, s -> $hash31) AS hs FROM sh
-         |  WHERE len(sl) > 0
-         |), sigs AS (
-         |  SELECT doc_id, list_transform(generate_series(0, 11), i ->
-         |    list_min(list_transform(hs, h -> ((2*i + 1) * h + 7*i + 1) % 2147483647))) AS sig
-         |  FROM hashes
-         |), bands AS (
-         |  SELECT doc_id, sig, b.band,
-         |         md5(concat_ws(',', sig[band*3 + 1], sig[band*3 + 2], sig[band*3 + 3])) AS band_key
-         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
-         |)
+      s"""WITH $minhashCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  round(list_sum(list_transform(generate_series(1, 12),
          |    i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) / 12.0, 6) AS est_jaccard

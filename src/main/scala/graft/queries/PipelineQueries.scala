@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dedup.{DupClusters, MinHashLsh}
+import graft.functions.Splits
+import graft.search.{Bm25, IvfAnn, KMeans}
+
+/** Training-data pipeline operators beyond the reference's surface
+  * (BASELINE.json north star: "add the LLM-data-pipeline operators ...
+  * design every operator for 100 TB scale"): deterministic dataset
+  * splitting, duplicate-cluster resolution, k-means corpus clustering,
+  * tf-idf corpus summarization, stratified sampling.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def defs: Map[String, Q] = Map(
+    // Hash-based train/val/test split (80/10/10): reproducible across
+    // engines, clusters and re-runs — no RNG, a pure map pass at any scale.
+    "q35_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("split", Splits.splitLabel(col("doc_id"), 80, 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"))),
+
+    // Duplicate families: connected components (min-label fixpoint) over
+    // the minhash candidate pairs with estimated jaccard ≥ 0.5 (≥ 6 of 12
+    // signature components equal — an exact integer predicate, no float
+    // threshold). cluster_id = min doc_id of the component.
+    "q36_dup_clusters" -> ((s, dir) => {
+      val edges = MinHashLsh.candidatePairs(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      DupClusters.components(edges, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    }),
+
+    // Deterministic Lloyd k-means (k=8, 2 iterations) over the embedding
+    // corpus; output = cluster populations + first centroid component as a
+    // fit witness. The same recipe unrolls into the DuckDB oracle.
+    "q37_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = KMeans.fit(emb, "vec_id", "embedding", 8, 2)
+      KMeans.assignments(emb, "vec_id", "embedding", cents)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_points"))
+        .join(cents, Seq("cluster"))
+        .withColumn("c0", element_at(col("centroid"), 1))
+        .select(col("cluster"), col("n_points"), col("c0"))
+    }),
+
+    // Corpus summarization: top-3 tf-idf terms per source (idf = ln(N/df)).
+    // The df table is vocabulary-sized (broadcast side); ranks are
+    // per-source windows — no global sort.
+    "q38_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val dt = docs.select(col("doc_id"), col("source"),
+        explode(Bm25.tokens(col("text"))).as("term"))
+      val tf = dt.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfT = dt.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("source")).orderBy(col("raw").desc, col("term").asc)
+      tf.join(dfT, Seq("term"))
+        .withColumn("raw", col("tf") * log(lit(n.toDouble) / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("term"), round(col("raw"), 6).as("tfidf"))
+    }),
+
+    // Stratified deterministic 10% sample: per-language totals vs sampled
+    // counts; the sample membership is a salted content hash, so it is
+    // stable under re-runs and independent of the split in q35.
+    "q39_stratified" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(Splits.sampled(col("doc_id"), 10), 1)).as("n_sampled")))
+  )
+
+  private val bucketSql = "CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100"
+  private val sampleSql = "CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':s'),1,15)) AS BIGINT) % 10"
+
+  def oracles: Map[String, String] = Map(
+    "q35_split" ->
+      s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+         |FROM (SELECT lang, $bucketSql AS b FROM documents)
+         |GROUP BY 1""".stripMargin,
+
+    "q36_dup_clusters" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  WHERE list_sum(list_transform(generate_series(1, 12),
+         |          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) >= 6
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), reach(node, m) AS (
+         |  SELECT DISTINCT src AS node, src AS m FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst AS m FROM reach r JOIN edges e ON r.m = e.src
+         |), lab AS (
+         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+         |)
+         |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS csize
+         |FROM lab""".stripMargin,
+
+    "q37_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cluster, v AS cent FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT e.vec_id, e.v, c.cluster,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_cosine_similarity(e.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM e, c0 c) WHERE rn = 1),
+        |c1 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM (
+        |  SELECT cluster, i, round(avg(v[i]), 6) AS m
+        |  FROM a1, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY cluster, i) GROUP BY cluster),
+        |a2 AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT e.vec_id, e.v, c.cluster,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_cosine_similarity(e.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM e, c1 c) WHERE rn = 1),
+        |c2 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM (
+        |  SELECT cluster, i, round(avg(v[i]), 6) AS m
+        |  FROM a2, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY cluster, i) GROUP BY cluster),
+        |a3 AS (SELECT vec_id, cluster FROM (
+        |  SELECT e.vec_id, c.cluster,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_cosine_similarity(e.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM e, c2 c) WHERE rn = 1)
+        |SELECT a.cluster AS cluster, count(*) AS n_points, max(c.cent[1]) AS c0
+        |FROM a3 a JOIN c2 c ON a.cluster = c.cluster
+        |GROUP BY a.cluster""".stripMargin,
+
+    "q38_tfidf" ->
+      """WITH dt AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 1)) AS term
+        |  FROM documents
+        |), tf AS (SELECT source, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM dt) GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT source, term, tf * ln(n.n * 1.0 / df) AS raw
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n
+        |)
+        |SELECT source, term, round(raw, 6) AS tfidf FROM (
+        |  SELECT source, term, raw,
+        |         row_number() OVER (PARTITION BY source ORDER BY raw DESC, term ASC) AS rn
+        |  FROM scored) WHERE rn <= 3""".stripMargin,
+
+    "q39_stratified" ->
+      s"""SELECT lang, count(*) AS n_total,
+         |       count(CASE WHEN smp = 0 THEN 1 END) AS n_sampled
+         |FROM (SELECT lang, $sampleSql AS smp FROM documents)
+         |GROUP BY lang""".stripMargin
+  )
+}

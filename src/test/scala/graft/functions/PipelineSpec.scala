@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.dedup.DupClusters
+import graft.search.KMeans
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splits: labels partition the corpus, are deterministic, and roughly proportional") {
+    val ids = (1L to 1000L).toDF("id")
+    val labeled = ids.withColumn("split", Splits.splitLabel(col("id"), 80, 10))
+    val counts = labeled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L)
+    assert(counts("train") > 700 && counts("train") < 900) // ~80%
+    assert(counts("val") > 50 && counts("val") < 150)      // ~10%
+    assert(counts("test") > 50 && counts("test") < 150)
+    // deterministic: second evaluation identical
+    val again = ids.withColumn("split", Splits.splitLabel(col("id"), 80, 10))
+    assert(labeled.except(again).count() == 0 && again.except(labeled).count() == 0)
+    // sampled() uses a different salt than the split bucket: membership is
+    // not just "the first decile of the split hash"
+    val s = ids.withColumn("in_sample", Splits.sampled(col("id"), 10))
+      .filter(col("in_sample")).count()
+    assert(s > 50 && s < 150)
+  }
+
+  test("dup clusters: min-label fixpoint over a chain and a disjoint pair") {
+    // chain 1-2-3-4 (diameter 3 forces multiple propagation rounds) + pair 10-11
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val comp = DupClusters.components(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("kmeans: separable clusters recovered; centroids deterministic across fits") {
+    // two tight blobs in 4-d; seeds (two lowest ids) land one in each blob
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.1, 0.0)), (3L, Seq(0.9, 0.1, 0.0, 0.0)), (5L, Seq(1.1, 0.0, 0.0, 0.1)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.1)), (4L, Seq(0.1, 0.9, 0.0, 0.0)), (6L, Seq(0.0, 1.1, 0.1, 0.0))
+    ).toDF("vec_id", "embedding")
+    val cents = KMeans.fit(vecs, "vec_id", "embedding", 2, 2)
+    val byCluster = KMeans.assignments(vecs, "vec_id", "embedding", cents).collect()
+      .map(r => r.getAs[Long]("vid") -> r.getAs[Long]("cluster")).toMap
+    assert(byCluster(1L) == 1L && byCluster(3L) == 1L && byCluster(5L) == 1L)
+    assert(byCluster(2L) == 2L && byCluster(4L) == 2L && byCluster(6L) == 2L)
+    // determinism: refit returns bit-identical centroids
+    val cents2 = KMeans.fit(vecs, "vec_id", "embedding", 2, 2)
+    val a = cents.orderBy("cluster").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val b = cents2.orderBy("cluster").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(a.sameElements(b))
+    // centroid components carry the 6dp rounding contract
+    assert(a.forall(_._2.forall(x => (math.round(x * 1e6) / 1e6) == x)))
+  }
+}
