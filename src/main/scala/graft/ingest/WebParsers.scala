@@ -6,8 +6,10 @@ import graft.core.Model._
 
 /** JS/TS parser (reference: analysis/javascript_parser.py:19-1197,
   * tree-sitter there; line/regex structural here): functions (declaration,
-  * arrow, method), classes + extends/implements, interfaces, variables,
-  * imports/requires, exports.
+  * arrow, method incl. arrow-function class fields), classes +
+  * extends/implements, class fields, interfaces, variables,
+  * imports/requires, decorators, exceptions, JSON/fetch call patterns, and
+  * implementation chunks with brace-matched extents.
   */
 object JsParser {
   private val FuncRe = """^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s*\*?\s*([A-Za-z_$][\w$]*)\s*\(([^)]*)\)""".r
@@ -18,6 +20,22 @@ object JsParser {
   private val RequireRe = """require\s*\(\s*['"]([^'"]+)['"]\s*\)""".r
   private val VarRe = """^(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][\w$]*)\s*(?::[^=]+)?=""".r
   private val CallRe = """([A-Za-z_$][\w$]*)\s*\(""".r
+  // class members: modifiers + name(params) { — or an arrow-function /
+  // plain field. '#' covers private members; <..> covers generic methods.
+  // (?m): the regex is also scanned across whole class BODIES for the
+  // "key methods" observation, where ^ must anchor at each line.
+  private val MethodRe = """(?m)^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+|abstract\s+|override\s+|async\s+)*(?:get\s+|set\s+)?\*?\s*([A-Za-z_$#][\w$]*)\s*(?:<[^>]*>)?\s*\(([^)]*)\)\s*(?::\s*[^({;]+)?\s*\{""".r
+  private val FieldArrowRe = """^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+)*([A-Za-z_$#][\w$]*)\s*(?::[^=]+)?=\s*(?:async\s*)?(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*=>""".r
+  private val FieldRe = """^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+)+([A-Za-z_$#][\w$]*)\s*(?::[^=;]+)?\s*[=;]""".r
+  private val DecoratorRe = """^\s*@([\w.]+)""".r
+  private val CatchRe = """catch\s*\(\s*([A-Za-z_$][\w$]*)""".r
+  // JSON-loading / IO call patterns (reference: javascript_parser.py
+  // JSON-loading detection; analog of the python file-op family)
+  private val IoRe = """(JSON\.parse|JSON\.stringify|fetch|axios\.\w+)\s*\(\s*(?:['"]([^'"]+)['"])?""".r
+  private val StmtKeywords = Set("if", "for", "while", "switch", "catch", "return",
+    "else", "do", "try", "new", "function", "typeof", "await", "yield", "case")
+  private val Builtins = Set("console", "require", "parseInt", "parseFloat", "String",
+    "Number", "Boolean", "Array", "Object", "Promise", "setTimeout", "setInterval")
 
   def parse(relPath: String, content: String): ParserResult = {
     val entities = ArrayBuffer[Entity]()
@@ -27,7 +45,81 @@ object JsParser {
     entities += Entity(relPath, "file", relPath, 1, lines.length,
       Seq(s"JS/TS source with ${lines.length} lines"), "", "")
 
+    /** Last line (0-based) of the brace block opened ON `start`; `start`
+      * itself when the declaration line opens no block (one-liners,
+      * declaration-only lines) — so a braceless line never swallows the
+      * following construct's block.
+      */
+    def blockEnd(start: Int): Int = {
+      var d = 0
+      var opened = false
+      lines(start).foreach {
+        case '{' => d += 1; opened = true
+        case '}' => d -= 1
+        case _ =>
+      }
+      if (!opened || d <= 0) return start
+      var i = start + 1
+      while (i < lines.length) {
+        lines(i).foreach {
+          case '{' => d += 1
+          case '}' => d -= 1
+          case _ =>
+        }
+        if (d <= 0) return i
+        i += 1
+      }
+      lines.length - 1
+    }
+
+    def decoratorsAbove(line: Int): Seq[String] = {
+      var i = line - 1
+      val out = ArrayBuffer[String]()
+      while (i >= 0 && (DecoratorRe.findFirstIn(lines(i)).isDefined || lines(i).trim.isEmpty)) {
+        DecoratorRe.findFirstMatchIn(lines(i)).foreach(m => out += m.group(1))
+        i -= 1
+      }
+      out.toSeq.reverse
+    }
+
+    def callsIn(body: String, self: String): Seq[String] =
+      CallRe.findAllMatchIn(body).map(_.group(1)).toSeq.distinct
+        .filterNot(StmtKeywords.contains).filterNot(Builtins.contains).filterNot(_ == self)
+
+    def implChunk(name: String, entityType: String, startL: Int, endL: Int): Unit = {
+      val body = lines.slice(startL, endL + 1).mkString("\n")
+      implChunks += Chunk(Ids.entityChunkId(relPath, name, "implementation"),
+        "implementation", name, entityType, relPath, startL + 1, endL + 1,
+        body, "", Ids.sha256Hex(body), "", "", hasImplementation = true)
+    }
+
+    def funcObs(name: String, sigLabel: String, body: String, decs: Seq[String],
+                isAsync: Boolean): (Seq[String], Seq[String]) = {
+      val calls = callsIn(body, name)
+      val excs = CatchRe.findAllMatchIn(body).map(_.group(1)).toSeq.distinct
+      val obs = ArrayBuffer[String](s"function: $name", s"signature: $sigLabel")
+      if (calls.nonEmpty) obs += s"calls: ${calls.take(5).mkString(", ")}"
+      if (excs.nonEmpty) obs += s"handles exceptions: ${excs.mkString(", ")}"
+      if (decs.nonEmpty) obs += s"decorators: ${decs.mkString(", ")}"
+      if (isAsync) obs += "async function"
+      (obs.toSeq, calls)
+    }
+
+    def ioEdges(owner: String, body: String): Unit =
+      IoRe.findAllMatchIn(body).toSeq
+        .map(m => (m.group(1), Option(m.group(2)).getOrElse(""))).distinct.take(10)
+        .foreach { case (op, target) =>
+          relations += Relation(owner, if (target.nonEmpty) target else op, "uses", s"io:$op", "", 0.8)
+        }
+
+    var depth = 0
+    // (class name, depth at declaration) — methods live at depth head+1
+    var classStack: List[(String, Int)] = Nil
+
     lines.zipWithIndex.foreach { case (line, i) =>
+      val depthBefore = depth
+      val inClassMember = classStack.headOption.exists(_._2 + 1 == depthBefore)
+
       ImportRe.findFirstMatchIn(line).foreach { m =>
         relations += Relation(relPath, m.group(1), "imports", "module", "", 1.0)
       }
@@ -39,6 +131,8 @@ object JsParser {
       ClassRe.findFirstMatchIn(line) match {
         case Some(m) =>
           val (name, ext, impls) = (m.group(1), m.group(2), m.group(3))
+          val endL = blockEnd(i)
+          val body = lines.slice(i, endL + 1).mkString("\n")
           val obs = ArrayBuffer[String](s"class: $name")
           Option(ext).foreach { e =>
             obs += s"extends: $e"
@@ -47,8 +141,15 @@ object JsParser {
           Option(impls).foreach(_.split(",").map(_.trim).filter(_.nonEmpty).foreach { im =>
             relations += Relation(name, im, "implements", "", "", 1.0)
           })
-          entities += Entity(name, "class", relPath, i + 1, i + 1, obs.toSeq, "", line.trim.take(120))
+          val decs = decoratorsAbove(i)
+          if (decs.nonEmpty) obs += s"decorators: ${decs.mkString(", ")}"
+          val methods = MethodRe.findAllMatchIn(body).map(_.group(1)).toSeq
+            .filterNot(StmtKeywords.contains).filterNot(_ == name).distinct.take(5)
+          if (methods.nonEmpty) obs += s"key methods: ${methods.mkString(", ")}"
+          entities += Entity(name, "class", relPath, i + 1, endL + 1, obs.toSeq, "", line.trim.take(120))
           relations += Relation(relPath, name, "contains", "", "", 1.0)
+          implChunk(name, "class", i, endL)
+          classStack = (name, depthBefore) :: classStack
         case None => InterfaceRe.findFirstMatchIn(line) match {
           case Some(m) =>
             val name = m.group(1)
@@ -61,29 +162,86 @@ object JsParser {
           case None => FuncRe.findFirstMatchIn(line) match {
             case Some(m) =>
               val (name, params) = (m.group(1), m.group(2))
-              entities += Entity(name, "function", relPath, i + 1, i + 1,
-                Seq(s"function: $name", s"signature: function $name($params)"), "",
+              val endL = blockEnd(i)
+              val body = lines.slice(i + 1, endL + 1).mkString("\n")
+              val (obs, calls) = funcObs(name, s"function $name($params)", body,
+                decoratorsAbove(i), line.contains("async "))
+              entities += Entity(name, "function", relPath, i + 1, endL + 1, obs, "",
                 s"function $name($params)")
               relations += Relation(relPath, name, "contains", "", "", 1.0)
+              calls.foreach(c => relations += Relation(name, c, "calls", "", s"$relPath:${i + 1}", 0.9))
+              ioEdges(name, body)
+              implChunk(name, "function", i, endL)
             case None => ArrowRe.findFirstMatchIn(line) match {
               case Some(m) =>
                 val name = m.group(1)
-                entities += Entity(name, "function", relPath, i + 1, i + 1,
-                  Seq(s"function: $name", "arrow function"), "", line.trim.take(120))
+                val endL = blockEnd(i)
+                val body = lines.slice(i, endL + 1).mkString("\n")
+                val (obs0, calls) = funcObs(name, line.trim.take(120), body,
+                  decoratorsAbove(i), line.contains("async"))
+                entities += Entity(name, "function", relPath, i + 1, endL + 1,
+                  obs0 :+ "arrow function", "", line.trim.take(120))
                 relations += Relation(relPath, name, "contains", "", "", 1.0)
+                calls.foreach(c => relations += Relation(name, c, "calls", "", s"$relPath:${i + 1}", 0.9))
+                if (endL > i) implChunk(name, "function", i, endL)
+              case None if inClassMember =>
+                // class body at member depth: methods, arrow-function
+                // fields (methods), plain fields
+                val cls = classStack.head._1
+                MethodRe.findFirstMatchIn(line) match {
+                  case Some(m) if !StmtKeywords.contains(m.group(1)) =>
+                    val (name, params) = (m.group(1), m.group(2))
+                    val endL = blockEnd(i)
+                    val body = lines.slice(i + 1, endL + 1).mkString("\n")
+                    val (obs, calls) = funcObs(name, s"$name($params)", body,
+                      decoratorsAbove(i), line.contains("async "))
+                    entities += Entity(name, "method", relPath, i + 1, endL + 1,
+                      obs :+ s"member of: $cls", "", s"$name($params)")
+                    relations += Relation(cls, name, "contains", "", "", 1.0)
+                    calls.foreach(c => relations += Relation(name, c, "calls", "", s"$relPath:${i + 1}", 0.9))
+                    ioEdges(name, body)
+                    implChunk(name, "method", i, endL)
+                  case _ => FieldArrowRe.findFirstMatchIn(line) match {
+                    case Some(m) =>
+                      val name = m.group(1)
+                      val endL = blockEnd(i)
+                      val body = lines.slice(i, endL + 1).mkString("\n")
+                      val (obs0, calls) = funcObs(name, line.trim.take(120), body,
+                        decoratorsAbove(i), line.contains("async"))
+                      entities += Entity(name, "method", relPath, i + 1, endL + 1,
+                        obs0 ++ Seq("arrow function", s"member of: $cls"), "", line.trim.take(120))
+                      relations += Relation(cls, name, "contains", "", "", 1.0)
+                      calls.foreach(c => relations += Relation(name, c, "calls", "", s"$relPath:${i + 1}", 0.9))
+                      if (endL > i) implChunk(name, "method", i, endL)
+                    case None => FieldRe.findFirstMatchIn(line) match {
+                      case Some(m) =>
+                        val name = m.group(1)
+                        entities += Entity(name, "variable", relPath, i + 1, i + 1,
+                          Seq(s"field: $name", s"member of: $cls"), "", line.trim.take(80))
+                        relations += Relation(cls, name, "contains", "", "", 1.0)
+                      case None =>
+                    }
+                  }
+                }
               case None => VarRe.findFirstMatchIn(line) match {
-                case Some(m) =>
+                case Some(m) if depthBefore == 0 =>
                   val name = m.group(1)
                   val t = if (name.toUpperCase == name) "constant" else "variable"
                   entities += Entity(name, t, relPath, i + 1, i + 1,
                     Seq(s"$t: $name"), "", line.trim.take(80))
                   relations += Relation(relPath, name, "contains", "", "", 1.0)
-                case None =>
+                case _ =>
               }
             }
           }
         }
       }
+      line.foreach {
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case _ =>
+      }
+      while (classStack.nonEmpty && depth <= classStack.head._2) classStack = classStack.tail
     }
     ParserResult(relPath, Ids.sha256Hex(content), entities.toSeq, relations.toSeq,
       implChunks.toSeq, Seq.empty)

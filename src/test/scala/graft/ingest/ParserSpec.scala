@@ -95,6 +95,50 @@ class ParserSpec extends AnyFunSuite {
     assert(rels.contains(("Widget", "extends", "Base")))
   }
 
+  test("ts: methods inside classes, arrow fields, plain fields, decorators, impl chunks") {
+    val ts =
+      """@Component
+        |export class Service implements Runnable {
+        |  private cache: Map<string, number> = new Map();
+        |  handler = (ev) => this.process(ev.data);
+        |  async process(data: string): Promise<number> {
+        |    try {
+        |      return JSON.parse(data).value + helper(data);
+        |    } catch (err) {
+        |      return 0;
+        |    }
+        |  }
+        |  static of(): Service { return new Service(); }
+        |}
+        |function helper(x) { return x.length; }
+        |""".stripMargin
+    val r = JsParser.parse("svc.ts", ts)
+    val byName = r.entities.map(e => e.name -> e).toMap
+    assert(byName("Service").entityType == "class")
+    assert(byName("Service").observations.exists(_.startsWith("decorators: Component")))
+    assert(byName("Service").observations.exists(o =>
+      o.startsWith("key methods:") && o.contains("process") && o.contains("of")))
+    assert(byName("process").entityType == "method")
+    assert(byName("process").observations.contains("async function"))
+    assert(byName("process").observations.exists(_.startsWith("handles exceptions: err")))
+    assert(byName("handler").entityType == "method") // arrow-function field
+    assert(byName("cache").entityType == "variable") // plain field
+    assert(byName("of").entityType == "method")
+    assert(byName("helper").entityType == "function")
+    val rels = r.relations.map(x => (x.fromEntity, x.relationType, x.toEntity)).toSet
+    assert(rels.contains(("Service", "contains", "process")))
+    assert(rels.contains(("Service", "contains", "handler")))
+    assert(rels.contains(("Service", "contains", "cache")))
+    assert(rels.contains(("Service", "implements", "Runnable")))
+    assert(rels.contains(("process", "calls", "helper")))
+    assert(rels.contains(("process", "uses", "JSON.parse")))
+    // brace-matched implementation chunks: class spans its whole body
+    val implByName = r.implementationChunks.map(c => c.entityName -> c).toMap
+    assert(implByName("Service").lineNumber == 2 && implByName("Service").endLineNumber == 13)
+    assert(implByName("process").lineNumber == 5 && implByName("process").endLineNumber == 11)
+    assert(implByName("helper").content.contains("return x.length"))
+  }
+
   test("yaml: github workflow jobs; json: package deps; ini: sections; csv: columns") {
     val wf = "name: CI\non: push\njobs:\n  build:\n    steps: []\n  test:\n    steps: []\n"
     val ry = YamlParser.parse(".github/workflows/ci.yml", wf)
