@@ -17,6 +17,7 @@ import graft.api.GraftEngine
   *   graft.Cli file <storeDir> <path>
   *   graft.Cli info <storeDir>
   *   graft.Cli cleanup <storeDir>
+  *   graft.Cli watch <projectDir> <storeDir> [debounceMs]   (Ctrl-C to stop)
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -71,6 +72,25 @@ object Cli {
         engine(args(1)).collectionInfo().show()
       case "cleanup" =>
         println(s"removed=${engine(args(1)).cleanup()}")
+      case "watch" =>
+        // reference `claude-indexer watch start` (watcher/handler.py:478-552):
+        // initial full index if needed, then stream directory events through
+        // the incremental merge until interrupted
+        requireArgs(3, "watch <projectDir> <storeDir> [debounceMs]")
+        import spark.implicits._
+        val (project, store) = (args(1), args(2))
+        val debounce = if (args.length > 3) args(3).toLong
+        else graft.streaming.WatchPipeline.DefaultDebounceMs
+        val events = spark.readStream
+          .format("graft.streaming.FileWatchSource")
+          .option("path", project)
+          .load()
+          .as[graft.streaming.WatchPipeline.FileEvent]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_watch_ckpt").toString
+        val q = graft.streaming.WatchPipeline.initialIndexThenWatch(
+          spark, project, events, store, ckpt, debounceMs = debounce)
+        println(s"watching $project -> $store (debounce ${debounce}ms); Ctrl-C to stop")
+        q.awaitTermination()
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
     } finally spark.stop()
