@@ -115,7 +115,14 @@ case class FileWatchOffset(version: Long) extends Offset {
 class FileWatchStream(path: String, checkpointLocation: String) extends MicroBatchStream {
   import FileWatchSource._
 
-  private val snapDir: Path = Paths.get(checkpointLocation, "graft-snapshots")
+  // checkpointLocation may arrive as a URI string ("file:/tmp/...") —
+  // Paths.get on that would create a literal "file:" directory under CWD
+  private val snapDir: Path = {
+    val base =
+      if (checkpointLocation.contains(":")) Paths.get(new java.net.URI(checkpointLocation))
+      else Paths.get(checkpointLocation)
+    base.resolve("graft-snapshots")
+  }
   Files.createDirectories(snapDir)
 
   private def snapFile(v: Long): Path = snapDir.resolve(s"$v.snap")
