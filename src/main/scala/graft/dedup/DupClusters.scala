@@ -48,7 +48,12 @@ object DupClusters {
       labels.unpersist()
       labels = next
     }
+    // materialize the (small) result eagerly so the loop's cache can be
+    // released — otherwise the final labels stay pinned in the block
+    // manager with no owner to unpersist them
+    val out = labels.withColumnRenamed("lbl", "cluster_id").localCheckpoint(true)
+    labels.unpersist()
     sym.unpersist()
-    labels.withColumnRenamed("lbl", "cluster_id")
+    out
   }
 }

@@ -74,8 +74,10 @@ object NgramJaccard {
         greatest(col("sz_a"), col("sz_b")) >= minJaccard)
       .select(col("grp"), col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
     val pairs = cand
-      .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
+      // re-join includes grp: the id column is only guaranteed unique
+      // WITHIN a group by this function's contract
+      .join(grams.select(col("grp"), col("doc_id").as("doc_a"), col("g").as("g_a")), Seq("grp", "doc_a"))
+      .join(grams.select(col("grp"), col("doc_id").as("doc_b"), col("g").as("g_b")), Seq("grp", "doc_b"))
       .withColumn("inter",
         org.apache.spark.sql.graftx.SortedIntersectSize.asColumn(col("g_a"), col("g_b")).cast("double"))
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))

@@ -54,19 +54,25 @@ object PipelineQueries {
     }),
 
     // Corpus summarization: top-3 tf-idf terms per source (idf = ln(N/df)).
-    // The df table is vocabulary-sized (broadcast side); ranks are
-    // per-source windows — no global sort.
+    // ONE tokenize scan: the per-(source, term, doc) counts feed both the
+    // tf aggregate and the doc-frequency aggregate (a doc has exactly one
+    // source, so (term, doc) rows count df exactly). N arrives as a lazy
+    // 1-row broadcast cross join — no eager driver count() job. The df
+    // table is vocabulary-sized (broadcast side); ranks are per-source
+    // windows — no global sort.
     "q38_tfidf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val n = docs.count()
-      val dt = docs.select(col("doc_id"), col("source"),
+      val n1 = docs.agg(count(lit(1)).cast("double").as("n"))
+      val perDoc = docs.select(col("doc_id"), col("source"),
         explode(Bm25.tokens(col("text"))).as("term"))
-      val tf = dt.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfT = dt.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .groupBy(col("source"), col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      val tf = perDoc.groupBy(col("source"), col("term")).agg(sum(col("c")).as("tf"))
+      val dfT = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("source")).orderBy(col("raw").desc, col("term").asc)
       tf.join(dfT, Seq("term"))
-        .withColumn("raw", col("tf") * log(lit(n.toDouble) / col("df")))
+        .crossJoin(broadcast(n1))
+        .withColumn("raw", col("tf") * log(col("n") / col("df")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("source"), col("term"), round(col("raw"), 6).as("tfidf"))

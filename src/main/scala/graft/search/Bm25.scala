@@ -28,13 +28,13 @@ object Bm25 {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 1)
 
+  private val TokenPattern = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   /** THE Scala-side twin of [[tokens]] — every driver/executor-side
     * tokenization (query parsing, minhash/simhash signatures) must go
     * through this one definition so it can never drift from the column
     * expression the oracles replay.
     */
-  private val TokenPattern = java.util.regex.Pattern.compile("[^a-z0-9]+")
-
   def tokenizeScala(text: String): Array[String] =
     TokenPattern.split(text.toLowerCase).filter(_.length > 1)
 

@@ -55,24 +55,35 @@ object FileWatchSource {
     StructField("content", StringType)))
 
   /** One watched file as captured in a snapshot. */
-  case class Entry(relPath: String, hash: String, mtime: Long, content: String)
+  case class Entry(relPath: String, hash: String, mtime: Long, size: Long, content: String)
 
-  def snapshot(root: String): Seq[Entry] = {
+  /** Directory snapshot. `prev` makes the poll O(metadata): a file whose
+    * (size, mtime) is unchanged reuses the previous entry's hash+content
+    * instead of being re-read — so an idle poll costs one listing, not a
+    * full-corpus read+hash (the FileStreamSource file-log cost class).
+    */
+  def snapshot(root: String, prev: Map[String, Entry] = Map.empty): Seq[Entry] = {
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer[Entry]()
-    Files.walk(rootPath).iterator().asScala.foreach { p =>
+    val walk = Files.walk(rootPath)
+    try walk.iterator().asScala.foreach { p =>
       if (Files.isRegularFile(p)) {
         val rel = rootPath.relativize(p).toString.replace('\\', '/')
         if (!rel.split('/').exists(_.startsWith("."))) {
           try {
-            val content = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-            out += Entry(rel, graft.core.Ids.sha256Hex(content),
-              Files.getLastModifiedTime(p).toMillis, content)
+            val mtime = Files.getLastModifiedTime(p).toMillis
+            val size = Files.size(p)
+            prev.get(rel) match {
+              case Some(e) if e.mtime == mtime && e.size == size => out += e
+              case _ =>
+                val content = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+                out += Entry(rel, graft.core.Ids.sha256Hex(content), mtime, size, content)
+            }
           } catch { case _: Exception => () } // racing delete: skip
         }
       }
-    }
+    } finally walk.close()
     out.toSeq.sortBy(_.relPath)
   }
 
@@ -130,7 +141,7 @@ class FileWatchStream(path: String, checkpointLocation: String) extends MicroBat
   private def writeSnap(v: Long, s: Seq[Entry]): Unit = {
     val enc = s.map { e =>
       val c = java.util.Base64.getEncoder.encodeToString(e.content.getBytes(StandardCharsets.UTF_8))
-      s"${e.relPath}\t${e.hash}\t${e.mtime}\t$c"
+      s"${e.relPath}\t${e.hash}\t${e.mtime}\t${e.size}\t$c"
     }.mkString("\n")
     Files.write(snapFile(v), enc.getBytes(StandardCharsets.UTF_8))
   }
@@ -140,16 +151,19 @@ class FileWatchStream(path: String, checkpointLocation: String) extends MicroBat
     if (!Files.exists(f)) return Seq.empty
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8).split("\n", -1).toSeq
       .filter(_.nonEmpty).map { line =>
-        val Array(rel, hash, mtime, c) = line.split("\t", 4)
-        Entry(rel, hash, mtime.toLong,
+        val Array(rel, hash, mtime, size, c) = line.split("\t", 5)
+        Entry(rel, hash, mtime.toLong, size.toLong,
           new String(java.util.Base64.getDecoder.decode(c), StandardCharsets.UTF_8))
       }
   }
 
-  private def latestVersion: Long =
-    Files.list(snapDir).iterator().asScala
+  private def latestVersion: Long = {
+    val list = Files.list(snapDir)
+    try list.iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".snap"))
       .map(_.stripSuffix(".snap").toLong).foldLeft(-1L)(math.max)
+    finally list.close()
+  }
 
   override def initialOffset(): Offset = {
     if (latestVersion < 0) writeSnap(0, snapshot(path)) // baseline: existing files emit no events
@@ -158,8 +172,9 @@ class FileWatchStream(path: String, checkpointLocation: String) extends MicroBat
 
   override def latestOffset(): Offset = {
     val v = math.max(latestVersion, 0)
-    val current = snapshot(path)
-    if (diff(readSnap(v), current).isEmpty) FileWatchOffset(v)
+    val prev = readSnap(v)
+    val current = snapshot(path, prev.map(e => e.relPath -> e).toMap)
+    if (diff(prev, current).isEmpty) FileWatchOffset(v)
     else { writeSnap(v + 1, current); FileWatchOffset(v + 1) }
   }
 
@@ -198,7 +213,9 @@ class FileWatchStream(path: String, checkpointLocation: String) extends MicroBat
     // retain the committed snapshot and newer; older versions are no
     // longer needed for replay
     val keep = end.asInstanceOf[FileWatchOffset].version
-    Files.list(snapDir).iterator().asScala.toSeq.foreach { f =>
+    val list = Files.list(snapDir)
+    val files = try list.iterator().asScala.toSeq finally list.close()
+    files.foreach { f =>
       val name = f.getFileName.toString
       if (name.endsWith(".snap") && name.stripSuffix(".snap").toLong < keep)
         try Files.delete(f) catch { case _: Exception => () }
