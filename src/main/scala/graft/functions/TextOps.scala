@@ -77,6 +77,20 @@ object TextOps {
     when(anySignal, argmax).otherwise(lit("unknown"))
   }
 
+  /** Within-document word-3-gram repetition ratio (the Gopher-family
+    * repetition signal): 1 − distinct/total trigrams; 0 for docs under 3
+    * tokens. The `< 3` CASE guard matters — Spark's sequence(1, 0) yields
+    * the DESCENDING [1, 0], not an empty list.
+    */
+  def trigramRepetition(textColName: String): Column = {
+    val toks = s"filter(split(lower($textColName), '[^a-z0-9]+'), x -> length(x) > 1)"
+    val tgs = s"transform(sequence(1, size($toks) - 2), i -> concat(" +
+      s"element_at($toks, i), ' ', element_at($toks, i + 1), ' ', element_at($toks, i + 2)))"
+    expr(
+      s"""CASE WHEN size($toks) < 3 THEN 0.0
+         |     ELSE 1.0 - cast(size(array_distinct($tgs)) as double) / size($tgs) END""".stripMargin)
+  }
+
   /** Positional polynomial rolling-hash fingerprint over the token stream:
     * fold `acc = (acc*31 + h31(token)) mod 1e9+7` — order-sensitive, so
     * reordered documents get different fingerprints (unlike the word-set

@@ -168,8 +168,12 @@ object IndexPipeline {
       .persist()
 
     val chunksWritten = finalNew.count()
-    val chunksCarried = all.count() - chunksWritten
-    val nRelations = all.filter(col("chunkType") === "relation").count()
+    // one job for total + relation count instead of two over `all`
+    val Array(totalChunks, nRelations) = all.agg(
+      count(lit(1)).as("total"),
+      count(when(col("chunkType") === "relation", 1)).as("rel"))
+      .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val chunksCarried = totalChunks - chunksWritten
 
     IndexStore.writeChunks(all, storeDir)
     newChunksRaw.unpersist(); names.unpersist(); all.unpersist(); finalNew.unpersist()

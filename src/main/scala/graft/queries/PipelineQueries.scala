@@ -85,7 +85,46 @@ object PipelineQueries {
       Tables.documents(s, dir)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_total"),
-          count(when(Splits.sampled(col("doc_id"), 10), 1)).as("n_sampled")))
+          count(when(Splits.sampled(col("doc_id"), 10), 1)).as("n_sampled"))),
+
+    // Within-doc word-3-gram repetition (Gopher-style repetition signal):
+    // per-source average and the count of docs above the 0.2 flag line.
+    // A narrow map pass + one aggregation — scan-bound at any scale.
+    "q40_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), graft.functions.TextOps.trigramRepetition("text").as("rep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("rep")), 6).as("avg_rep"),
+          count(when(col("rep") > 0.2, 1)).as("n_flagged"))),
+
+    // Gopher-style quality-rule composition: per-source keep counts and a
+    // per-rule failure breakdown (length / mean-word-length / symbol ratio
+    // / stopword evidence). Each rule is a pure column expression shared
+    // with the q24 metrics, so the filter is a single codegen map pass.
+    "q41_quality" -> ((s, dir) => {
+      import graft.functions.TextOps
+      val w = TextOps.words(col("text"))
+      val wc = size(w)
+      val awl = TextOps.avgWordLen(col("text"))
+      val pr = TextOps.punctRatio(col("text"))
+      val nstop = size(array_intersect(array_distinct(w),
+        array(TextQueries.Stopwords.map(lit(_)): _*)))
+      val okLen = wc.between(20, 100000)
+      val okAwl = awl.between(3.0, 10.0)
+      val okSym = pr < 0.1
+      val okStop = nstop >= 2
+      Tables.documents(s, dir)
+        .select(col("source"), okLen.as("ok_len"), okAwl.as("ok_awl"),
+          okSym.as("ok_sym"), okStop.as("ok_stop"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("ok_len") && col("ok_awl") && col("ok_sym") && col("ok_stop"), 1)).as("n_keep"),
+          count(when(!col("ok_len"), 1)).as("n_bad_len"),
+          count(when(!col("ok_awl"), 1)).as("n_bad_awl"),
+          count(when(!col("ok_sym"), 1)).as("n_bad_sym"),
+          count(when(!col("ok_stop"), 1)).as("n_bad_stop"))
+    })
   )
 
   private val bucketSql = "CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100"
@@ -171,6 +210,53 @@ object PipelineQueries {
       s"""SELECT lang, count(*) AS n_total,
          |       count(CASE WHEN smp = 0 THEN 1 END) AS n_sampled
          |FROM (SELECT lang, $sampleSql AS smp FROM documents)
-         |GROUP BY lang""".stripMargin
+         |GROUP BY lang""".stripMargin,
+
+    "q40_repetition" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT source,
+        |         CASE WHEN len(t) < 3 THEN CAST('[]' AS VARCHAR[])
+        |              ELSE list_transform(generate_series(1, len(t) - 2),
+        |                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END AS tg
+        |  FROM d
+        |), r AS (
+        |  SELECT source,
+        |         CASE WHEN len(tg) = 0 THEN 0.0
+        |              ELSE 1.0 - len(list_distinct(tg)) * 1.0 / len(tg) END AS rep
+        |  FROM g
+        |)
+        |SELECT source, count(*) AS n_docs, round(avg(rep), 6) AS avg_rep,
+        |       count(CASE WHEN rep > 0.2 THEN 1 END) AS n_flagged
+        |FROM r GROUP BY source""".stripMargin,
+
+    "q41_quality" ->
+      s"""WITH m AS (
+         |  SELECT source,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS w,
+         |         len(text) AS nc,
+         |         len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS nclean
+         |  FROM documents
+         |), q AS (
+         |  SELECT source,
+         |         len(w) BETWEEN 20 AND 100000 AS ok_len,
+         |         (CASE WHEN len(w) = 0 THEN 0.0
+         |               ELSE list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w) END)
+         |           BETWEEN 3.0 AND 10.0 AS ok_awl,
+         |         (CASE WHEN nc = 0 THEN 0.0 ELSE (nc - nclean) * 1.0 / nc END) < 0.1 AS ok_sym,
+         |         len(list_intersect(list_distinct(w),
+         |             [${TextQueries.Stopwords.map(s => s"'$s'").mkString(", ")}])) >= 2 AS ok_stop
+         |  FROM m
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |       count(CASE WHEN ok_len AND ok_awl AND ok_sym AND ok_stop THEN 1 END) AS n_keep,
+         |       count(CASE WHEN NOT ok_len THEN 1 END) AS n_bad_len,
+         |       count(CASE WHEN NOT ok_awl THEN 1 END) AS n_bad_awl,
+         |       count(CASE WHEN NOT ok_sym THEN 1 END) AS n_bad_sym,
+         |       count(CASE WHEN NOT ok_stop THEN 1 END) AS n_bad_stop
+         |FROM q GROUP BY source""".stripMargin
   )
 }

@@ -27,6 +27,19 @@ class PipelineSpec extends SparkSpec {
     assert(s > 50 && s < 150)
   }
 
+  test("trigram repetition: repeated text scores high, varied text low, short text zero") {
+    val docs = Seq(
+      (1L, "alpha beta gamma " * 20),                          // one trigram family repeated
+      (2L, (1 to 60).map(i => s"word$i").mkString(" ")),       // all-distinct trigrams
+      (3L, "tiny doc")                                         // under 3 tokens -> 0.0
+    ).toDF("id", "text")
+    val rep = docs.select(col("id"), TextOps.trigramRepetition("text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep(1L) > 0.9)
+    assert(rep(2L) == 0.0)
+    assert(rep(3L) == 0.0)
+  }
+
   test("dup clusters: min-label fixpoint over a chain and a disjoint pair") {
     // chain 1-2-3-4 (diameter 3 forces multiple propagation rounds) + pair 10-11
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
