@@ -81,6 +81,12 @@ object TextOps {
     * repetition signal): 1 − distinct/total trigrams; 0 for docs under 3
     * tokens. The `< 3` CASE guard matters — Spark's sequence(1, 0) yields
     * the DESCENDING [1, 0], not an empty list.
+    *
+    * NB: this column form exists for composability, but HOF lambdas
+    * evaluate interpreted per ELEMENT — `element_at(toks, i)` inside the
+    * transform re-derives the token array per trigram, O(tokens²) per doc.
+    * Hot paths (q40 over the corpus) use [[trigramRepetitionScala]] in a
+    * JIT'd typed map instead (same rule as the minhash signature loops).
     */
   def trigramRepetition(textColName: String): Column = {
     val toks = s"filter(split(lower($textColName), '[^a-z0-9]+'), x -> length(x) > 1)"
@@ -89,6 +95,26 @@ object TextOps {
     expr(
       s"""CASE WHEN size($toks) < 3 THEN 0.0
          |     ELSE 1.0 - cast(size(array_distinct($tgs)) as double) / size($tgs) END""".stripMargin)
+  }
+
+  /** The JIT twin of [[trigramRepetition]] — identical tokenization
+    * (lowercase alnum runs, length > 1) and identical arithmetic
+    * (1.0 − distinct/total from exact ints), so the two can never diverge
+    * from the oracle's derivation.
+    */
+  def trigramRepetitionScala(text: String): Double = {
+    val t = graft.search.Bm25.tokenizeScala(text)
+    if (t.length < 3) 0.0
+    else {
+      val n = t.length - 2
+      val seen = new java.util.HashSet[String](n * 2)
+      var i = 0
+      while (i < n) {
+        seen.add(t(i) + " " + t(i + 1) + " " + t(i + 2))
+        i += 1
+      }
+      1.0 - seen.size.toDouble / n
+    }
   }
 
   /** Positional polynomial rolling-hash fingerprint over the token stream:

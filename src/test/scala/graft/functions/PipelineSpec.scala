@@ -38,6 +38,10 @@ class PipelineSpec extends SparkSpec {
     assert(rep(1L) > 0.9)
     assert(rep(2L) == 0.0)
     assert(rep(3L) == 0.0)
+    // the JIT twin used on hot paths is bit-identical to the column form
+    docs.collect().foreach { r =>
+      assert(TextOps.trigramRepetitionScala(r.getString(1)) == rep(r.getLong(0)))
+    }
   }
 
   test("dup clusters: min-label fixpoint over a chain and a disjoint pair") {
