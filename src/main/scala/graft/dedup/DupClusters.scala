@@ -34,25 +34,29 @@ object DupClusters {
     labels.count() // materialize before the loop mutates the reference
 
     var changed = 1L
+    var persisted = labels
     while (changed > 0) {
       val neighborLbl = sym
         .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
-        .select(col("src").as("node"), col("lbl"))
-      val next = labels.select(col("node"), col("lbl")).union(neighborLbl)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .select(col("src").as("node"), col("lbl"), lit(null).cast("long").as("own"))
+      // each node contributes exactly one self row carrying its current
+      // label in `own`, so the SAME aggregation yields both the new label
+      // (min over self+neighbors) and the old one (max ignores nulls) —
+      // no second join to detect convergence
+      val selfLbl = labels.select(col("node"), col("lbl"), col("lbl").as("own"))
+      val agg = selfLbl.union(neighborLbl)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"), max(col("own")).as("own"))
         .persist()
-      changed = next.select(col("node"), col("lbl").as("new_lbl"))
-        .join(labels, Seq("node"))
-        .filter(col("new_lbl") =!= col("lbl"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = agg.filter(col("lbl") =!= col("own")).count()
+      persisted.unpersist()
+      persisted = agg
+      labels = agg.select(col("node"), col("lbl"))
     }
     // materialize the (small) result eagerly so the loop's cache can be
     // released — otherwise the final labels stay pinned in the block
     // manager with no owner to unpersist them
     val out = labels.withColumnRenamed("lbl", "cluster_id").localCheckpoint(true)
-    labels.unpersist()
+    persisted.unpersist()
     sym.unpersist()
     out
   }

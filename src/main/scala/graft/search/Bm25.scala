@@ -56,8 +56,11 @@ object Bm25 {
   def fit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val dt = docTerms(docs, idCol, textCol)
     val n = docs.count()
+    // docTerms rows are unique per (doc, term) — its groupBy key — so a
+    // plain count IS the document frequency; countDistinct would add a
+    // needless distinct expansion before the aggregate
     dt.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
   }
 
