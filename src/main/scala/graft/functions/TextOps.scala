@@ -89,12 +89,13 @@ object TextOps {
     * JIT'd typed map instead (same rule as the minhash signature loops).
     */
   def trigramRepetition(textColName: String): Column = {
-    val toks = s"filter(split(lower($textColName), '[^a-z0-9]+'), x -> length(x) > 1)"
-    val tgs = s"transform(sequence(1, size($toks) - 2), i -> concat(" +
-      s"element_at($toks, i), ' ', element_at($toks, i + 1), ' ', element_at($toks, i + 2)))"
-    expr(
-      s"""CASE WHEN size($toks) < 3 THEN 0.0
-         |     ELSE 1.0 - cast(size(array_distinct($tgs)) as double) / size($tgs) END""".stripMargin)
+    // built on the ONE canonical tokenizer (Bm25.tokens) — no string-literal
+    // copy that could drift from what the oracles replay
+    val toks = graft.search.Bm25.tokens(col(textColName))
+    val tgs = transform(sequence(lit(1), size(toks) - 2), i =>
+      concat(element_at(toks, i), lit(" "), element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))
+    when(size(toks) < 3, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(tgs)).cast("double") / size(tgs))
   }
 
   /** The JIT twin of [[trigramRepetition]] — identical tokenization

@@ -169,11 +169,11 @@ object IndexPipeline {
 
     val chunksWritten = finalNew.count()
     // one job for total + relation count instead of two over `all`
-    val Array(totalChunks, nRelations) = all.agg(
+    val statRow = all.agg(
       count(lit(1)).as("total"),
-      count(when(col("chunkType") === "relation", 1)).as("rel"))
-      .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
-    val chunksCarried = totalChunks - chunksWritten
+      count(when(col("chunkType") === "relation", 1)).as("rel")).head()
+    val nRelations = statRow.getLong(1)
+    val chunksCarried = statRow.getLong(0) - chunksWritten
 
     IndexStore.writeChunks(all, storeDir)
     newChunksRaw.unpersist(); names.unpersist(); all.unpersist(); finalNew.unpersist()

@@ -122,7 +122,9 @@ object Bm25 {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val model = dt.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      // dt rows are unique per (doc, term) — its groupBy key — so plain
+      // count is the df (same invariant as fit())
+      .agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
       .select(col("term"), col("idf"))
     dt.join(broadcast(model), "term")
