@@ -26,15 +26,24 @@ object DupClusters {
 
   /** (node, cluster_id) for every node appearing in `edges`. */
   def components(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // materialize the edge list ONCE up front: the caller's edge pipeline
+    // may be expensive (e.g. a brute-force similarity join), and both the
+    // symmetrization union branches and every loop iteration would
+    // otherwise re-execute its lineage
     val sym0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
     val sym = sym0.union(sym0.select(col("dst").as("src"), col("src").as("dst"))).persist()
 
+    // localCheckpoint (eager) at every step, NOT persist: persist caches
+    // data but keeps the full logical plan, so an iterative loop's plan
+    // doubles per round (labels_i is built on labels_{i-1}) until plan
+    // stringification/codegen OOMs on long-diameter graphs. Checkpointing
+    // truncates lineage — the per-iteration plan stays constant-size, the
+    // standard discipline for iterative DataFrame algorithms.
     var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).persist()
-    labels.count() // materialize before the loop mutates the reference
+      .withColumn("lbl", col("node")).localCheckpoint(true)
 
     var changed = 1L
-    var persisted = labels
     while (changed > 0) {
       val neighborLbl = sym
         .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
@@ -44,19 +53,22 @@ object DupClusters {
       // (min over self+neighbors) and the old one (max ignores nulls) —
       // no second join to detect convergence
       val selfLbl = labels.select(col("node"), col("lbl"), col("lbl").as("own"))
-      val agg = selfLbl.union(neighborLbl)
+      val prop = selfLbl.union(neighborLbl)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"), max(col("own")).as("own"))
-        .persist()
-      changed = agg.filter(col("lbl") =!= col("own")).count()
-      persisted.unpersist()
-      persisted = agg
-      labels = agg.select(col("node"), col("lbl"))
+      // pointer jumping: labels are node ids (component minima propagate
+      // as ids), so re-labeling every node through its LABEL's label
+      // halves chain lengths each round — O(log diameter) rounds instead
+      // of O(diameter), which is what makes long-chain similarity graphs
+      // (and a 100 TB corpus's dup families) converge in a handful of
+      // passes. The fixpoint is unchanged: min id per component.
+      val jumped = prop
+        .join(prop.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+        .select(col("node"), coalesce(col("lbl2"), col("lbl")).as("lbl"), col("own"))
+        .localCheckpoint(true)
+      changed = jumped.filter(col("lbl") =!= col("own")).count()
+      labels = jumped.select(col("node"), col("lbl"))
     }
-    // materialize the (small) result eagerly so the loop's cache can be
-    // released — otherwise the final labels stay pinned in the block
-    // manager with no owner to unpersist them
     val out = labels.withColumnRenamed("lbl", "cluster_id").localCheckpoint(true)
-    persisted.unpersist()
     sym.unpersist()
     out
   }

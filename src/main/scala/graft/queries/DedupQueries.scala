@@ -116,10 +116,19 @@ object DedupQueries {
         |) WHERE j >= 0.6""".stripMargin,
 
     "q22_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin
+      s"""WITH $embedPairCtes
+         |SELECT id_a, id_b, round(c, 6) AS cos FROM epairs""".stripMargin
   )
+
+  /** Embedding cosine near-dup pair CTEs, shared by the q22 oracle and the
+    * embed-cluster oracle in [[PipelineQueries]].
+    */
+  private[queries] val embedPairCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |epairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         list_cosine_similarity(a.v, b.v) AS c
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+      |)""".stripMargin
 }

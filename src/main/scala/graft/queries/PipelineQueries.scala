@@ -104,6 +104,18 @@ object PipelineQueries {
           count(when(col("rep") > 0.2, 1)).as("n_flagged"))
     }),
 
+    // Semantic near-dup FAMILIES: connected components over the q22
+    // embedding-cosine pairs — "keep one doc per semantic duplicate
+    // cluster", composing DupClusters with a second edge source (exact
+    // cosine here; the LSH-bucketed variant is the scale path).
+    "q42_embed_clusters" -> ((s, dir) => {
+      val edges = graft.dedup.EmbeddingDedup
+        .pairsBrute(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+      DupClusters.components(edges, "id_a", "id_b")
+        .select(col("node").as("vec_id"), col("cluster_id"))
+        .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    }),
+
     // Gopher-style quality-rule composition: per-source keep counts and a
     // per-rule failure breakdown (length / mean-word-length / symbol ratio
     // / stopword evidence). Each rule is a pure column expression shared
@@ -238,6 +250,22 @@ object PipelineQueries {
         |SELECT source, count(*) AS n_docs, round(avg(rep), 6) AS avg_rep,
         |       count(CASE WHEN rep > 0.2 THEN 1 END) AS n_flagged
         |FROM r GROUP BY source""".stripMargin,
+
+    "q42_embed_clusters" ->
+      s"""WITH RECURSIVE ${DedupQueries.embedPairCtes},
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM epairs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM epairs
+         |), reach(node, m) AS (
+         |  SELECT DISTINCT src AS node, src AS m FROM edges
+         |  UNION
+         |  SELECT r.node, e2.dst AS m FROM reach r JOIN edges e2 ON r.m = e2.src
+         |), lab AS (
+         |  SELECT node AS vec_id, min(m) AS cluster_id FROM reach GROUP BY node
+         |)
+         |SELECT vec_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS csize
+         |FROM lab""".stripMargin,
 
     "q41_quality" ->
       s"""WITH m AS (
