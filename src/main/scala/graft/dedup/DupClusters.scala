@@ -53,8 +53,12 @@ object DupClusters {
       // (min over self+neighbors) and the old one (max ignores nulls) —
       // no second join to detect convergence
       val selfLbl = labels.select(col("node"), col("lbl"), col("lbl").as("own"))
+      // checkpointed BEFORE the jump self-join: prop appears on both sides,
+      // and without materialization the propagation aggregation would run
+      // twice per round from lineage
       val prop = selfLbl.union(neighborLbl)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"), max(col("own")).as("own"))
+        .localCheckpoint(true)
       // pointer jumping: labels are node ids (component minima propagate
       // as ids), so re-labeling every node through its LABEL's label
       // halves chain lengths each round — O(log diameter) rounds instead

@@ -37,11 +37,27 @@ object JsParser {
   private val Builtins = Set("console", "require", "parseInt", "parseFloat", "String",
     "Number", "Boolean", "Array", "Object", "Promise", "setTimeout", "setInterval")
 
+  /** Strip string/template literals and comments so a brace INSIDE them
+    * (`const CLOSE = "}"`) can't desync the depth tracker. Line-local
+    * approximation — multiline template literals / block comments are the
+    * residual blind spot of a structural parser.
+    */
+  private def stripLiterals(l: String): String =
+    l.replaceAll("""'(?:\\.|[^'\\])*'""", "''")
+      .replaceAll(""""(?:\\.|[^"\\])*"""", "\"\"")
+      .replaceAll("""`(?:\\.|[^`\\])*`""", "``")
+      .replaceAll("""/\*.*?\*/""", "")
+      .replaceAll("""//.*$""", "")
+
+  private val AsyncWord = """\basync\b""".r
+
   def parse(relPath: String, content: String): ParserResult = {
     val entities = ArrayBuffer[Entity]()
     val relations = ArrayBuffer[Relation]()
     val implChunks = ArrayBuffer[Chunk]()
     val lines = content.split("\n", -1)
+    // brace accounting always runs on literal-stripped lines
+    val braceLines = lines.map(stripLiterals)
     entities += Entity(relPath, "file", relPath, 1, lines.length,
       Seq(s"JS/TS source with ${lines.length} lines"), "", "")
 
@@ -53,7 +69,7 @@ object JsParser {
     def blockEnd(start: Int): Int = {
       var d = 0
       var opened = false
-      lines(start).foreach {
+      braceLines(start).foreach {
         case '{' => d += 1; opened = true
         case '}' => d -= 1
         case _ =>
@@ -61,7 +77,7 @@ object JsParser {
       if (!opened || d <= 0) return start
       var i = start + 1
       while (i < lines.length) {
-        lines(i).foreach {
+        braceLines(i).foreach {
           case '{' => d += 1
           case '}' => d -= 1
           case _ =>
@@ -71,6 +87,13 @@ object JsParser {
       }
       lines.length - 1
     }
+
+    /** Body text of a block declared on line `i`: the declaration line's
+      * tail after its opening brace plus the following lines — so
+      * one-liner bodies (`f(x) { return g(x); }`) still yield their calls.
+      */
+    def bodyOf(i: Int, endL: Int): String =
+      (lines(i).dropWhile(_ != '{').drop(1) +: lines.slice(i + 1, endL + 1)).mkString("\n")
 
     def decoratorsAbove(line: Int): Seq[String] = {
       var i = line - 1
@@ -163,9 +186,9 @@ object JsParser {
             case Some(m) =>
               val (name, params) = (m.group(1), m.group(2))
               val endL = blockEnd(i)
-              val body = lines.slice(i + 1, endL + 1).mkString("\n")
+              val body = bodyOf(i, endL)
               val (obs, calls) = funcObs(name, s"function $name($params)", body,
-                decoratorsAbove(i), line.contains("async "))
+                decoratorsAbove(i), AsyncWord.findFirstIn(line).isDefined)
               entities += Entity(name, "function", relPath, i + 1, endL + 1, obs, "",
                 s"function $name($params)")
               relations += Relation(relPath, name, "contains", "", "", 1.0)
@@ -178,7 +201,7 @@ object JsParser {
                 val endL = blockEnd(i)
                 val body = lines.slice(i, endL + 1).mkString("\n")
                 val (obs0, calls) = funcObs(name, line.trim.take(120), body,
-                  decoratorsAbove(i), line.contains("async"))
+                  decoratorsAbove(i), AsyncWord.findFirstIn(line).isDefined)
                 entities += Entity(name, "function", relPath, i + 1, endL + 1,
                   obs0 :+ "arrow function", "", line.trim.take(120))
                 relations += Relation(relPath, name, "contains", "", "", 1.0)
@@ -192,9 +215,9 @@ object JsParser {
                   case Some(m) if !StmtKeywords.contains(m.group(1)) =>
                     val (name, params) = (m.group(1), m.group(2))
                     val endL = blockEnd(i)
-                    val body = lines.slice(i + 1, endL + 1).mkString("\n")
+                    val body = bodyOf(i, endL)
                     val (obs, calls) = funcObs(name, s"$name($params)", body,
-                      decoratorsAbove(i), line.contains("async "))
+                      decoratorsAbove(i), AsyncWord.findFirstIn(line).isDefined)
                     entities += Entity(name, "method", relPath, i + 1, endL + 1,
                       obs :+ s"member of: $cls", "", s"$name($params)")
                     relations += Relation(cls, name, "contains", "", "", 1.0)
@@ -207,7 +230,7 @@ object JsParser {
                       val endL = blockEnd(i)
                       val body = lines.slice(i, endL + 1).mkString("\n")
                       val (obs0, calls) = funcObs(name, line.trim.take(120), body,
-                        decoratorsAbove(i), line.contains("async"))
+                        decoratorsAbove(i), AsyncWord.findFirstIn(line).isDefined)
                       entities += Entity(name, "method", relPath, i + 1, endL + 1,
                         obs0 ++ Seq("arrow function", s"member of: $cls"), "", line.trim.take(120))
                       relations += Relation(cls, name, "contains", "", "", 1.0)

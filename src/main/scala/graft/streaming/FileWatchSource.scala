@@ -87,14 +87,17 @@ object FileWatchSource {
     out.toSeq.sortBy(_.relPath)
   }
 
-  /** created/modified/deleted events turning `from` into `to`. */
+  /** created/modified/deleted events turning `from` into `to`, as METADATA
+    * (relPath, eventType, ts, contentHash) — content is resolved from the
+    * blob store by the partition reader, so diffing never touches bytes.
+    */
   def diff(from: Seq[Entry], to: Seq[Entry]): Seq[(String, String, Long, String)] = {
     val fromMap = from.map(e => e.relPath -> e).toMap
     val toMap = to.map(e => e.relPath -> e).toMap
     val created = to.filterNot(e => fromMap.contains(e.relPath))
-      .map(e => (e.relPath, "created", e.mtime, e.content))
+      .map(e => (e.relPath, "created", e.mtime, e.hash))
     val modified = to.filter(e => fromMap.get(e.relPath).exists(_.hash != e.hash))
-      .map(e => (e.relPath, "modified", e.mtime, e.content))
+      .map(e => (e.relPath, "modified", e.mtime, e.hash))
     val deleted = from.filterNot(e => toMap.contains(e.relPath))
       .map(e => (e.relPath, "deleted", e.mtime + 1, ""))
     (created ++ modified ++ deleted).sortBy(_._1)
@@ -119,9 +122,16 @@ case class FileWatchOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
-/** Snapshot-diff micro-batch stream. Snapshots are persisted per version
-  * under `<checkpoint>/graft-snapshots/` so planInputPartitions(start, end)
-  * replays the exact same diff after a restart.
+/** Snapshot-diff micro-batch stream.
+  *
+  * Persistence layout under `<checkpoint>/graft-snapshots/`:
+  *  - `<v>.snap`: one metadata line per file — base64(relPath), hash,
+  *    mtime, size. O(files) metadata per version, never contents.
+  *  - `blobs/<hash>`: file content, written once per unique content hash
+  *    (content-addressed — an edited 1 KB file in a 1 GB tree persists
+  *    1 KB, not the corpus). Unreferenced blobs are pruned on commit.
+  * planInputPartitions(start, end) replays the exact same diff after a
+  * restart; the partition reader resolves event content from the blobs.
   */
 class FileWatchStream(path: String, checkpointLocation: String) extends MicroBatchStream {
   import FileWatchSource._
@@ -134,27 +144,43 @@ class FileWatchStream(path: String, checkpointLocation: String) extends MicroBat
       else Paths.get(checkpointLocation)
     base.resolve("graft-snapshots")
   }
-  Files.createDirectories(snapDir)
+  private val blobDir: Path = snapDir.resolve("blobs")
+  Files.createDirectories(blobDir)
 
   private def snapFile(v: Long): Path = snapDir.resolve(s"$v.snap")
 
   private def writeSnap(v: Long, s: Seq[Entry]): Unit = {
+    s.foreach { e =>
+      val blob = blobDir.resolve(e.hash)
+      // content may be "" for entries reused from the previous snapshot —
+      // their blob is already on disk from the version that captured them
+      if (e.content.nonEmpty && !Files.exists(blob))
+        Files.write(blob, e.content.getBytes(StandardCharsets.UTF_8))
+    }
     val enc = s.map { e =>
-      val c = java.util.Base64.getEncoder.encodeToString(e.content.getBytes(StandardCharsets.UTF_8))
-      s"${e.relPath}\t${e.hash}\t${e.mtime}\t${e.size}\t$c"
+      // relPath is base64-coded: tabs/newlines are legal in file names and
+      // would corrupt a delimited record
+      val rel = java.util.Base64.getEncoder.encodeToString(e.relPath.getBytes(StandardCharsets.UTF_8))
+      s"$rel\t${e.hash}\t${e.mtime}\t${e.size}"
     }.mkString("\n")
     Files.write(snapFile(v), enc.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Metadata only — content stays in the blob store. */
   private def readSnap(v: Long): Seq[Entry] = {
     val f = snapFile(v)
     if (!Files.exists(f)) return Seq.empty
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8).split("\n", -1).toSeq
       .filter(_.nonEmpty).map { line =>
-        val Array(rel, hash, mtime, size, c) = line.split("\t", 5)
-        Entry(rel, hash, mtime.toLong, size.toLong,
-          new String(java.util.Base64.getDecoder.decode(c), StandardCharsets.UTF_8))
+        val Array(rel, hash, mtime, size) = line.split("\t", 4)
+        Entry(new String(java.util.Base64.getDecoder.decode(rel), StandardCharsets.UTF_8),
+          hash, mtime.toLong, size.toLong, "")
       }
+  }
+
+  private def readBlob(hash: String): String = {
+    val f = blobDir.resolve(hash)
+    if (Files.exists(f)) new String(Files.readAllBytes(f), StandardCharsets.UTF_8) else ""
   }
 
   private def latestVersion: Long = {
@@ -165,17 +191,40 @@ class FileWatchStream(path: String, checkpointLocation: String) extends MicroBat
     finally list.close()
   }
 
+  /** Take the no-event baseline snapshot if none exists yet. Spark may
+    * call latestOffset BEFORE initialOffset on a fresh stream, so BOTH
+    * entry points establish the baseline — otherwise the first poll would
+    * diff against an empty snapshot and emit every pre-existing file as
+    * "created".
+    */
+  private def ensureBaseline(): Unit =
+    if (latestVersion < 0) writeSnap(0, snapshot(path))
+
   override def initialOffset(): Offset = {
-    if (latestVersion < 0) writeSnap(0, snapshot(path)) // baseline: existing files emit no events
-    FileWatchOffset(math.max(latestVersion, 0))
+    ensureBaseline()
+    // ALWAYS version 0: initialOffset is only consulted when the offset WAL
+    // is empty, and snapshots newer than 0 can then only exist from a crash
+    // between snapshot write and WAL write — starting at 0 replays their
+    // events instead of silently dropping them
+    FileWatchOffset(0)
   }
 
   override def latestOffset(): Offset = {
-    val v = math.max(latestVersion, 0)
+    ensureBaseline()
+    val v = latestVersion
     val prev = readSnap(v)
     val current = snapshot(path, prev.map(e => e.relPath -> e).toMap)
-    if (diff(prev, current).isEmpty) FileWatchOffset(v)
-    else { writeSnap(v + 1, current); FileWatchOffset(v + 1) }
+    if (diff(prev, current).nonEmpty) { writeSnap(v + 1, current); FileWatchOffset(v + 1) }
+    else {
+      // content-identical but metadata moved (touch, rewrite-same-bytes):
+      // refresh the snapshot in place — cheap, and without it every later
+      // poll would re-read and re-hash the touched file against the stale
+      // mtime forever
+      val prevMeta = prev.map(e => e.relPath -> (e.mtime, e.size)).toMap
+      if (current.exists(e => prevMeta.get(e.relPath).exists(_ != ((e.mtime, e.size)))))
+        writeSnap(v, current)
+      FileWatchOffset(v)
+    }
   }
 
   override def deserializeOffset(json: String): Offset = {
@@ -188,8 +237,12 @@ class FileWatchStream(path: String, checkpointLocation: String) extends MicroBat
     val s = start.asInstanceOf[FileWatchOffset].version
     val e = end.asInstanceOf[FileWatchOffset].version
     if (e <= s) return Array.empty
-    // coalesce across intermediate versions: diff endpoint snapshots
-    val events = diff(readSnap(s), readSnap(e)).toArray
+    // coalesce across intermediate versions: diff endpoint snapshots;
+    // resolve content from the blob store (deleted events carry none)
+    val events = diff(readSnap(s), readSnap(e))
+      .map { case (rel, typ, ts, hash) =>
+        (rel, typ, ts, if (typ == "deleted") "" else readBlob(hash))
+      }.toArray
     if (events.isEmpty) Array.empty else Array(FileWatchPartition(events))
   }
 
@@ -211,7 +264,8 @@ class FileWatchStream(path: String, checkpointLocation: String) extends MicroBat
 
   override def commit(end: Offset): Unit = {
     // retain the committed snapshot and newer; older versions are no
-    // longer needed for replay
+    // longer needed for replay. Blobs referenced by no retained snapshot
+    // are pruned with them.
     val keep = end.asInstanceOf[FileWatchOffset].version
     val list = Files.list(snapDir)
     val files = try list.iterator().asScala.toSeq finally list.close()
@@ -219,6 +273,18 @@ class FileWatchStream(path: String, checkpointLocation: String) extends MicroBat
       val name = f.getFileName.toString
       if (name.endsWith(".snap") && name.stripSuffix(".snap").toLong < keep)
         try Files.delete(f) catch { case _: Exception => () }
+    }
+    val retained = {
+      val list2 = Files.list(snapDir)
+      val names = try list2.iterator().asScala.map(_.getFileName.toString).toSeq finally list2.close()
+      names.filter(_.endsWith(".snap")).map(_.stripSuffix(".snap").toLong)
+    }
+    val live = retained.flatMap(v => readSnap(v).map(_.hash)).toSet
+    val blobs = Files.list(blobDir)
+    val blobFiles = try blobs.iterator().asScala.toSeq finally blobs.close()
+    blobFiles.foreach { b =>
+      if (!live.contains(b.getFileName.toString))
+        try Files.delete(b) catch { case _: Exception => () }
     }
   }
 

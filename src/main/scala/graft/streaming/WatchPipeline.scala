@@ -66,10 +66,13 @@ object WatchPipeline {
     res
   }
 
-  /** Watch-start semantics (reference: watcher/handler.py:513-552): if the
-    * store doesn't exist yet, run a full batch index of the project BEFORE
-    * streaming events are applied, so the stream only ever does
-    * incremental work.
+  /** Watch-start semantics (reference: watcher/handler.py:513-552): run a
+    * batch index of the project BEFORE streaming events are applied — full
+    * on a fresh store, INCREMENTAL otherwise. The incremental pass is the
+    * offline-edit catch-up: the watch source's baseline snapshot emits no
+    * events for files already on disk, so anything edited while the
+    * watcher was down would otherwise never be indexed; the file_state
+    * diff picks exactly those up.
     */
   def initialIndexThenWatch(spark: SparkSession, projectDir: String,
                             events: org.apache.spark.sql.Dataset[FileEvent],
@@ -77,8 +80,7 @@ object WatchPipeline {
                             checkpointDir: String,
                             embedder: Embedder = DeterministicEmbedder(),
                             debounceMs: Long = DefaultDebounceMs): StreamingQuery = {
-    if (!IndexStore.exists(storeDir))
-      IndexPipeline.index(spark, projectDir, storeDir, embedder)
+    IndexPipeline.index(spark, projectDir, storeDir, embedder)
     start(events, storeDir, embedder, debounceMs, checkpointDir)
   }
 

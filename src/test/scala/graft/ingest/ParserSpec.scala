@@ -137,6 +137,31 @@ class ParserSpec extends AnyFunSuite {
     assert(implByName("Service").lineNumber == 2 && implByName("Service").endLineNumber == 13)
     assert(implByName("process").lineNumber == 5 && implByName("process").endLineNumber == 11)
     assert(implByName("helper").content.contains("return x.length"))
+    // one-liner bodies still yield their calls (body includes the tail
+    // after the opening brace)
+    assert(byName("helper").observations.exists(_.startsWith("signature:")))
+    assert(rels.contains(("of", "calls", "Service")))
+  }
+
+  test("js: braces in string literals don't desync class tracking; async needs word boundary") {
+    val js =
+      """const CLOSE = "}";
+        |const OPEN = '{';
+        |const loadAsyncData = (x) => x.map(ff);
+        |class Box {
+        |  size() { return count(this.v); }
+        |}
+        |""".stripMargin
+    val r = JsParser.parse("box.ts", js)
+    val byName = r.entities.map(e => e.name -> e).toMap
+    // the literal braces on lines 1-2 must not push depth negative — size()
+    // is still recognized as a member of Box
+    assert(byName("size").entityType == "method")
+    val rels = r.relations.map(x => (x.fromEntity, x.relationType, x.toEntity)).toSet
+    assert(rels.contains(("Box", "contains", "size")))
+    assert(rels.contains(("size", "calls", "count")))
+    // 'Async' inside an identifier is not an async function
+    assert(!byName("loadAsyncData").observations.contains("async function"))
   }
 
   test("yaml: github workflow jobs; json: package deps; ini: sections; csv: columns") {
