@@ -16,9 +16,14 @@ object DebugOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(spark, sfDir).count()
-    println(f"[debugone] $name rows=$n in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // run twice: the first timing carries JVM/codegen warmup, the second is
+    // the steady-state number comparable to a mid-suite Bench entry
+    val reps = if (args.length > 2) args(2).toInt else 2
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[debugone] $name run$i rows=$n in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

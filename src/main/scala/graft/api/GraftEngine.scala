@@ -16,10 +16,11 @@ import graft.search.{Bm25, Hybrid}
   * TakeOrderedAndProject. Graph reads are joins on the relation partition.
   */
 case class GraftEngine(spark: SparkSession, storeDir: String,
-                       embedder: Embedder = DeterministicEmbedder()) {
+                       embedder: Embedder = DeterministicEmbedder(),
+                       config: graft.core.GraftConfig = graft.core.GraftConfig()) {
 
   def index(projectDir: String): IndexPipeline.IndexingResult =
-    IndexPipeline.index(spark, projectDir, storeDir, embedder)
+    IndexPipeline.index(spark, projectDir, storeDir, embedder, config)
 
   def chunks: DataFrame = IndexStore.readChunks(spark, storeDir)
 
@@ -234,8 +235,9 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
       .select(col("entityName")).distinct()
     val rel = all.filter(col("chunkType") === "relation")
     val keep = IndexPipeline.keepWellFormedRelations(rel, names)
-    val phantoms = IndexPipeline.phantomCalls(all).collect().map(_.getString(0)).toSet
-    val keepClean = if (phantoms.isEmpty) keep else keep.filter(!col("chunkId").isin(phantoms.toSeq: _*))
+    // anti-join, not collect+isin: the phantom set is unbounded at scale and
+    // an isin literal list would blow up the plan on the driver
+    val keepClean = keep.join(IndexPipeline.phantomCalls(all), Seq("chunkId"), "left_anti")
     val removed = rel.count() - keepClean.count()
     if (removed > 0) {
       val result = all.filter(col("chunkType") =!= "relation").unionByName(keepClean)

@@ -41,10 +41,10 @@ object DupClusters {
     // truncates lineage — the per-iteration plan stays constant-size, the
     // standard discipline for iterative DataFrame algorithms.
     var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
+      .withColumn("lbl", col("node"))
 
-    var changed = 1L
-    while (changed > 0) {
+    var changed = true
+    while (changed) {
       val neighborLbl = sym
         .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .select(col("src").as("node"), col("lbl"), lit(null).cast("long").as("own"))
@@ -53,23 +53,27 @@ object DupClusters {
       // (min over self+neighbors) and the old one (max ignores nulls) —
       // no second join to detect convergence
       val selfLbl = labels.select(col("node"), col("lbl"), col("lbl").as("own"))
-      // checkpointed BEFORE the jump self-join: prop appears on both sides,
-      // and without materialization the propagation aggregation would run
-      // twice per round from lineage
       val prop = selfLbl.union(neighborLbl)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"), max(col("own")).as("own"))
-        .localCheckpoint(true)
       // pointer jumping: labels are node ids (component minima propagate
       // as ids), so re-labeling every node through its LABEL's label
       // halves chain lengths each round — O(log diameter) rounds instead
       // of O(diameter), which is what makes long-chain similarity graphs
       // (and a 100 TB corpus's dup families) converge in a handful of
       // passes. The fixpoint is unchanged: min id per component.
+      //
+      // `prop` appears on BOTH sides of the jump self-join but is NOT
+      // materialized separately: its groupBy exchange is identical under
+      // both join inputs, so Spark's ReuseExchange runs the expensive
+      // part (the edge join + shuffle) once. One eager checkpoint per
+      // round (the round result, truncating lineage) + a limit-1
+      // convergence probe over the checkpointed blocks = 2 job barriers
+      // per round instead of the 5 the 3-checkpoint version paid.
       val jumped = prop
         .join(prop.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
         .select(col("node"), coalesce(col("lbl2"), col("lbl")).as("lbl"), col("own"))
         .localCheckpoint(true)
-      changed = jumped.filter(col("lbl") =!= col("own")).count()
+      changed = !jumped.filter(col("lbl") =!= col("own")).isEmpty
       labels = jumped.select(col("node"), col("lbl"))
     }
     val out = labels.withColumnRenamed("lbl", "cluster_id").localCheckpoint(true)

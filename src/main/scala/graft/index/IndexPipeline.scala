@@ -29,7 +29,21 @@ object IndexPipeline {
       relations: Long,
       chunksWritten: Long,
       chunksCarried: Long,
-      errors: Seq[String])
+      errors: Seq[String],
+      /** Chunks that actually went through the embedder (chunksWritten minus
+        * embeddings reused via content-hash / entity-level carry).
+        */
+      chunksEmbedded: Long = 0L)
+
+  /** Scan-metadata row joined against the recorded file state — the unit of
+    * the mtime/size prefilter. NB `private[index]`, not `private`: encoder
+    * codegen (SafeProjection) instantiates these from generated classes,
+    * which JVM-private members would break.
+    */
+  private[index] case class CandidateMeta(relPath: String, size: Long, mtime: Long,
+                                          prevHash: Option[String])
+
+  private[index] case class HashedCandidate(row: FileRow, hash: String, prevHash: Option[String])
 
   /** External-target whitelist for orphan cleanup (reference 25-ext list,
     * storage/qdrant.py:2150-2180): relation targets that look like files or
@@ -55,41 +69,68 @@ object IndexPipeline {
       .dropDuplicates("chunkId")
 
   def index(spark: SparkSession, projectDir: String, storeDir: String,
-            embedder: Embedder = DeterministicEmbedder()): IndexingResult = {
+            embedder: Embedder = DeterministicEmbedder(),
+            config: graft.core.GraftConfig = graft.core.GraftConfig()): IndexingResult = {
     import spark.implicits._
 
-    val scanned = SourceScan.scan(spark, projectDir).cache()
-    val filesScanned = scanned.count()
+    // --- metadata-only walk (no content reads) ---------------------------
+    val files = SourceScan.listFiles(projectDir, config)
+    val filesScanned = files.size.toLong
+    val curMeta = spark.createDataset(files).toDF("relPath", "size", "mtime")
 
     val prevState = IndexStore.readState(spark, storeDir)
     val incremental = prevState.isDefined && IndexStore.exists(storeDir)
 
     // --- incremental diff (reference: indexer.py:886-1021) ---------------
-    val currentMeta = scanned.map(f => FileState(f.relPath, Ids.sha256Hex(f.content), f.size, f.mtime))
-    val (toParse: Dataset[FileRow], removedPaths: Seq[String]) = prevState match {
-      case Some(st) if incremental =>
-        val prev = st.as[FileState]
-        val joined = currentMeta.toDF.alias("cur")
-          .join(prev.toDF.alias("prev"), Seq("relPath"), "full_outer")
-          .select(col("relPath"),
-            col("cur.hash").as("curHash"), col("prev.hash").as("prevHash"))
-        val changedPaths = joined
-          .filter(col("curHash").isNotNull && (col("prevHash").isNull || col("curHash") =!= col("prevHash")))
-          .select("relPath").as[String].collect().toSet
-        val removed = joined.filter(col("curHash").isNull).select("relPath").as[String].collect().toSeq
-        (scanned.filter(f => changedPaths.contains(f.relPath)), removed)
-      case _ => (scanned, Seq.empty[String])
-    }
+    // mtime/size prefilter (indexer.py:898-987): a file whose recorded
+    // size+mtime are unchanged is NOT read or hashed at all — only
+    // candidates (new paths, or size/mtime drift) pay the content read,
+    // which is the 15x incremental win on a large tree. All set logic is
+    // joins; no path list round-trips through the driver, so a mass-touch
+    // (branch switch) stays distributed.
+    val prev = (if (incremental) prevState.get else spark.emptyDataset[FileState].toDF)
+      .select(col("relPath"), col("hash").as("prevHash"),
+        col("size").as("prevSize"), col("mtime").as("prevMtime"))
+    val joined = curMeta.join(prev, Seq("relPath"), "full_outer")
+    val removed = joined.filter(col("size").isNull).select(col("relPath"))
+    val unchangedState = joined
+      .filter(col("size").isNotNull && col("prevHash").isNotNull &&
+        col("size") === col("prevSize") && col("mtime") === col("prevMtime"))
+      .select(col("relPath"), col("prevHash").as("hash"), col("size"), col("mtime"))
+    val candidates = joined
+      .filter(col("size").isNotNull &&
+        (col("prevHash").isNull || col("size") =!= col("prevSize") || col("mtime") =!= col("prevMtime")))
+      .select(col("relPath"), col("size"), col("mtime"), col("prevHash"))
+      .as[CandidateMeta]
+
+    // content read + hash, executor-side, candidates only; cached so the
+    // parse pass and the state write share one read
+    val rootPath = projectDir
+    val hashed = candidates.mapPartitions { it =>
+      it.map { c =>
+        val content = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(rootPath, c.relPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        HashedCandidate(FileRow(s"$rootPath/${c.relPath}", c.relPath, c.size, c.mtime, content),
+          Ids.sha256Hex(content), c.prevHash)
+      }
+    }.cache()
+
+    // a touched-but-identical file (mtime drift, same hash) is not
+    // re-parsed; its state row still records the new mtime
+    val toParse: Dataset[FileRow] = hashed.filter(h => !h.prevHash.contains(h.hash)).map(_.row)
 
     // --- parse + merge ---------------------------------------------------
     val results = SourceScan.parseAll(toParse).cache()
     val filesParsed = results.count()
-    val replacedPaths = toParse.map(_.relPath).collect().toSet ++ removedPaths
+    val replaced = toParse.map(_.relPath).toDF("relPath").union(removed)
 
-    val res = applyChanges(spark, storeDir, results, replacedPaths, incremental, embedder)
+    val res = applyChanges(spark, storeDir, results, replaced, incremental, embedder)
 
-    IndexStore.writeState(currentMeta.toDF(), storeDir)
-    scanned.unpersist(); results.unpersist()
+    val newState = unchangedState.unionByName(
+      hashed.map(h => FileState(h.row.relPath, h.hash, h.row.size, h.row.mtime)).toDF)
+    IndexStore.writeState(newState, storeDir)
+    hashed.unpersist(); results.unpersist()
     res.copy(mode = if (incremental) "incremental" else "full",
       filesScanned = filesScanned, filesParsed = filesParsed)
   }
@@ -99,9 +140,19 @@ object IndexPipeline {
     * embed what's new, copy-on-write swap. Shared by the batch indexer and
     * the streaming `foreachBatch` path (SURVEY.md §3.3 "same batch
     * pipeline").
+    *
+    * `replaced` is a single-column (`relPath`) DataFrame of re-parsed +
+    * deleted paths — a join input, never a driver-side literal list.
+    *
+    * Replacement is ENTITY-level, not file-level (reference:
+    * processing/processors.py:53-196): a changed file's old chunks are
+    * dropped from the store, but their embeddings stay in the dedup pool,
+    * so an entity whose content is untouched by the edit reuses its stored
+    * vector instead of re-embedding. Only genuinely new/changed entities
+    * pay the embedder.
     */
   def applyChanges(spark: SparkSession, storeDir: String,
-                   results: Dataset[ParserResult], replacedPaths: Set[String],
+                   results: Dataset[ParserResult], replaced: DataFrame,
                    incremental: Boolean, embedder: Embedder): IndexingResult = {
     import spark.implicits._
 
@@ -113,13 +164,15 @@ object IndexPipeline {
     val newChunksRaw = results.flatMap(r => ChunkBuilder.chunksOf(r)).toDF().cache()
 
     // --- carry over unchanged chunks, drop replaced/deleted --------------
-    val carried: DataFrame =
+    val emptyChunks = spark.emptyDataset[Chunk].toDF()
+      .withColumn("pointId", lit(0L)).withColumn("dense", lit(null).cast("array<double>"))
+    val replacedFiles = replaced.select(col("relPath").as("filePath"))
+    val (carried: DataFrame, replacedOld: DataFrame) =
       if (incremental) {
         val existing = IndexStore.readChunks(spark, storeDir)
-        if (replacedPaths.isEmpty) existing
-        else existing.filter(!col("filePath").isin(replacedPaths.toSeq: _*))
-      } else spark.emptyDataset[Chunk].toDF()
-        .withColumn("pointId", lit(0L)).withColumn("dense", lit(null).cast("array<double>"))
+        (existing.join(replacedFiles, Seq("filePath"), "left_anti"),
+          existing.join(replacedFiles, Seq("filePath"), "left_semi"))
+      } else (emptyChunks, emptyChunks)
 
     // global entity-name set: current batch + carried store
     // (reference: indexer.py:1212-1247)
@@ -145,11 +198,17 @@ object IndexPipeline {
       } else carried
 
     // --- content-hash dedup before embedding (the big cost saver) --------
+    // the reuse pool includes the replaced files' OLD chunks: that is what
+    // makes replacement entity-level — an entity untouched by the edit has
+    // the same contentHash as its dropped chunk and reuses its vector
+    val reusePool = carriedClean.select(col("contentHash"), col("dense"))
+      .unionByName(replacedOld.select(col("contentHash"), col("dense")))
+      .dropDuplicates("contentHash")
     val toEmbed = newChunks.alias("nw")
-      .join(carriedClean.select("contentHash").distinct().alias("ex"),
+      .join(reusePool.select("contentHash").alias("ex"),
         Seq("contentHash"), "left_anti")
     val reusable = newChunks.alias("nw")
-      .join(carriedClean.select(col("contentHash"), col("dense").as("dense_ex")).dropDuplicates("contentHash").alias("ex"),
+      .join(reusePool.withColumnRenamed("dense", "dense_ex").alias("ex"),
         Seq("contentHash"), "inner")
       .withColumn("dense", col("dense_ex")).drop("dense_ex")
 
@@ -161,13 +220,20 @@ object IndexPipeline {
     // persist: the embed DAG must run ONCE — the stat counts and the store
     // write would otherwise each re-embed every new chunk (4x the work; with
     // a remote embedder, 4x the HTTP spend)
-    val finalNew = embedded.unionByName(reused.select(embedded.columns.map(col): _*))
+    val finalNew = embedded.withColumn("_fromEmbedder", lit(true))
+      .unionByName(reused.select(embedded.columns.map(col): _*).withColumn("_fromEmbedder", lit(false)))
       .persist()
-    val all = carriedClean.select(finalNew.columns.map(col): _*).unionByName(finalNew)
+    val all = carriedClean.select(embedded.columns.map(col): _*)
+      .unionByName(finalNew.drop("_fromEmbedder"))
       .dropDuplicates("chunkId")
       .persist()
 
-    val chunksWritten = finalNew.count()
+    // one job for written + embedded counts over finalNew
+    val newStats = finalNew.agg(
+      count(lit(1)).as("total"),
+      count(when(col("_fromEmbedder"), 1)).as("emb")).head()
+    val chunksWritten = newStats.getLong(0)
+    val chunksEmbedded = newStats.getLong(1)
     // one job for total + relation count instead of two over `all`
     val statRow = all.agg(
       count(lit(1)).as("total"),
@@ -178,7 +244,7 @@ object IndexPipeline {
     IndexStore.writeChunks(all, storeDir)
     newChunksRaw.unpersist(); names.unpersist(); all.unpersist(); finalNew.unpersist()
     IndexingResult(if (incremental) "incremental" else "full",
-      0, 0, nEntities, nRelations, chunksWritten, chunksCarried, errors)
+      0, 0, nEntities, nRelations, chunksWritten, chunksCarried, errors, chunksEmbedded)
   }
 
   /** Phantom-CALLS detection (reference: storage/qdrant.py:2325-2381):

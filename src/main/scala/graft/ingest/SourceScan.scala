@@ -17,11 +17,19 @@ import graft.core.Model._
   */
 object SourceScan {
 
-  val DefaultExcludes: Seq[String] = Seq(
-    ".git/", "__pycache__/", "node_modules/", ".venv/", "venv/", "dist/",
-    "build/", ".idea/", ".vscode/", "target/", ".pytest_cache/", ".mypy_cache/")
+  val DefaultExcludes: Seq[String] = graft.core.GraftConfig.DefaultExcludes
 
   val DefaultMaxFileSize: Long = 1024 * 1024 // 1 MiB (config/models.py:96)
+
+  /** Include-pattern check (config/models.py:40-60): `*` admits any
+    * parseable file; otherwise the rel path or basename must match one of
+    * the globs.
+    */
+  def included(relPath: String, includes: Seq[String]): Boolean =
+    includes.contains("*") || includes.exists { pat =>
+      val rx = ("(?s)^" + pat.replace(".", "\\.").replace("*", ".*") + "$").r
+      rx.findFirstIn(relPath).isDefined || rx.findFirstIn(relPath.split('/').last).isDefined
+    }
 
   def excluded(relPath: String, excludes: Seq[String]): Boolean =
     excludes.exists { pat =>
@@ -42,7 +50,8 @@ object SourceScan {
     * .git tree is never descended into at all.
     */
   def listFiles(root: String, excludes: Seq[String] = DefaultExcludes,
-                maxSize: Long = DefaultMaxFileSize): Seq[(String, Long, Long)] = {
+                maxSize: Long = DefaultMaxFileSize,
+                includes: Seq[String] = Seq("*")): Seq[(String, Long, Long)] = {
     import java.nio.file.{FileVisitResult, SimpleFileVisitor}
     import java.nio.file.attribute.BasicFileAttributes
     val rootPath = Paths.get(root)
@@ -56,7 +65,8 @@ object SourceScan {
       override def visitFile(p: Path, attrs: BasicFileAttributes): FileVisitResult = {
         if (attrs.isRegularFile) {
           val rel = rootPath.relativize(p).toString.replace('\\', '/')
-          if (!excluded(rel, excludes) && ParserRegistry.canParse(rel) && attrs.size <= maxSize)
+          if (!excluded(rel, excludes) && included(rel, includes) &&
+              ParserRegistry.canParse(rel) && attrs.size <= maxSize)
             out += ((rel, attrs.size, attrs.lastModifiedTime.toMillis))
         }
         FileVisitResult.CONTINUE
@@ -64,6 +74,10 @@ object SourceScan {
     })
     out.toSeq.sortBy(_._1)
   }
+
+  /** Config-driven variant of [[listFiles]]. */
+  def listFiles(root: String, config: graft.core.GraftConfig): Seq[(String, Long, Long)] =
+    listFiles(root, config.excludes, config.maxFileSize, config.includes)
 
   /** Scan to a Dataset[FileRow]: paths parallelized, contents read
     * executor-side.

@@ -33,11 +33,18 @@ object DedupQueries {
       NgramJaccard.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 3, 0.6)
         .select(col("grp"), col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))),
 
-    // Embedding-cosine near-dup pairs (exact baseline; bucketed variant is
-    // the scale path, EmbeddingDedup.pairsBucketed).
+    // Embedding-cosine near-dup pairs (exact baseline — bounded inputs only;
+    // q43 gates the scale path).
     "q22_embed_neardup" -> ((s, dir) =>
       EmbeddingDedup.pairsBrute(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
+
+    // Embedding-cosine near-dup via sign-bit LSH buckets — the 100 TB path:
+    // the bucket column bounds the quadratic pair term and doubles as the
+    // table's partition key at scale, so the self-join is co-located.
+    "q43_embed_bucketed" -> ((s, dir) =>
+      EmbeddingDedup.pairsBucketed(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4, 8)
+        .select(col("bucket"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))
   )
 
   private val hash31 = "CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647"
@@ -117,7 +124,11 @@ object DedupQueries {
 
     "q22_embed_neardup" ->
       s"""WITH $embedPairCtes
-         |SELECT id_a, id_b, round(c, 6) AS cos FROM epairs""".stripMargin
+         |SELECT id_a, id_b, round(c, 6) AS cos FROM epairs""".stripMargin,
+
+    "q43_embed_bucketed" ->
+      s"""WITH $embedBucketedPairCtes
+         |SELECT bucket, id_a, id_b, round(c, 6) AS cos FROM bpairs""".stripMargin
   )
 
   /** Embedding cosine near-dup pair CTEs, shared by the q22 oracle and the
@@ -131,4 +142,27 @@ object DedupQueries {
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
       |)""".stripMargin
+
+  /** Sign-bit bucket of dims [1..nBits] — the SQL twin of
+    * [[graft.search.LshAnn.bucketOf]] (same rule as the q17 oracle).
+    */
+  private def signBucketSql(vec: String, nBits: Int): String =
+    (1 to nBits).map(i =>
+      s"(CASE WHEN $vec[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ")
+
+  /** LSH-bucketed embedding near-dup pair CTEs (same-bucket pairs only),
+    * shared by the q43 oracle and the q42 semantic-cluster oracle.
+    */
+  private[queries] val embedBucketedPairCtes: String =
+    s"""eb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${signBucketSql("embedding", 8)} AS bucket
+       |  FROM embeddings
+       |),
+       |bpairs AS (
+       |  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+       |         list_cosine_similarity(a.v, b.v) AS c
+       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+       |)""".stripMargin
 }

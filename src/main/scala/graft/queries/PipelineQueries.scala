@@ -104,13 +104,14 @@ object PipelineQueries {
           count(when(col("rep") > 0.2, 1)).as("n_flagged"))
     }),
 
-    // Semantic near-dup FAMILIES: connected components over the q22
-    // embedding-cosine pairs — "keep one doc per semantic duplicate
-    // cluster", composing DupClusters with a second edge source (exact
-    // cosine here; the LSH-bucketed variant is the scale path).
+    // Semantic near-dup FAMILIES: connected components over the q43
+    // LSH-bucketed embedding-cosine pairs — "keep one doc per semantic
+    // duplicate cluster". The bucketed pair join is the 100 TB path (the
+    // bucket bounds the quadratic term and is the partition key at scale);
+    // transitive closure across buckets is recovered by the components pass.
     "q42_embed_clusters" -> ((s, dir) => {
       val edges = graft.dedup.EmbeddingDedup
-        .pairsBrute(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+        .pairsBucketed(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4, 8)
       DupClusters.components(edges, "id_a", "id_b")
         .select(col("node").as("vec_id"), col("cluster_id"))
         .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -252,11 +253,11 @@ object PipelineQueries {
         |FROM r GROUP BY source""".stripMargin,
 
     "q42_embed_clusters" ->
-      s"""WITH RECURSIVE ${DedupQueries.embedPairCtes},
+      s"""WITH RECURSIVE ${DedupQueries.embedBucketedPairCtes},
          |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM epairs
+         |  SELECT id_a AS src, id_b AS dst FROM bpairs
          |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM epairs
+         |  SELECT id_b AS src, id_a AS dst FROM bpairs
          |), reach(node, m) AS (
          |  SELECT DISTINCT src AS node, src AS m FROM edges
          |  UNION

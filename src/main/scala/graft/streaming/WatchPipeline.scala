@@ -48,20 +48,20 @@ object WatchPipeline {
                    embedder: Embedder = DeterministicEmbedder()): IndexPipeline.IndexingResult = {
     import spark.implicits._
     val latest = coalesce(batch.toDF).as[FileEvent].cache()
-    val deletes = latest.filter(_.eventType == "deleted").map(_.relPath).collect().toSet
     val upserts = latest.filter(e => e.eventType == "created" || e.eventType == "modified")
     val parsed: Dataset[ParserResult] = upserts.map(e => ParserRegistry.parse(e.relPath, e.content))
-    val replaced = upserts.map(_.relPath).collect().toSet ++ deletes
+    // every coalesced event path (upsert or delete) is replaced — as a join
+    // input, not a driver-side Set, same as the batch diff path
+    val replaced = latest.map(_.relPath).toDF("relPath")
     val incremental = IndexStore.exists(storeDir)
     val res = IndexPipeline.applyChanges(spark, storeDir, parsed, replaced, incremental, embedder)
 
     // maintain file_state so a later batch index stays incremental
     val newStates = upserts.map(e => FileState(e.relPath, graft.core.Ids.sha256Hex(e.content), e.content.length.toLong, e.ts))
-    val prev = IndexStore.readState(spark, storeDir).map(_.as[FileState])
-      .getOrElse(spark.emptyDataset[FileState])
-    val touched = replaced
-    val state = prev.filter(s => !touched.contains(s.relPath)).union(newStates)
-    IndexStore.writeState(state.toDF, storeDir)
+    val prev = IndexStore.readState(spark, storeDir)
+      .getOrElse(spark.emptyDataset[FileState].toDF)
+    val state = prev.join(replaced, Seq("relPath"), "left_anti").unionByName(newStates.toDF)
+    IndexStore.writeState(state, storeDir)
     latest.unpersist()
     res
   }
