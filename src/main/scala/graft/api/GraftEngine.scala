@@ -93,8 +93,13 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
       .filter(col("entityName") === entity || col("relationTarget") === entity)
     mode match {
       case "relationships" | "raw" =>
+        // bidirectional flag (reference entities.py:417-437): REFERENCES/USES
+        // edges render "a <-> b" in the MCP formatting; derived per row
         rel.select(col("entityName").as("from"), col("relationType").as("type"),
-          col("relationTarget").as("to")).orderBy("from", "type", "to").limit(limit)
+          col("relationTarget").as("to"),
+          col("relationType").isin(
+            graft.core.Model.RelationTypes.Bidirectional.toSeq: _*).as("bidirectional"))
+          .orderBy("from", "type", "to").limit(limit)
       case "entities" =>
         // neighborhood of ONE entity is small by construction: resolve the
         // neighbor-name set driver-side (breaks the self-join lineage too)
@@ -128,9 +133,12 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
     var d = 0
     while (frontier.nonEmpty && d < maxDepth) {
       d += 1
-      val fr = frontier.toSeq
-      val next = edges.filter(col("src").isin(fr: _*)).select(col("dst"))
-        .union(edges.filter(col("dst").isin(fr: _*)).select(col("src")))
+      // frontier ships as a broadcast join input, not an `isin` literal
+      // list: one hub entity (a util imported everywhere) would otherwise
+      // inflate the plan string / codegen with thousands of literals
+      val frontierDf = broadcast(frontier.toSeq.toDF("name"))
+      val next = edges.join(frontierDf, col("src") === col("name"), "left_semi").select(col("dst"))
+        .union(edges.join(frontierDf, col("dst") === col("name"), "left_semi").select(col("src")))
         .distinct().as[String].collect().toSet -- visited.keySet
       next.foreach(n => visited += n -> d)
       frontier = next
@@ -223,6 +231,11 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
       val manual = chunks.filter(col("filePath") === "" && col("chunkType") =!= "relation")
       IndexStore.writeChunks(manual, storeDir)
     }
+    // stale incremental state would make the next index diff against files
+    // whose chunks were just deleted and parse nothing — drop it so the
+    // next index is a full pass (manual chunks survive it: applyChanges
+    // carries file-less chunks in full mode too)
+    IndexStore.clearState(storeDir)
   }
 
   /** Orphan + phantom maintenance pass (reference: qdrant.py:1937-2381).

@@ -23,6 +23,13 @@ object Model {
     val All: Set[String] = Set(
       "contains", "imports", "inherits", "calls", "uses", "implements",
       "extends", "documents", "tests", "references")
+
+    /** Types that hold in BOTH directions (reference Relation.__post_init__
+      * sets is_bidirectional for these, analysis/entities.py:417-437).
+      * Derived from the type — never stored independently, so it can't
+      * drift from the edge rows.
+      */
+    val Bidirectional: Set[String] = Set("references", "uses")
   }
 
   /** A graph node (reference Entity, analysis/entities.py:346-393). */
@@ -43,7 +50,10 @@ object Model {
       relationType: String,
       importType: String,
       context: String,
-      confidence: Double)
+      confidence: Double) {
+    /** Reference Relation.is_bidirectional (analysis/entities.py:417-437). */
+    def isBidirectional: Boolean = RelationTypes.Bidirectional.contains(relationType)
+  }
 
   /** The unit of vector storage (reference EntityChunk/RelationChunk,
     * analysis/entities.py:48-306): progressive disclosure — cheap

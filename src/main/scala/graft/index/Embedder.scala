@@ -26,11 +26,48 @@ trait Embedder {
 /** Token-budgeted request batching for remote embedders (reference:
   * embeddings/voyage.py:176-246 — 30k/120k tokens per request): splits a
   * partition's chunk stream into batches whose estimated token sum stays
-  * under budget (len/4 heuristic), also capping batch item count. Runs
-  * inside `mapPartitions` in an HTTP embedder implementation.
+  * under budget, also capping batch item count. Runs inside
+  * `mapPartitions` in an HTTP embedder implementation.
   */
 object EmbedBatching {
-  def estimateTokens(text: String): Long = math.max(1L, text.length / 4L)
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single marks — the
+    * same split rule as [[graft.functions.TextOps.bpeishTokenCount]],
+    * standing in for the reference's tiktoken (embeddings/base.py:120-140).
+    * A real BPE never merges ACROSS these spans, and splits long spans into
+    * roughly 4-char pieces — so each match contributes max(1, len/4)
+    * tokens: word-aware for prose, len/4-ish for long runs, never wildly
+    * under a budget.
+    */
+  private val TokenRx = java.util.regex.Pattern.compile("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")
+
+  private def pieceTokens(len: Int): Long = math.max(1L, len / 4L)
+
+  def estimateTokens(text: String): Long = {
+    val m = TokenRx.matcher(text)
+    var n = 0L
+    while (m.find()) n += pieceTokens(m.end() - m.start())
+    math.max(1L, n)
+  }
+
+  /** Truncate at a TOKEN boundary, not a byte offset (reference:
+    * embeddings/base.py:142-168): accumulate pre-tokens until the budget is
+    * hit and cut at the end of the last one that fits. A text within budget
+    * is returned untouched; the first pre-token is always kept so no text
+    * truncates to "".
+    */
+  def truncateToTokens(text: String, maxTokens: Int): String = {
+    val m = TokenRx.matcher(text)
+    var n = 0L
+    var end = 0
+    var cut = false
+    while (!cut && m.find()) {
+      val t = pieceTokens(m.end() - m.start())
+      if (n + t > maxTokens && end > 0) cut = true
+      else { n += t; end = m.end() }
+    }
+    if (cut) text.substring(0, end) else text
+  }
 
   def batchByTokenBudget(texts: Iterator[String], tokenBudget: Long,
                          maxItems: Int = 128): Iterator[Seq[String]] =
@@ -64,7 +101,11 @@ case class RemoteEmbedder(
     transport: Seq[String] => Seq[Seq[Double]],
     tokenBudget: Long = 30000L, // voyage-3-lite request budget (voyage.py:183-186)
     maxRetries: Int = 3,
-    backoffMs: Long = 50L) extends Embedder {
+    backoffMs: Long = 50L,
+    // per-text model context cap; over-long texts are truncated at a token
+    // boundary before transport (embeddings/base.py:142-168) — the STORED
+    // content stays full-length, only the embedded text is cut
+    maxTextTokens: Int = 8192) extends Embedder {
 
   private def callWithRetry(batch: Seq[String]): Seq[Seq[Double]] = {
     var attempt = 0
@@ -89,21 +130,26 @@ case class RemoteEmbedder(
     val rdd = df.rdd.mapPartitions { rows =>
       // stream batch-by-batch: only ONE token-budget batch of rows (and its
       // vectors) is resident at a time — buffering the whole partition would
-      // defeat the batching at the 100 TB design point
-      val src = rows.buffered // NB: do not name this `buffered` — it would be shadowed by Iterator#buffered inside the anonymous class
+      // defeat the batching at the 100 TB design point. Each text is
+      // boundary-truncated ONCE here; the budget counts the truncated form
+      // (what the transport actually sends).
+      val src = rows.map { r =>
+        (r, EmbedBatching.truncateToTokens(r.getString(idx), maxTextTokens))
+      }.buffered // NB: do not name this `buffered` — it would be shadowed by Iterator#buffered inside the anonymous class
       new Iterator[Seq[Row]] {
         def hasNext: Boolean = src.hasNext
         def next(): Seq[Row] = {
           val batch = scala.collection.mutable.ArrayBuffer[Row]()
+          val texts = scala.collection.mutable.ArrayBuffer[String]()
           var tokens = 0L
           while (src.hasNext && (batch.isEmpty ||
-            tokens + EmbedBatching.estimateTokens(src.head.getString(idx)) <= tokenBudget)) {
-            val r = src.next()
-            tokens += EmbedBatching.estimateTokens(r.getString(idx))
+            tokens + EmbedBatching.estimateTokens(src.head._2) <= tokenBudget)) {
+            val (r, t) = src.next()
+            tokens += EmbedBatching.estimateTokens(t)
             batch += r
+            texts += t
           }
-          val texts = batch.map(_.getString(idx)).toSeq
-          val vs = callWithRetry(texts)
+          val vs = callWithRetry(texts.toSeq)
           // a silent zip over a short response would DROP rows from the
           // index (reference does post-write count verification,
           // storage/qdrant.py:614-662 — fail loudly instead)
@@ -116,7 +162,8 @@ case class RemoteEmbedder(
     spark.createDataFrame(rdd, outSchema)
   }
 
-  override def embedText(text: String): Seq[Double] = callWithRetry(Seq(text)).head
+  override def embedText(text: String): Seq[Double] =
+    callWithRetry(Seq(EmbedBatching.truncateToTokens(text, maxTextTokens))).head
 }
 
 /** Deterministic hash embedder (the engine-native analog of the reference

@@ -172,6 +172,14 @@ object IndexPipeline {
         val existing = IndexStore.readChunks(spark, storeDir)
         (existing.join(replacedFiles, Seq("filePath"), "left_anti"),
           existing.join(replacedFiles, Seq("filePath"), "left_semi"))
+      } else if (IndexStore.exists(storeDir)) {
+        // full re-index over an existing store (e.g. after clear-collection):
+        // file-derived chunks are all rebuilt, but MANUAL memories have no
+        // file provenance and must survive — the reference's upsert-into-
+        // existing-collection semantics (storage/qdrant.py:1303-1401)
+        val existing = IndexStore.readChunks(spark, storeDir)
+        (existing.filter(col("filePath") === "" && col("chunkType") =!= "relation"),
+          emptyChunks)
       } else (emptyChunks, emptyChunks)
 
     // global entity-name set: current batch + carried store

@@ -79,4 +79,15 @@ object IndexStore {
     Files.createDirectories(Paths.get(root))
     overwrite(df, statePath(root))
   }
+
+  /** Drop the incremental file_state so the NEXT index is a full pass.
+    * Called by clear-collection: leaving stale state behind would make the
+    * next index diff against files whose chunks were just deleted and
+    * parse nothing.
+    */
+  def clearState(root: String): Unit = {
+    deleteRecursive(Paths.get(statePath(root)))
+    deleteRecursive(Paths.get(statePath(root) + "_old"))
+    deleteRecursive(Paths.get(statePath(root) + "_tmp"))
+  }
 }

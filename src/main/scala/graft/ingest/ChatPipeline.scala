@@ -135,6 +135,61 @@ object ChatPipeline {
     }
   }
 
+  /** Per-session transcript: messages sorted by (ts, content, role),
+    * rendered "role: content" per line, truncated to `maxChars` (the
+    * reference truncates the GPT context the same way,
+    * chat/summarizer.py:290-310). One groupBy — a single shuffle on
+    * session_id; the sort is per-group inside the aggregation, never a
+    * global order.
+    */
+  def transcripts(messages: DataFrame, maxChars: Int = 4000): DataFrame =
+    messages
+      .groupBy(col("session_id"))
+      .agg(substring(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("content"), col("role")))),
+        m => concat(m.getField("role"), lit(": "), m.getField("content"))),
+        "\n"), 1, maxChars).as("transcript"))
+
+  /** Summarization stage: one summarizer call per session inside
+    * `mapPartitions` (reference: chat/summarizer.py:208-403 — with an LLM
+    * transport this is where the batched HTTP requests happen, exactly like
+    * RemoteEmbedder's embed pass).
+    */
+  def summarizeSessions(transcriptDf: DataFrame, summarizer: Summarizer): DataFrame = {
+    import transcriptDf.sparkSession.implicits._
+    transcriptDf.select(col("session_id"), col("transcript")).as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (sid, tr) =>
+          val s = summarizer.summarize(sid, tr)
+          (sid, tr, s.summary, s.topics)
+        }
+      }
+      .toDF("session_id", "transcript", "summary", "topics")
+  }
+
+  /** Summarized chat chunks (reference: analysis/entities.py:309-343 +
+    * chat/summarizer.py:356-403): per session, a `chat_summary` metadata
+    * chunk (summary + topics — the searchable surface) and a `chat_detail`
+    * implementation chunk carrying the transcript excerpt. Replaces the
+    * plain [[chatChunks]] when a summarizer is enabled, same ids.
+    */
+  def summaryChunks(summaries: DataFrame): DataFrame = {
+    import summaries.sparkSession.implicits._
+    summaries.select(col("session_id"), col("transcript"), col("summary"), col("topics"))
+      .as[(String, String, String, Seq[String])]
+      .flatMap { case (sid, transcript, summary, topics) =>
+        val summaryText = s"Chat session $sid: $summary" +
+          (if (topics.nonEmpty) s" | topics: ${topics.mkString(", ")}" else "")
+        Seq(
+          Chunk(s"chat::$sid::chat_summary", "metadata", s"chat_$sid", "chat_history",
+            "", 0, 0, summaryText, summaryText, Ids.sha256Hex(summaryText), "", "",
+            hasImplementation = true),
+          Chunk(s"chat::$sid::chat_detail", "implementation", s"chat_$sid", "chat_history",
+            "", 0, 0, transcript, transcript, Ids.sha256Hex(transcript), "", "",
+            hasImplementation = false))
+      }.toDF()
+  }
+
   /** Chat chunks for the store (reference ChatChunk,
     * analysis/entities.py:309-343): one summary chunk per session.
     */

@@ -202,4 +202,41 @@ class EngineSpec extends SparkSpec {
     val remaining = engine.chunks.select("entityName").collect().map(_.getString(0)).toSet
     assert(remaining == Set("deploy-notes"))
   }
+
+  test("entity-level replacement: unchanged entities in an edited file skip the embedder") {
+    // fresh store: the clear above left only the manual memory
+    val res0 = engine.index(root)
+    assert(res0.chunksEmbedded > 0)
+
+    // touch ONLY main's docstring; add/Calculator imports and the file's
+    // other chunks are byte-identical and must reuse their stored vectors
+    Files.writeString(Paths.get(root, "bar.py"),
+      """from foo import add, Calculator
+        |
+        |def main():
+        |    '''Entry point calling add and multiply, now documented better.'''
+        |    c = Calculator()
+        |    print(add(1, 2))
+        |    return c.multiply(3, 4)
+        |""".stripMargin)
+    val res = engine.index(root)
+    assert(res.mode == "incremental")
+    assert(res.filesParsed == 1)
+    assert(res.chunksWritten > 0)
+    // file-level replacement would re-embed every bar.py chunk; entity-level
+    // carry embeds strictly fewer (the untouched import/relation chunks hit
+    // the reuse pool)
+    assert(res.chunksEmbedded > 0)
+    assert(res.chunksEmbedded < res.chunksWritten,
+      s"expected entity-level carry: embedded=${res.chunksEmbedded} written=${res.chunksWritten}")
+  }
+
+  test("relationships mode flags bidirectional edge types") {
+    val rels = engine.readGraph("add", "relationships").collect()
+    assert(rels.nonEmpty)
+    rels.foreach { r =>
+      val expected = graft.core.Model.RelationTypes.Bidirectional.contains(r.getAs[String]("type"))
+      assert(r.getAs[Boolean]("bidirectional") == expected)
+    }
+  }
 }

@@ -1,0 +1,35 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EmbedderSpec extends AnyFunSuite {
+
+  test("estimateTokens: word-aware for prose, len/4 for long runs") {
+    assert(EmbedBatching.estimateTokens("Hello world") == 2L)
+    assert(EmbedBatching.estimateTokens("a" * 40) == 10L)
+    assert(EmbedBatching.estimateTokens("") == 1L) // floor: never zero
+    // marks count one each; "x.y" = x + . + y
+    assert(EmbedBatching.estimateTokens("x.y") == 3L)
+  }
+
+  test("truncateToTokens cuts at a token boundary, keeps within-budget text intact") {
+    val text = "alpha beta gamma delta"
+    assert(EmbedBatching.truncateToTokens(text, 100) eq text) // untouched
+    val cut = EmbedBatching.truncateToTokens(text, 2)
+    assert(cut == "alpha beta") // boundary cut, no partial word
+    // first token always kept even if alone over budget
+    assert(EmbedBatching.truncateToTokens("internationalization", 1) == "internationalization")
+  }
+
+  test("remote embedder truncates over-long texts before transport") {
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val transport: Seq[String] => Seq[Seq[Double]] = { batch =>
+      seen ++= batch; batch.map(t => Seq(t.length.toDouble))
+    }
+    val emb = RemoteEmbedder(dim = 1, transport = transport, backoffMs = 1L, maxTextTokens = 3)
+    // driver path: embedText applies the same truncation as the embed pass
+    val v = emb.embedText("one two three four five")
+    assert(seen.head == "one two three")
+    assert(v == Seq("one two three".length.toDouble))
+  }
+}

@@ -82,4 +82,34 @@ class ChatSpec extends SparkSpec {
     assert(s1.getAs[String]("content").contains("code-heavy (python)"))
     assert(s1.getAs[String]("content").contains("How do I fix this error"))
   }
+
+  test("deterministic summarizer: extractive summary + frequency-ranked topics") {
+    val s = DeterministicSummarizer(summaryChars = 10, topicCount = 2)
+      .summarize("x", "alpha beta alpha gamma beta alpha tiny")
+    assert(s.summary == "alpha beta") // leading excerpt
+    // alpha×3, beta×2; "tiny" loses on count, len>3 filter drops nothing else
+    assert(s.topics == Seq("alpha", "beta"))
+    // stopwords and short tokens never become topics
+    val t = DeterministicSummarizer(200, 3).summarize("y", "this that with from it is a code")
+    assert(t.topics == Seq("code"))
+  }
+
+  test("summarization stage: transcript build, mapPartitions summarize, chunk pair") {
+    val tr = ChatPipeline.transcripts(messages)
+    val trMap = tr.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // messages render in ts order as "role: content"
+    assert(trMap("s1").startsWith("user: How do I fix this error"))
+    assert(trMap("s1").contains("assistant: Try this"))
+
+    val summaries = ChatPipeline.summarizeSessions(tr, DeterministicSummarizer(50, 3))
+    val chunks = ChatPipeline.summaryChunks(summaries).collect()
+    assert(chunks.length == 4) // 2 sessions × (chat_summary + chat_detail)
+    val byId = chunks.map(r => r.getAs[String]("chunkId") -> r).toMap
+    val sum1 = byId("chat::s1::chat_summary")
+    assert(sum1.getAs[String]("chunkType") == "metadata")
+    assert(sum1.getAs[String]("content").contains("topics:"))
+    val det1 = byId("chat::s1::chat_detail")
+    assert(det1.getAs[String]("chunkType") == "implementation")
+    assert(det1.getAs[String]("content").startsWith("user: How do I fix"))
+  }
 }
