@@ -37,14 +37,15 @@ object Bench {
     // two timed passes, min per query: a single mid-suite sample is exposed
     // to GC pauses / context-cleaner bursts from earlier queries (round-3
     // q33/q34 showed 5-7x one-off spikes with unchanged code). min-of-2 is
-    // the standard way to report steady-state; the long e2e query is run
-    // once (its own wall time dwarfs the noise being filtered).
+    // the standard way to report steady-state. EVERY query gets both
+    // passes — skipping the re-run when the first sample is slow would
+    // lock in exactly the spikes this exists to filter.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val first = ordered.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
     val results = ordered.map { case (name, fn) =>
       val t1 = first(name)
       // failures are marked -1 so a partially-failed run is machine-detectable
-      val best = if (t1 < 0 || t1 >= 10.0) t1 else math.min(t1, timeOne(name, fn))
+      val best = if (t1 < 0) t1 else math.min(t1, timeOne(name, fn))
       name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }

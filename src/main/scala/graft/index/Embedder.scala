@@ -66,7 +66,12 @@ object EmbedBatching {
       if (n + t > maxTokens && end > 0) cut = true
       else { n += t; end = m.end() }
     }
-    if (cut) text.substring(0, end) else text
+    val kept = if (cut) text.substring(0, end) else text
+    // `n` is the kept prefix's estimate; it exceeds the budget only when
+    // the FIRST pre-token alone was over it (one unbroken MB-scale run).
+    // That case must not bypass the model's context cap: hard-cut at the
+    // char equivalent — the only case where a mid-token cut is unavoidable.
+    if (n > maxTokens) kept.substring(0, math.min(kept.length, maxTokens * 4)) else kept
   }
 
   def batchByTokenBudget(texts: Iterator[String], tokenBudget: Long,
@@ -105,7 +110,9 @@ case class RemoteEmbedder(
     // per-text model context cap; over-long texts are truncated at a token
     // boundary before transport (embeddings/base.py:142-168) — the STORED
     // content stays full-length, only the embedded text is cut
-    maxTextTokens: Int = 8192) extends Embedder {
+    maxTextTokens: Int = 8192,
+    // per-request item cap alongside the token budget (voyage.py:176-246)
+    maxBatchItems: Int = 128) extends Embedder {
 
   private def callWithRetry(batch: Seq[String]): Seq[Seq[Double]] = {
     var attempt = 0
@@ -143,7 +150,8 @@ case class RemoteEmbedder(
           val texts = scala.collection.mutable.ArrayBuffer[String]()
           var tokens = 0L
           while (src.hasNext && (batch.isEmpty ||
-            tokens + EmbedBatching.estimateTokens(src.head._2) <= tokenBudget)) {
+            (batch.length < maxBatchItems &&
+              tokens + EmbedBatching.estimateTokens(src.head._2) <= tokenBudget))) {
             val (r, t) = src.next()
             tokens += EmbedBatching.estimateTokens(t)
             batch += r
@@ -164,6 +172,17 @@ case class RemoteEmbedder(
 
   override def embedText(text: String): Seq[Double] =
     callWithRetry(Seq(EmbedBatching.truncateToTokens(text, maxTextTokens))).head
+}
+
+object RemoteEmbedder {
+  /** Build with the request budgets from [[graft.core.GraftConfig]] — the
+    * consumer of `embedTokenBudget` / `embedMaxBatchItems`.
+    */
+  def fromConfig(dim: Int, transport: Seq[String] => Seq[Seq[Double]],
+                 config: graft.core.GraftConfig): RemoteEmbedder =
+    RemoteEmbedder(dim, transport,
+      tokenBudget = config.embedTokenBudget,
+      maxBatchItems = config.embedMaxBatchItems)
 }
 
 /** Deterministic hash embedder (the engine-native analog of the reference

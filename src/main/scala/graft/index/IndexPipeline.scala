@@ -85,9 +85,12 @@ object IndexPipeline {
     // mtime/size prefilter (indexer.py:898-987): a file whose recorded
     // size+mtime are unchanged is NOT read or hashed at all — only
     // candidates (new paths, or size/mtime drift) pay the content read,
-    // which is the 15x incremental win on a large tree. All set logic is
-    // joins; no path list round-trips through the driver, so a mass-touch
-    // (branch switch) stays distributed.
+    // which is the 15x incremental win on a large tree. Deliberate
+    // tradeoff (same as the reference): an edit that preserves BOTH byte
+    // size and ms-mtime (cp -p of a same-length version) is invisible
+    // until the file is touched again. All set logic is joins; no path
+    // list round-trips through the driver, so a mass-touch (branch
+    // switch) stays distributed.
     val prev = (if (incremental) prevState.get else spark.emptyDataset[FileState].toDF)
       .select(col("relPath"), col("hash").as("prevHash"),
         col("size").as("prevSize"), col("mtime").as("prevMtime"))
@@ -104,15 +107,20 @@ object IndexPipeline {
       .as[CandidateMeta]
 
     // content read + hash, executor-side, candidates only; cached so the
-    // parse pass and the state write share one read
+    // parse pass and the state write share one read. A file that vanishes
+    // or turns unreadable between the driver walk and this read is SKIPPED
+    // (not a job abort): it gets no state row, so the next run re-examines
+    // it — deleted files then cascade through the removed path.
     val rootPath = projectDir
     val hashed = candidates.mapPartitions { it =>
-      it.map { c =>
-        val content = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(rootPath, c.relPath)),
-          java.nio.charset.StandardCharsets.UTF_8)
-        HashedCandidate(FileRow(s"$rootPath/${c.relPath}", c.relPath, c.size, c.mtime, content),
-          Ids.sha256Hex(content), c.prevHash)
+      it.flatMap { c =>
+        scala.util.Try {
+          val content = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(rootPath, c.relPath)),
+            java.nio.charset.StandardCharsets.UTF_8)
+          HashedCandidate(FileRow(s"$rootPath/${c.relPath}", c.relPath, c.size, c.mtime, content),
+            Ids.sha256Hex(content), c.prevHash)
+        }.toOption
       }
     }.cache()
 

@@ -21,13 +21,22 @@ object SourceScan {
 
   val DefaultMaxFileSize: Long = 1024 * 1024 // 1 MiB (config/models.py:96)
 
+  /** Glob → anchored regex with every literal span regex-quoted, so
+    * patterns containing regex metacharacters (`+ ( [ ? |` …) match
+    * literally instead of throwing or silently matching the wrong files
+    * (e.g. `*.c++`).
+    */
+  private[ingest] def globRegex(pat: String): scala.util.matching.Regex =
+    ("(?s)^" + pat.split("\\*", -1).map(java.util.regex.Pattern.quote)
+      .mkString(".*") + "$").r
+
   /** Include-pattern check (config/models.py:40-60): `*` admits any
     * parseable file; otherwise the rel path or basename must match one of
     * the globs.
     */
   def included(relPath: String, includes: Seq[String]): Boolean =
     includes.contains("*") || includes.exists { pat =>
-      val rx = ("(?s)^" + pat.replace(".", "\\.").replace("*", ".*") + "$").r
+      val rx = globRegex(pat)
       rx.findFirstIn(relPath).isDefined || rx.findFirstIn(relPath.split('/').last).isDefined
     }
 
@@ -37,7 +46,7 @@ object SourceScan {
         val d = pat.stripSuffix("/")
         relPath.split('/').dropRight(1).contains(d)
       } else if (pat.contains("*")) {
-        val rx = ("(?s)" + pat.replace(".", "\\.").replace("*", ".*") + "$").r
+        val rx = globRegex(pat)
         rx.findFirstIn(relPath).isDefined || rx.findFirstIn(relPath.split('/').last).isDefined
       } else {
         relPath.split('/').contains(pat) || relPath.split('/').last == pat
@@ -56,6 +65,12 @@ object SourceScan {
     import java.nio.file.attribute.BasicFileAttributes
     val rootPath = Paths.get(root)
     val excludedDirs = excludes.filter(_.endsWith("/")).map(_.stripSuffix("/")).toSet
+    // patterns compile ONCE, not once per visited file: a 100k-file walk
+    // with 5 globs would otherwise pay ~1M Pattern.compile calls
+    val nonDirPats = excludes.filterNot(_.endsWith("/"))
+    val exGlobs = nonDirPats.filter(_.contains("*")).map(globRegex)
+    val exNames = nonDirPats.filterNot(_.contains("*")).toSet
+    val incGlobs = if (includes.contains("*")) Nil else includes.map(globRegex)
     val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
     Files.walkFileTree(rootPath, new SimpleFileVisitor[Path] {
       override def preVisitDirectory(dir: Path, attrs: BasicFileAttributes): FileVisitResult =
@@ -65,8 +80,12 @@ object SourceScan {
       override def visitFile(p: Path, attrs: BasicFileAttributes): FileVisitResult = {
         if (attrs.isRegularFile) {
           val rel = rootPath.relativize(p).toString.replace('\\', '/')
-          if (!excluded(rel, excludes) && included(rel, includes) &&
-              ParserRegistry.canParse(rel) && attrs.size <= maxSize)
+          val base = rel.split('/').last
+          val ex = exGlobs.exists(rx => rx.findFirstIn(rel).isDefined || rx.findFirstIn(base).isDefined) ||
+            rel.split('/').exists(exNames.contains)
+          val inc = incGlobs.isEmpty ||
+            incGlobs.exists(rx => rx.findFirstIn(rel).isDefined || rx.findFirstIn(base).isDefined)
+          if (!ex && inc && ParserRegistry.canParse(rel) && attrs.size <= maxSize)
             out += ((rel, attrs.size, attrs.lastModifiedTime.toMillis))
         }
         FileVisitResult.CONTINUE
@@ -78,26 +97,6 @@ object SourceScan {
   /** Config-driven variant of [[listFiles]]. */
   def listFiles(root: String, config: graft.core.GraftConfig): Seq[(String, Long, Long)] =
     listFiles(root, config.excludes, config.maxFileSize, config.includes)
-
-  /** Scan to a Dataset[FileRow]: paths parallelized, contents read
-    * executor-side.
-    */
-  def scan(spark: SparkSession, root: String,
-           excludes: Seq[String] = DefaultExcludes,
-           maxSize: Long = DefaultMaxFileSize): Dataset[FileRow] = {
-    import spark.implicits._
-    val files = listFiles(root, excludes, maxSize)
-    val rootPath = root
-    spark.createDataset(files)
-      .repartition(math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
-      .mapPartitions { it =>
-        it.map { case (rel, size, mtime) =>
-          val content = new String(Files.readAllBytes(Paths.get(rootPath, rel)),
-            java.nio.charset.StandardCharsets.UTF_8)
-          FileRow(s"$rootPath/$rel", rel, size, mtime, content)
-        }
-      }
-  }
 
   /** Parse a scanned Dataset into per-file ParserResults. */
   def parseAll(files: Dataset[FileRow]): Dataset[ParserResult] = {

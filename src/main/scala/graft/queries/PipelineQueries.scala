@@ -107,8 +107,11 @@ object PipelineQueries {
     // Semantic near-dup FAMILIES: connected components over the q43
     // LSH-bucketed embedding-cosine pairs — "keep one doc per semantic
     // duplicate cluster". The bucketed pair join is the 100 TB path (the
-    // bucket bounds the quadratic term and is the partition key at scale);
-    // transitive closure across buckets is recovered by the components pass.
+    // bucket bounds the quadratic term and is the partition key at scale).
+    // Recall caveat of 1-band sign-bit LSH: a cross-bucket near-dup pair
+    // with no shared neighbor stays split (components only merge what some
+    // edge connects); more bands / Hamming-probe buckets buy recall back,
+    // and q22's exact pair join is the bounded-input baseline.
     "q42_embed_clusters" -> ((s, dir) => {
       val edges = graft.dedup.EmbeddingDedup
         .pairsBucketed(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4, 8)

@@ -56,8 +56,13 @@ object WatchPipeline {
     val incremental = IndexStore.exists(storeDir)
     val res = IndexPipeline.applyChanges(spark, storeDir, parsed, replaced, incremental, embedder)
 
-    // maintain file_state so a later batch index stays incremental
-    val newStates = upserts.map(e => FileState(e.relPath, graft.core.Ids.sha256Hex(e.content), e.content.length.toLong, e.ts))
+    // maintain file_state so a later batch index stays incremental. Size
+    // must be the UTF-8 BYTE length (what the batch walk's attrs.size
+    // reports), not the string's char count — a mismatch would turn every
+    // watch-touched file into a prefilter candidate on the next batch run.
+    // ts carries the file's mtime (FileWatchSource emits e.mtime as ts).
+    val newStates = upserts.map(e => FileState(e.relPath, graft.core.Ids.sha256Hex(e.content),
+      e.content.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong, e.ts))
     val prev = IndexStore.readState(spark, storeDir)
       .getOrElse(spark.emptyDataset[FileState].toDF)
     val state = prev.join(replaced, Seq("relPath"), "left_anti").unionByName(newStates.toDF)
@@ -82,6 +87,18 @@ object WatchPipeline {
                             debounceMs: Long = DefaultDebounceMs): StreamingQuery = {
     IndexPipeline.index(spark, projectDir, storeDir, embedder)
     start(events, storeDir, embedder, debounceMs, checkpointDir)
+  }
+
+  /** Config-driven variant: debounce (micro-batch quiet period) and the
+    * scan surface both come from [[graft.core.GraftConfig]].
+    */
+  def initialIndexThenWatch(spark: SparkSession, projectDir: String,
+                            events: org.apache.spark.sql.Dataset[FileEvent],
+                            storeDir: String, checkpointDir: String,
+                            embedder: Embedder,
+                            config: graft.core.GraftConfig): StreamingQuery = {
+    IndexPipeline.index(spark, projectDir, storeDir, embedder, config)
+    start(events, storeDir, embedder, (config.debounceSeconds * 1000).toLong, checkpointDir)
   }
 
   /** Wire a streaming Dataset[FileEvent] into the store. The trigger

@@ -17,8 +17,10 @@ class EmbedderSpec extends AnyFunSuite {
     assert(EmbedBatching.truncateToTokens(text, 100) eq text) // untouched
     val cut = EmbedBatching.truncateToTokens(text, 2)
     assert(cut == "alpha beta") // boundary cut, no partial word
-    // first token always kept even if alone over budget
-    assert(EmbedBatching.truncateToTokens("internationalization", 1) == "internationalization")
+    // a FIRST pre-token alone over budget cannot bypass the context cap:
+    // hard char-cut at the token-equivalent length (the only mid-token cut)
+    assert(EmbedBatching.truncateToTokens("internationalization", 1) == "inte")
+    assert(EmbedBatching.truncateToTokens("a" * 100, 5) == "a" * 20)
   }
 
   test("remote embedder truncates over-long texts before transport") {
