@@ -49,7 +49,7 @@ object NgramJaccard {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    groupCol: String, n: Int, minJaccard: Double,
-                   buckets: Int = 8): DataFrame = {
+                   buckets: Int = 16): DataFrame = {
     val grams = docs.select(
       col(idCol).as("doc_id"), col(groupCol).as("grp"),
       charNgrams(textCol, n).as("gs"))

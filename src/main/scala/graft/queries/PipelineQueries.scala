@@ -28,6 +28,21 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("lang")).as("n_langs"))),
 
+    // Benchmark decontamination: per eval split, how many documents share
+    // a word 8-gram with any train document. Gram-keyed semi-join — one
+    // shuffle on the gram hash, no doc-pair enumeration anywhere.
+    "q45_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cont = graft.dedup.Decontamination
+        .contaminated(docs, "doc_id", "text", 8, 80, 10)
+        .select(col("doc_id").as("cid"))
+      docs.select(col("doc_id"), Splits.splitLabel(col("doc_id"), 80, 10).as("split"))
+        .filter(col("split") =!= "train")
+        .join(cont, col("doc_id") === col("cid"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), count(col("cid")).as("n_contaminated"))
+    }),
+
     // Duplicate families: connected components (min-label fixpoint) over
     // the minhash candidate pairs with estimated jaccard ≥ 0.5 (≥ 6 of 12
     // signature components equal — an exact integer predicate, no float
@@ -158,6 +173,29 @@ object PipelineQueries {
          |       count(*) AS n_docs, count(DISTINCT lang) AS n_langs
          |FROM (SELECT lang, $bucketSql AS b FROM documents)
          |GROUP BY 1""".stripMargin,
+
+    "q45_decontaminate" ->
+      s"""WITH labeled AS (
+         |  SELECT doc_id, text,
+         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text, $bucketSql AS b FROM documents)
+         |), toks AS (
+         |  SELECT doc_id, split,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+         |  FROM labeled
+         |), grams AS (
+         |  SELECT DISTINCT doc_id, split,
+         |         CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) % 2147483647 AS gram
+         |  FROM (SELECT doc_id, split, unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+         |        i -> array_to_string(t[i:i+7], ' '))) AS g FROM toks)
+         |), tg AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+         |cont AS (
+         |  SELECT DISTINCT gr.doc_id FROM grams gr JOIN tg ON gr.gram = tg.gram
+         |  WHERE gr.split <> 'train'
+         |)
+         |SELECT split, count(*) AS n_docs, count(c.doc_id) AS n_contaminated
+         |FROM labeled l LEFT JOIN cont c ON l.doc_id = c.doc_id
+         |WHERE split <> 'train' GROUP BY split""".stripMargin,
 
     "q36_dup_clusters" ->
       s"""WITH RECURSIVE ${DedupQueries.minhashCtes},

@@ -63,4 +63,24 @@ class DedupSpec extends SparkSpec {
     val bucketed = EmbeddingDedup.pairsBucketed(emb, "id", "v", 0.9, 4).collect()
     assert(bucketed.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((1L, 2L)))
   }
+
+  test("decontamination: eval doc sharing an 8-gram with a train doc is flagged") {
+    import graft.functions.Splits
+    // the split is hash-determined, so discover labels first and plant the
+    // shared text on one train id and one eval id
+    val ids = (0L until 100L).toDF("doc_id")
+      .withColumn("split", Splits.splitLabel(col("doc_id"), 80, 10))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val trainId = ids.collectFirst { case (i, "train") => i }.get
+    val evalIds = ids.collect { case (i, s) if s != "train" => i }
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (trainId, shared),
+      (evalIds(0), shared),                                     // contaminated copy
+      (evalIds(1), "omicron sigma upsilon words with no overlap at all here now")
+    ).toDF("doc_id", "text")
+    val cont = Decontamination.contaminated(corpus, "doc_id", "text", 8, 80, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(cont == Set(evalIds(0)))
+  }
 }
