@@ -242,6 +242,28 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
     * Uses the SAME well-formedness rule as the index pass, so a
     * freshly-written store is a fixed point (cleanup removes 0).
     */
+  /** Interval-gated maintenance (the reference's cleanup timer policy,
+    * watcher/handler.py — periodic, not per-event): runs [[cleanup]] only
+    * if the persisted last-run stamp is older than `intervalHours`.
+    * Returns None when the gate skips. The stamp lives beside the store so
+    * every process (batch, watch, CLI) shares one schedule; `nowMs` is a
+    * parameter so callers and tests stay deterministic.
+    */
+  def cleanupIfDue(nowMs: Long, intervalHours: Double = 24.0): Option[Long] = {
+    import java.nio.file.{Files, Paths}
+    val stamp = Paths.get(storeDir, "last_cleanup")
+    val last =
+      if (Files.exists(stamp)) scala.util.Try(Files.readString(stamp).trim.toLong).getOrElse(0L)
+      else 0L
+    if (nowMs - last < (intervalHours * 3600 * 1000).toLong) None
+    else {
+      val removed = cleanup()
+      Files.createDirectories(stamp.getParent)
+      Files.writeString(stamp, nowMs.toString)
+      Some(removed)
+    }
+  }
+
   def cleanup(): Long = {
     val all = chunks.cache()
     val names = all.filter(col("chunkType") =!= "relation")

@@ -55,18 +55,49 @@ object IndexPipeline {
 
   private val ExtPattern = ExternalExts.map(e => s".*\\$e$$").mkString("|")
 
+  /** Dotted module names every indexed .py file can answer to — the
+    * set-at-a-time form of the reference's `resolve_module_name`
+    * (indexer.py:1120-1177): "src/chat/parser.py" explodes into its
+    * dotted suffix chains {parser, chat.parser, src.chat.parser}, so
+    * import resolution becomes an exact equi-join instead of a per-import
+    * endswith scan over the entity set.
+    */
+  private def internalModuleNames(names: DataFrame): DataFrame =
+    names.filter(col("entityName").endsWith(".py"))
+      .select(explode(expr(
+        """transform(sequence(1, size(split(regexp_replace(entityName, '\\.py$', ''), '/'))),
+          |  k -> array_join(slice(split(regexp_replace(entityName, '\\.py$', ''), '/'), -k, k), '.'))"""
+          .stripMargin)).as("moduleName"))
+      .distinct()
+
   /** The single well-formedness rule for relation chunks, shared by the
     * index pass and the maintenance pass (so a freshly-written store is a
-    * cleanup fixed point): keep an edge iff its target is a known entity,
-    * OR it's an import (external modules are legitimate targets), OR the
-    * target looks like an external file.
+    * cleanup fixed point):
+    *  - non-import edges: target is a known entity, or looks like an
+    *    external file;
+    *  - IMPORT edges: the target (or its module part, for symbol imports)
+    *    resolves to an INTERNAL .py file, or the target looks like a
+    *    file — external-library imports are filtered, the reference's
+    *    `import_orphan_count` semantics (indexer.py:1196-1205).
     */
-  def keepWellFormedRelations(relChunks: DataFrame, names: DataFrame): DataFrame =
-    relChunks.alias("r")
+  def keepWellFormedRelations(relChunks: DataFrame, names: DataFrame): DataFrame = {
+    val nonImports = relChunks.filter(col("relationType") =!= "imports")
+    val imports = relChunks.filter(col("relationType") === "imports")
+    // candidates: the dotted target with relative-import dots stripped,
+    // plus its module part ("chat.parser.parse" -> "chat.parser")
+    val stripped = regexp_replace(col("relationTarget"), "^\\.+", "")
+    val internalImports = imports
+      .withColumn("_cand", explode(array_distinct(array(
+        stripped, regexp_replace(stripped, "\\.[^.]+$", "")))))
+      .join(broadcast(internalModuleNames(names)),
+        col("_cand") === col("moduleName"), "left_semi")
+      .drop("_cand")
+    nonImports.alias("r")
       .join(broadcast(names).alias("n"), col("r.relationTarget") === col("n.entityName"), "left_semi")
-      .unionByName(relChunks.filter(col("relationType") === "imports" ||
-        col("relationTarget").rlike(ExtPattern)))
+      .unionByName(internalImports)
+      .unionByName(relChunks.filter(col("relationTarget").rlike(ExtPattern)))
       .dropDuplicates("chunkId")
+  }
 
   def index(spark: SparkSession, projectDir: String, storeDir: String,
             embedder: Embedder = DeterministicEmbedder(),

@@ -75,13 +75,40 @@ object MarkdownParser {
         groups.last += s
       else groups += ArrayBuffer(s)
     }
-    // pass 3: merge trailing undersized group into its neighbor
-    if (groups.length > 1 && groups.last.map(_.tokens).sum < MinChunkTokens &&
-      groups(groups.length - 2).map(_.tokens).sum + groups.last.map(_.tokens).sum <= SplitThreshold) {
-      groups(groups.length - 2) ++= groups.last
-      groups.remove(groups.length - 1)
+    // pass 3: redistribute undersized groups (reference
+    // _redistribute_undersized_chunks, parser.py:1854-1906): an
+    // under-minimum group merges forward into the NEXT group if the
+    // combined chunk stays within budget and ≤ 8 sections, else backward
+    // into the previous — so no tiny chunk sits beside roomy neighbors
+    val redistributed = ArrayBuffer[ArrayBuffer[Section]]()
+    var i = 0
+    while (i < groups.length) {
+      val cur = groups(i)
+      val curTokens = cur.map(_.tokens).sum
+      var merged = false
+      if (groups.length > 1 && curTokens < MinChunkTokens) {
+        if (i < groups.length - 1) {
+          val next = groups(i + 1)
+          if (curTokens + next.map(_.tokens).sum <= SplitThreshold &&
+            cur.length + next.length <= 8) {
+            redistributed += (cur ++ next)
+            i += 2
+            merged = true
+          }
+        }
+        if (!merged && redistributed.nonEmpty) {
+          val prev = redistributed.last
+          if (prev.map(_.tokens).sum + curTokens <= SplitThreshold &&
+            prev.length + cur.length <= 8) {
+            redistributed(redistributed.length - 1) = prev ++ cur
+            i += 1
+            merged = true
+          }
+        }
+      }
+      if (!merged) { redistributed += cur; i += 1 }
     }
-    groups.map(_.toSeq).toSeq
+    redistributed.map(_.toSeq).toSeq
   }
 
   def parse(relPath: String, content: String): ParserResult = {

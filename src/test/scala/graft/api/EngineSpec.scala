@@ -17,7 +17,9 @@ class EngineSpec extends SparkSpec {
       Files.writeString(p, content)
     }
     w("foo.py",
-      """def add(x, y):
+      """import os
+        |
+        |def add(x, y):
         |    '''Add two numbers and return the sum.'''
         |    return x + y
         |
@@ -76,6 +78,14 @@ class EngineSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(calls.contains(("main", "add")))
     assert(calls.contains(("main", "multiply")))
+
+    // import resolution: internal module imports stay (foo resolves to
+    // foo.py), the external-library edge (os) is filtered
+    val importTargets = chunks
+      .filter(col("chunkType") === "relation" && col("relationType") === "imports")
+      .select("relationTarget").collect().map(_.getString(0)).toSet
+    assert(importTargets.contains("foo"))
+    assert(!importTargets.contains("os"), s"external import survived: $importTargets")
 
     // dense vectors present with the embedder's dim
     val dims = chunks.select(size(col("dense"))).distinct().collect().map(_.getInt(0)).toSet
@@ -185,6 +195,13 @@ class EngineSpec extends SparkSpec {
 
   test("cleanup is a no-op on a healthy store") {
     assert(engine.cleanup() == 0L)
+  }
+
+  test("cleanupIfDue: interval gate persists across calls") {
+    val t0 = 1700000000000L
+    assert(engine.cleanupIfDue(t0) == Some(0L)) // first run fires
+    assert(engine.cleanupIfDue(t0 + 3600 * 1000L) == None) // 1h later: gated
+    assert(engine.cleanupIfDue(t0 + 25 * 3600 * 1000L) == Some(0L)) // 25h: due again
   }
 
   test("manual memories survive re-index and clear-preserve-manual") {
