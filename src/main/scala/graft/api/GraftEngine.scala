@@ -251,16 +251,35 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
     */
   def cleanupIfDue(nowMs: Long, intervalHours: Double = 24.0): Option[Long] = {
     import java.nio.file.{Files, Paths}
+    val intervalMs = (intervalHours * 3600 * 1000).toLong
     val stamp = Paths.get(storeDir, "last_cleanup")
+    val lock = Paths.get(storeDir, "last_cleanup.lock")
     val last =
       if (Files.exists(stamp)) scala.util.Try(Files.readString(stamp).trim.toLong).getOrElse(0L)
       else 0L
-    if (nowMs - last < (intervalHours * 3600 * 1000).toLong) None
+    if (nowMs - last < intervalMs) None
     else {
-      val removed = cleanup()
+      // two processes sharing the store (batch CLI + watch) can both read a
+      // stale stamp: the atomic createFile is the mutex — the loser skips,
+      // so concurrent cleanups can't race each other's copy-on-write swap.
+      // A lock left by a crashed process is broken once it outlives the
+      // interval (its holder is certainly not still running a cleanup).
       Files.createDirectories(stamp.getParent)
-      Files.writeString(stamp, nowMs.toString)
-      Some(removed)
+      if (Files.exists(lock) &&
+          scala.util.Try(Files.getLastModifiedTime(lock).toMillis).toOption
+            .exists(m => nowMs - m > intervalMs))
+        scala.util.Try(Files.delete(lock))
+      val acquired =
+        try { Files.createFile(lock); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false
+                case _: java.io.IOException => false }
+      if (!acquired) None
+      else try {
+        // stamp is written BEFORE the run: a crash mid-cleanup skips until
+        // the next interval instead of re-running hot on every start
+        Files.writeString(stamp, nowMs.toString)
+        Some(cleanup())
+      } finally scala.util.Try(Files.delete(lock))
     }
   }
 

@@ -71,7 +71,15 @@ object EmbedBatching {
     // the FIRST pre-token alone was over it (one unbroken MB-scale run).
     // That case must not bypass the model's context cap: hard-cut at the
     // char equivalent — the only case where a mid-token cut is unavoidable.
-    if (n > maxTokens) kept.substring(0, math.min(kept.length, maxTokens * 4)) else kept
+    // The cut point is a UTF-16 offset: back off one char if it would land
+    // mid-surrogate-pair, else the transport receives a lone surrogate
+    // (malformed text after UTF-8 encoding in a real HTTP embedder).
+    if (n > maxTokens) {
+      var cutPos = math.min(kept.length, maxTokens * 4)
+      if (cutPos > 0 && cutPos < kept.length && Character.isHighSurrogate(kept.charAt(cutPos - 1)))
+        cutPos -= 1
+      kept.substring(0, cutPos)
+    } else kept
   }
 
   def batchByTokenBudget(texts: Iterator[String], tokenBudget: Long,

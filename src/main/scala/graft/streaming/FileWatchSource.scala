@@ -44,7 +44,7 @@ class FileWatchSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = FileWatchSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new FileWatchTable(properties.get("path"))
+    new FileWatchTable(properties.get("path"), FileWatchSource.configFromOptions(properties.get))
 }
 
 object FileWatchSource {
@@ -54,6 +54,21 @@ object FileWatchSource {
     StructField("ts", LongType),
     StructField("content", StringType)))
 
+  /** Source options → scan-surface config, so the WATCH surface equals the
+    * BATCH scan surface (reference watcher filters events through the same
+    * excludes as the indexer, watcher/handler.py:102-147). Options:
+    * `includes` / `excludes` (comma-separated globs) and `maxFileSize`;
+    * unset options fall back to [[graft.core.GraftConfig]] defaults.
+    */
+  def configFromOptions(get: String => String): graft.core.GraftConfig = {
+    val base = graft.core.GraftConfig()
+    def opt(k: String) = Option(get(k)).map(_.trim).filter(_.nonEmpty)
+    base.copy(
+      includes = opt("includes").map(_.split(",").toSeq.map(_.trim)).getOrElse(base.includes),
+      excludes = opt("excludes").map(_.split(",").toSeq.map(_.trim)).getOrElse(base.excludes),
+      maxFileSize = opt("maxFileSize").map(_.toLong).getOrElse(base.maxFileSize))
+  }
+
   /** One watched file as captured in a snapshot. */
   case class Entry(relPath: String, hash: String, mtime: Long, size: Long, content: String)
 
@@ -61,29 +76,54 @@ object FileWatchSource {
     * (size, mtime) is unchanged reuses the previous entry's hash+content
     * instead of being re-read — so an idle poll costs one listing, not a
     * full-corpus read+hash (the FileStreamSource file-log cost class).
+    *
+    * The walk applies the SAME surface rules as the batch scan
+    * ([[graft.ingest.SourceScan.listFiles]]): excluded directories are
+    * pruned with SKIP_SUBTREE (a node_modules churn never costs a hash),
+    * files must pass include/exclude globs, the parser registry, and the
+    * size cap — so a watch session can never index a file the batch scan
+    * would have skipped.
     */
-  def snapshot(root: String, prev: Map[String, Entry] = Map.empty): Seq[Entry] = {
+  def snapshot(root: String, prev: Map[String, Entry] = Map.empty,
+               config: graft.core.GraftConfig = graft.core.GraftConfig()): Seq[Entry] = {
+    import java.nio.file.{FileVisitResult, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Seq.empty
+    val excludedDirs = config.excludes.filter(_.endsWith("/")).map(_.stripSuffix("/")).toSet
     val out = scala.collection.mutable.ArrayBuffer[Entry]()
-    val walk = Files.walk(rootPath)
-    try walk.iterator().asScala.foreach { p =>
-      if (Files.isRegularFile(p)) {
-        val rel = rootPath.relativize(p).toString.replace('\\', '/')
-        if (!rel.split('/').exists(_.startsWith("."))) {
-          try {
-            val mtime = Files.getLastModifiedTime(p).toMillis
-            val size = Files.size(p)
-            prev.get(rel) match {
-              case Some(e) if e.mtime == mtime && e.size == size => out += e
-              case _ =>
-                val content = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-                out += Entry(rel, graft.core.Ids.sha256Hex(content), mtime, size, content)
-            }
-          } catch { case _: Exception => () } // racing delete: skip
-        }
+    Files.walkFileTree(rootPath, new SimpleFileVisitor[Path] {
+      override def preVisitDirectory(dir: Path, attrs: BasicFileAttributes): FileVisitResult = {
+        val name = dir.getFileName.toString
+        if (dir != rootPath && (name.startsWith(".") || excludedDirs.contains(name)))
+          FileVisitResult.SKIP_SUBTREE
+        else FileVisitResult.CONTINUE
       }
-    } finally walk.close()
+      override def visitFile(p: Path, attrs: BasicFileAttributes): FileVisitResult = {
+        if (attrs.isRegularFile) {
+          val rel = rootPath.relativize(p).toString.replace('\\', '/')
+          if (!rel.split('/').exists(_.startsWith(".")) &&
+              !graft.ingest.SourceScan.excluded(rel, config.excludes) &&
+              graft.ingest.SourceScan.included(rel, config.includes) &&
+              graft.ingest.ParserRegistry.canParse(rel) &&
+              attrs.size <= config.maxFileSize) {
+            try {
+              val mtime = attrs.lastModifiedTime.toMillis
+              val size = attrs.size
+              prev.get(rel) match {
+                case Some(e) if e.mtime == mtime && e.size == size => out += e
+                case _ =>
+                  val content = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+                  out += Entry(rel, graft.core.Ids.sha256Hex(content), mtime, size, content)
+              }
+            } catch { case _: Exception => () } // racing delete: skip
+          }
+        }
+        FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(p: Path, e: java.io.IOException): FileVisitResult =
+        FileVisitResult.CONTINUE // racing delete of a whole subtree: skip
+    })
     out.toSeq.sortBy(_.relPath)
   }
 
@@ -104,7 +144,7 @@ object FileWatchSource {
   }
 }
 
-class FileWatchTable(path: String) extends Table with SupportsRead {
+class FileWatchTable(path: String, config: graft.core.GraftConfig) extends Table with SupportsRead {
   override def name(): String = s"graft-watch:$path"
   override def schema(): StructType = FileWatchSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -114,7 +154,7 @@ class FileWatchTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = this
       override def readSchema(): StructType = FileWatchSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new FileWatchStream(path, checkpointLocation)
+        new FileWatchStream(path, checkpointLocation, config)
     }
 }
 
@@ -133,7 +173,9 @@ case class FileWatchOffset(version: Long) extends Offset {
   * planInputPartitions(start, end) replays the exact same diff after a
   * restart; the partition reader resolves event content from the blobs.
   */
-class FileWatchStream(path: String, checkpointLocation: String) extends MicroBatchStream {
+class FileWatchStream(path: String, checkpointLocation: String,
+                      config: graft.core.GraftConfig = graft.core.GraftConfig())
+  extends MicroBatchStream {
   import FileWatchSource._
 
   // checkpointLocation may arrive as a URI string ("file:/tmp/...") —
@@ -198,7 +240,7 @@ class FileWatchStream(path: String, checkpointLocation: String) extends MicroBat
     * "created".
     */
   private def ensureBaseline(): Unit =
-    if (latestVersion < 0) writeSnap(0, snapshot(path))
+    if (latestVersion < 0) writeSnap(0, snapshot(path, Map.empty, config))
 
   override def initialOffset(): Offset = {
     ensureBaseline()
@@ -213,7 +255,7 @@ class FileWatchStream(path: String, checkpointLocation: String) extends MicroBat
     ensureBaseline()
     val v = latestVersion
     val prev = readSnap(v)
-    val current = snapshot(path, prev.map(e => e.relPath -> e).toMap)
+    val current = snapshot(path, prev.map(e => e.relPath -> e).toMap, config)
     if (diff(prev, current).nonEmpty) { writeSnap(v + 1, current); FileWatchOffset(v + 1) }
     else {
       // content-identical but metadata moved (touch, rewrite-same-bytes):

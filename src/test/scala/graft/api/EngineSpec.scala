@@ -204,6 +204,23 @@ class EngineSpec extends SparkSpec {
     assert(engine.cleanupIfDue(t0 + 25 * 3600 * 1000L) == Some(0L)) // 25h: due again
   }
 
+  test("cleanupIfDue: a held lock skips; a stale lock (crashed holder) is broken") {
+    import java.nio.file.{Files, Paths}
+    val t0 = 1800000000000L
+    val lock = Paths.get(store, "last_cleanup.lock")
+    Files.createDirectories(lock.getParent)
+    Files.createFile(lock)
+    // lock mtime 30 min before the call: RECENT -> held -> skip, lock intact
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(t0 + 50 * 3600 * 1000L - 30 * 60 * 1000L))
+    assert(engine.cleanupIfDue(t0 + 50 * 3600 * 1000L) == None)
+    assert(Files.exists(lock))
+    // 30h later the same lock has outlived the interval -> treated as
+    // crashed, broken, and the cleanup runs
+    assert(engine.cleanupIfDue(t0 + 80 * 3600 * 1000L) == Some(0L))
+    assert(!Files.exists(lock))
+  }
+
   test("manual memories survive re-index and clear-preserve-manual") {
     engine.addManualMemory("deploy-notes", "Remember to bump the schema version before deploying")
     val hit = engine.searchSimilar("schema version deploying", "keyword", limit = 3)

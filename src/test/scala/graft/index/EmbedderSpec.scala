@@ -23,6 +23,19 @@ class EmbedderSpec extends AnyFunSuite {
     assert(EmbedBatching.truncateToTokens("a" * 100, 5) == "a" * 20)
   }
 
+  test("hard cut never splits a surrogate pair") {
+    // one unbroken run of astral-plane chars (2 UTF-16 units each): budget 1
+    // → char cut at offset 4, which lands mid-pair at an odd offset for a
+    // 3-unit-aligned layout; build one where offset 4 splits a pair
+    val astral = new String(Character.toChars(0x1F600)) // 2 units
+    val text = "abc" + astral * 50 // offset 4 = high surrogate of first pair
+    val cut = EmbedBatching.truncateToTokens(text, 1)
+    assert(!Character.isHighSurrogate(cut.last), "cut must back off a dangling high surrogate")
+    // round-trips through UTF-8 without replacement chars
+    val rt = new String(cut.getBytes("UTF-8"), "UTF-8")
+    assert(rt == cut)
+  }
+
   test("remote embedder truncates over-long texts before transport") {
     val seen = scala.collection.mutable.ArrayBuffer[String]()
     val transport: Seq[String] => Seq[Seq[Double]] = { batch =>

@@ -58,6 +58,32 @@ class StreamingSpec extends SparkSpec {
     assert(names3.contains("greet"))
   }
 
+  test("processBatch filters events to the config scan surface; deletes always pass") {
+    val store4 = Files.createTempDirectory("graft_stream_store4").toString
+    val cfg = graft.core.GraftConfig(excludes = Seq("vendor/"), maxFileSize = 64L)
+    val b1 = Seq(
+      FileEvent("app.py", "created", 1L, "def app():\n    return 1\n"),
+      FileEvent("keep.py", "created", 1L, "def keep():\n    return 2\n"),
+      FileEvent("vendor/lib.py", "created", 1L, "def vendored():\n    return 0\n"),
+      FileEvent("huge.py", "created", 1L, "# " + "x" * 200 + "\n")
+    ).toDS
+    WatchPipeline.processBatch(spark, b1, store4, config = cfg)
+    val names1 = spark.read.parquet(s"$store4/chunks")
+      .filter(col("chunkType") === "metadata").select("entityName")
+      .collect().map(_.getString(0)).toSet
+    assert(names1.contains("app"))
+    assert(!names1.contains("vendored") && !names1.contains("huge.py"))
+
+    // a delete for a file now OUTSIDE the surface still cascades
+    val b2 = Seq(FileEvent("app.py", "deleted", 2L, "")).toDS
+    WatchPipeline.processBatch(spark, b2, store4,
+      config = cfg.copy(excludes = cfg.excludes :+ "app.py"))
+    val names2 = spark.read.parquet(s"$store4/chunks")
+      .filter(col("chunkType") === "metadata").select("entityName")
+      .collect().map(_.getString(0)).toSet
+    assert(!names2.contains("app"))
+  }
+
   test("streaming end-to-end: MemoryStream -> foreachBatch -> store") {
     val store2 = Files.createTempDirectory("graft_stream_store2").toString
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
