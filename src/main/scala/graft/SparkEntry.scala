@@ -32,7 +32,8 @@ object SparkEntry {
   ) ++ graft.queries.RelationalQueries.defs ++ graft.queries.SearchQueries.defs ++
     graft.queries.DedupQueries.defs ++ graft.queries.TextQueries.defs ++
     graft.queries.EngineQueries.defs ++ graft.queries.ChatQueries.defs ++
-    graft.queries.IndexBenchQueries.defs ++ graft.queries.PipelineQueries.defs
+    graft.queries.IndexBenchQueries.defs ++ graft.queries.PipelineQueries.defs ++
+    graft.queries.TemporalQueries.defs
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -46,5 +47,5 @@ object SparkEntry {
   ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.SearchQueries.oracles ++
     graft.queries.DedupQueries.oracles ++ graft.queries.TextQueries.oracles ++
     graft.queries.EngineQueries.oracles ++ graft.queries.ChatQueries.oracles ++
-    graft.queries.PipelineQueries.oracles
+    graft.queries.PipelineQueries.oracles ++ graft.queries.TemporalQueries.oracles
 }

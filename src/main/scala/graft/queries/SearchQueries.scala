@@ -60,7 +60,18 @@ object SearchQueries {
     "q30_ann_ivf" -> ((s, dir) =>
       IvfAnn.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
           queryVec(s, dir), 5, numClusters = 16, nprobe = 4)
-        .select(col("vec_id"), col("cluster"), round(col("score"), 6).as("score")))
+        .select(col("vec_id"), col("cluster"), round(col("score"), 6).as("score"))),
+
+    // §7.4 production IVF: centroids from a deterministic KMeans fit
+    // (k=8, 2 Lloyd iterations — the q37 recipe), probe 2. Same probe
+    // machinery as q30, better-balanced cells; the oracle replays the fit
+    // unrolled in SQL and then probes it.
+    "q46_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.search.KMeans.fit(emb, "vec_id", "embedding", 8, 2)
+      IvfAnn.topKWith(emb, "vec_id", "embedding", cents, queryVec(s, dir), 5, nprobe = 2)
+        .select(col("vec_id"), col("cluster"), round(col("score"), 6).as("score"))
+    })
   )
 
   private val bm25Cte =
@@ -179,6 +190,46 @@ object SearchQueries {
         |SELECT vec_id, cluster,
         |       round(list_cosine_similarity(v, (SELECT v FROM qv)), 6) AS score
         |FROM assigned JOIN probed USING (cluster)
+        |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, vec_id
+        |LIMIT 5""".stripMargin,
+
+    // the q37 unrolled 2-iteration Lloyd fit (c0 -> a1 -> c1 -> a2 -> c2),
+    // then the q30 probe against the FITTED centroids
+    "q46_ann_ivf_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT v FROM e WHERE vec_id = 0),
+        |c0 AS (SELECT vec_id AS cluster, v AS cent FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT e.vec_id, e.v, c.cluster,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_cosine_similarity(e.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM e, c0 c) WHERE rn = 1),
+        |c1 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM (
+        |  SELECT cluster, i, round(avg(v[i]), 6) AS m
+        |  FROM a1, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY cluster, i) GROUP BY cluster),
+        |a2 AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT e.vec_id, e.v, c.cluster,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_cosine_similarity(e.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM e, c1 c) WHERE rn = 1),
+        |c2 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM (
+        |  SELECT cluster, i, round(avg(v[i]), 6) AS m
+        |  FROM a2, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY cluster, i) GROUP BY cluster),
+        |a3 AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT e.vec_id, e.v, c.cluster,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_cosine_similarity(e.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM e, c2 c) WHERE rn = 1),
+        |probed AS (
+        |  SELECT cluster FROM c2
+        |  ORDER BY list_cosine_similarity(cent, (SELECT v FROM qv)) DESC, cluster
+        |  LIMIT 2
+        |)
+        |SELECT vec_id, cluster,
+        |       round(list_cosine_similarity(v, (SELECT v FROM qv)), 6) AS score
+        |FROM a3 JOIN probed USING (cluster)
         |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, vec_id
         |LIMIT 5""".stripMargin
   )

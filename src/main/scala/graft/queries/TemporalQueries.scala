@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.TemporalJoins
+
+/** Temporal-join operators ([[graft.operators.TemporalJoins]]) gated over
+  * the events stream table: as-of join (q47) and bucketed range join (q48).
+  * The DuckDB oracles use the NATIVE `ASOF JOIN` / theta-join forms, so the
+  * gates prove the scalable compositions implement the standard semantics.
+  */
+object TemporalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def typed(s: SparkSession, dir: String, t: String): DataFrame =
+    Tables.events(s, dir).filter(col("event_type") === t)
+      .select(col("event_id"), col("user_id"), col("ts"))
+
+  def defs: Map[String, Q] = Map(
+    // AS-OF: each purchase matched to the user's latest click at or before
+    // purchase time. Single window pass — no per-row range probe.
+    "q47_asof_join" -> ((s, dir) => {
+      val purchases = typed(s, dir, "purchase")
+      val clicks = typed(s, dir, "click")
+      TemporalJoins.asof(purchases, clicks, "user_id", "ts", "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("asof_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+    }),
+
+    // RANGE: clicks by the same user within 1 hour after each purchase,
+    // as a bucketed equi-join (fan-out <= 2) instead of a theta-join.
+    "q48_range_join" -> ((s, dir) => {
+      val purchases = typed(s, dir, "purchase")
+      val clicks = typed(s, dir, "click").drop("event_id")
+      TemporalJoins.countInWindow(purchases, clicks, "user_id", "event_id",
+          "ts", "ts", 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("n_in_window"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q47_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.event_id AS asof_event_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "q48_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, count(c.ts) AS n_in_window
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+        |GROUP BY p.event_id, p.user_id""".stripMargin
+  )
+}

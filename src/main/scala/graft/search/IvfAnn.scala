@@ -10,10 +10,10 @@ import graft.functions.VectorOps
   * a query probes only its `nprobe` nearest clusters and runs exact cosine
   * inside them.
   *
-  * Centroid choice is deterministic-seeded: the vectors with the K lowest
-  * ids (a k-means|| replacement that stays reproducible across engines —
-  * a production deployment would run k-means and persist the centroid
-  * table; everything downstream is identical).
+  * Centroid choice: [[topK]] uses a deterministic seed (the vectors with
+  * the K lowest ids — reproducible across engines); [[topKWith]] accepts a
+  * fitted centroid table, with [[KMeans.fit]] as the production source
+  * (gated end-to-end by q46, whose oracle replays the fit in SQL).
   *
   * Everything is relational: assignment is a (vectors × centroids) cosine
   * ranked by a window — a broadcast join since centroids are K rows. At
@@ -40,10 +40,19 @@ object IvfAnn {
       .drop("_rn", "_ccos", "centroid")
   }
 
-  /** Probed ANN top-k. */
+  /** Probed ANN top-k over the seeded centroid table. */
   def topK(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
-           k: Int, numClusters: Int, nprobe: Int): DataFrame = {
-    val cents = centroids(emb, idCol, vecCol, numClusters)
+           k: Int, numClusters: Int, nprobe: Int): DataFrame =
+    topKWith(emb, idCol, vecCol, centroids(emb, idCol, vecCol, numClusters), query, k, nprobe)
+
+  /** Probed ANN top-k against a PROVIDED `(cluster, centroid)` table — the
+    * production shape: centroids come from a persisted [[KMeans.fit]] run
+    * (better-balanced clusters → the same nprobe prunes more), and at
+    * 100 TB `cluster` is the table's partition column so the probe is
+    * partition pruning.
+    */
+  def topKWith(emb: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
+               query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
     val qv = VectorOps.vecLit(query)
     val probed = cents
       .withColumn("qcos", VectorOps.cosine(col("centroid"), qv))
