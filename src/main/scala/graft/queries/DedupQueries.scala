@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NgramJaccard, SimHash}
+import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NgramJaccard, ParagraphDedup, SimHash}
 
 /** Deduplication operators over the documents/embeddings corpus — the
   * LLM-training-pipeline family: exact hash, MinHash+LSH, SimHash, n-gram
@@ -44,7 +44,22 @@ object DedupQueries {
     // table's partition key at scale, so the self-join is co-located.
     "q43_embed_bucketed" -> ((s, dir) =>
       EmbeddingDedup.pairsBucketed(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4, 8)
-        .select(col("bucket"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))
+        .select(col("bucket"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
+
+    // Paragraph-grain keep-first dedup (ParagraphDedup): boilerplate that
+    // repeats across documents survives document-level dedup; this gate
+    // counts, per source, the 20-token blocks and how many are the
+    // corpus-first occurrence of their content. One shuffle keyed by block
+    // digest — no pair enumeration.
+    "q50_paragraph_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val blocks = ParagraphDedup.wordBlocks(docs, "doc_id", "text", 20)
+      ParagraphDedup.keepFirst(blocks, "doc_id")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_blocks"),
+          count(when(col("kept"), 1)).as("n_kept"))
+    })
   )
 
   private val hash31 = "CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647"
@@ -128,7 +143,25 @@ object DedupQueries {
 
     "q43_embed_bucketed" ->
       s"""WITH $embedBucketedPairCtes
-         |SELECT bucket, id_a, id_b, round(c, 6) AS cos FROM bpairs""".stripMargin
+         |SELECT bucket, id_a, id_b, round(c, 6) AS cos FROM bpairs""".stripMargin,
+
+    "q50_paragraph_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), blocks AS (
+        |  SELECT doc_id, source, u['i'] AS idx, u['b'] AS para FROM (
+        |    SELECT doc_id, source,
+        |           unnest(list_transform(generate_series(1, CAST(ceil(len(t) / 20.0) AS BIGINT)),
+        |             i -> {'i': i, 'b': array_to_string(t[(i-1)*20+1:(i-1)*20+20], ' ')})) AS u
+        |    FROM toks WHERE len(t) > 0)
+        |), marked AS (
+        |  SELECT source, row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |  FROM blocks
+        |)
+        |SELECT source, count(*) AS n_blocks, count(CASE WHEN rn = 1 THEN 1 END) AS n_kept
+        |FROM marked GROUP BY source""".stripMargin
   )
 
   /** Embedding cosine near-dup pair CTEs, shared by the q22 oracle and the

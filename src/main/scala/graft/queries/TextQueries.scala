@@ -54,6 +54,39 @@ object TextQueries {
     "q26_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.fingerprint("text").as("fp")))
+    ,
+
+    // PII/URL detection + redaction (graft.functions.PiiScrub). The corpus
+    // has no natural contact strings, so the gate derives one per customer
+    // row IN-QUERY (identically in both engines) and then verifies the
+    // detection counts and the redacted output hash-match — i.e. that the
+    // Java-regex and RE2 interpretations of the shared patterns agree,
+    // which is the actual cross-platform risk of a scrubbing pass.
+    "q49_pii_scrub" -> ((s, dir) => {
+      import graft.functions.PiiScrub
+      val ck = col("c_custkey")
+      val seg = lower(col("c_mktsegment"))
+      val contact = concat(
+        when(ck % 3 === 0,
+          concat(lit("mail user"), ck.cast("string"), lit("@"), seg, lit(".example.com ")))
+          .otherwise(lit("")),
+        when(ck % 2 === 0,
+          concat(lit("see https://ex.org/u/"), ck.cast("string"), lit("?seg="), seg, lit(" ")))
+          .otherwise(lit("")),
+        lit("ref seg "), seg,
+        when(ck % 5 === 0,
+          concat(lit(" call +1-555-"), lpad((ck % 10000).cast("string"), 4, "0"), lit(" now")))
+          .otherwise(lit(""))
+      )
+      Tables.customer(s, dir)
+        .withColumn("contact", contact)
+        .select(col("c_custkey"),
+          PiiScrub.emailCount(col("contact")).cast("long").as("n_emails"),
+          PiiScrub.urlCount(col("contact")).cast("long").as("n_urls"),
+          PiiScrub.phoneCount(col("contact")).cast("long").as("n_phones"),
+          PiiScrub.redact(col("contact")).as("redacted"))
+        .orderBy(col("c_custkey")).limit(31)
+    })
   )
 
   private def langScoreSql(profile: Seq[String]): String =
@@ -124,6 +157,31 @@ object TextQueries {
          |      list_transform(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0),
          |                     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647)),
          |    (acc, h) -> (acc * 31 + h) % ${TextOps.FpMod}) AS fp
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "q49_pii_scrub" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |         (CASE WHEN c_custkey % 3 = 0
+        |               THEN 'mail user' || c_custkey || '@' || lower(c_mktsegment) || '.example.com '
+        |               ELSE '' END) ||
+        |         (CASE WHEN c_custkey % 2 = 0
+        |               THEN 'see https://ex.org/u/' || c_custkey || '?seg=' || lower(c_mktsegment) || ' '
+        |               ELSE '' END) ||
+        |         'ref seg ' || lower(c_mktsegment) ||
+        |         (CASE WHEN c_custkey % 5 = 0
+        |               THEN ' call +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' now'
+        |               ELSE '' END) AS contact
+        |  FROM customer
+        |)
+        |SELECT c_custkey,
+        |       CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(contact, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |       CAST(len(regexp_extract_all(contact, '\+?[0-9][0-9()\-\s]{5,}[0-9]')) AS BIGINT) AS n_phones,
+        |       regexp_replace(regexp_replace(regexp_replace(contact,
+        |         'https?://[^\s]+', '<URL>', 'g'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+?[0-9][0-9()\-\s]{5,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM c ORDER BY c_custkey LIMIT 31""".stripMargin
   )
 }
