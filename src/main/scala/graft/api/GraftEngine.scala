@@ -250,36 +250,56 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
     * parameter so callers and tests stay deterministic.
     */
   def cleanupIfDue(nowMs: Long, intervalHours: Double = 24.0): Option[Long] = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardOpenOption}
     val intervalMs = (intervalHours * 3600 * 1000).toLong
     val stamp = Paths.get(storeDir, "last_cleanup")
     val lock = Paths.get(storeDir, "last_cleanup.lock")
-    val last =
+    def lastRun: Long =
       if (Files.exists(stamp)) scala.util.Try(Files.readString(stamp).trim.toLong).getOrElse(0L)
       else 0L
-    if (nowMs - last < intervalMs) None
+    if (nowMs - lastRun < intervalMs) None
     else {
       // two processes sharing the store (batch CLI + watch) can both read a
-      // stale stamp: the atomic createFile is the mutex — the loser skips,
-      // so concurrent cleanups can't race each other's copy-on-write swap.
-      // A lock left by a crashed process is broken once it outlives the
-      // interval (its holder is certainly not still running a cleanup).
+      // stale stamp: an OS-level advisory lock (FileChannel.tryLock) is the
+      // mutex — the loser skips, so concurrent cleanups can't race each
+      // other's copy-on-write swap. The OS releases the lock when its
+      // holder dies, so a crashed holder leaves NO stale state to break —
+      // the previous delete-then-create stale-break had a TOCTOU window
+      // where two processes could each "break" the lock (the second delete
+      // removing the first's fresh lock) and run concurrently. The .lock
+      // file itself is a permanent zero-byte sentinel, never deleted:
+      // unlinking after release races a concurrent acquirer that holds the
+      // now-unlinked inode while a third process creates a fresh file.
       Files.createDirectories(stamp.getParent)
-      if (Files.exists(lock) &&
-          scala.util.Try(Files.getLastModifiedTime(lock).toMillis).toOption
-            .exists(m => nowMs - m > intervalMs))
-        scala.util.Try(Files.delete(lock))
-      val acquired =
-        try { Files.createFile(lock); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false
-                case _: java.io.IOException => false }
-      if (!acquired) None
-      else try {
-        // stamp is written BEFORE the run: a crash mid-cleanup skips until
-        // the next interval instead of re-running hot on every start
-        Files.writeString(stamp, nowMs.toString)
-        Some(cleanup())
-      } finally scala.util.Try(Files.delete(lock))
+      val held: Option[java.nio.channels.FileChannel] =
+        scala.util.Try(java.nio.channels.FileChannel.open(lock,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)).toOption.flatMap { ch =>
+          val fl =
+            try ch.tryLock()
+            catch {
+              // another thread of THIS JVM holds it (tryLock only returns
+              // null for other-process holders)
+              case _: java.nio.channels.OverlappingFileLockException => null
+              case _: java.io.IOException => null
+            }
+          if (fl == null) { scala.util.Try(ch.close()); None } else Some(ch)
+        }
+      held match {
+        case None => None
+        case Some(ch) =>
+          try {
+            // re-check the stamp UNDER the lock: the loser of a
+            // near-simultaneous race can acquire right after the winner
+            // released, and must see the winner's fresh stamp
+            if (nowMs - lastRun < intervalMs) None
+            else {
+              // stamp is written BEFORE the run: a crash mid-cleanup skips
+              // until the next interval instead of re-running hot on start
+              Files.writeString(stamp, nowMs.toString)
+              Some(cleanup())
+            }
+          } finally scala.util.Try(ch.close()) // close releases the lock
+      }
     }
   }
 

@@ -78,8 +78,19 @@ object NgramJaccard {
       // WITHIN a group by this function's contract
       .join(grams.select(col("grp"), col("doc_id").as("doc_a"), col("g").as("g_a")), Seq("grp", "doc_a"))
       .join(grams.select(col("grp"), col("doc_id").as("doc_b"), col("g").as("g_b")), Seq("grp", "doc_b"))
+      // jaccard >= t  ⟺  inter >= t/(1+t) * (sz_a+sz_b): pass that lower
+      // bound into the merge walk so true negatives (most candidates) abort
+      // the moment the bound is unreachable instead of walking both arrays
+      // to the end. The 1e-9 slack guards the ceil against float error
+      // inflating an exactly-integral bound (a wrongly-raised bound would
+      // DROP a passing pair; a slightly-low one only admits pairs the exact
+      // jaccard filter below re-checks).
+      .withColumn("need", greatest(lit(0),
+        ceil(lit(minJaccard / (1.0 + minJaccard)) * (col("sz_a") + col("sz_b")) - lit(1e-9))).cast("int"))
       .withColumn("inter",
-        org.apache.spark.sql.graftx.SortedIntersectSize.asColumn(col("g_a"), col("g_b")).cast("double"))
+        org.apache.spark.sql.graftx.SortedIntersectAtLeast.asColumn(col("g_a"), col("g_b"), col("need"))
+          .cast("double"))
+      .filter(col("inter") >= 0)
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("grp"), col("doc_a"), col("doc_b"), col("jaccard"))

@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Paragraph-level exact deduplication — the sub-document complement to the
@@ -10,10 +9,11 @@ import org.apache.spark.sql.functions._
   * and survive document-level dedup, so training pipelines dedup at the
   * paragraph grain and keep the FIRST occurrence.
   *
-  * Scale shape: explode to (doc, idx, para) rows, then ONE shuffle keyed by
-  * the paragraph's md5 for the keep-first window. No pairwise comparison
-  * anywhere; the md5 key keeps the shuffle narrow (the window carries the
-  * digest, not the paragraph body, into the sort key).
+  * Scale shape: explode to (doc, idx, para) rows, then a partially-agg'd
+  * groupBy on the paragraph's md5 to elect the first occurrence, joined
+  * back by digest. No pairwise comparison anywhere; the md5 key keeps the
+  * shuffle narrow, and map-side combine collapses hot digests (see
+  * [[keepFirst]]).
   */
 object ParagraphDedup {
 
@@ -41,15 +41,31 @@ object ParagraphDedup {
   }
 
   /** Mark each paragraph row `kept` iff it is the corpus-first occurrence
-    * of its content (ordered by `(idCol, idx)`). Keyed by md5 of the
-    * paragraph — identical content always collides into one window
-    * partition; distinct content splitting a digest is a 2^-128 event.
+    * of its content (ordered by `(idCol, idx)`; rows are assumed unique on
+    * `(idCol, idx)`, which [[paragraphs]]/[[wordBlocks]] guarantee by
+    * construction). Keyed by md5 of the paragraph — identical content
+    * always collides into one digest; distinct content splitting a digest
+    * is a 2^-128 event.
+    *
+    * Deliberately NOT a `row_number` window: a boilerplate paragraph
+    * repeated across millions of documents (license header, nav chrome —
+    * the exact content this operator targets) would put every occurrence
+    * into ONE window partition with no partial aggregation — a straggler
+    * task sorting billions of rows at 100 TB. `groupBy(digest).agg(min)`
+    * instead gets map-side combine (each task contributes one candidate
+    * per hot digest), and the join-back is an equi-join on the digest
+    * where the firsts side has exactly one row per distinct paragraph.
     */
   def keepFirst(paras: DataFrame, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col("para")))
-      .orderBy(col(idCol).asc, col("idx").asc)
-    paras.withColumn("_rn", row_number().over(w))
-      .withColumn("kept", col("_rn") === 1).drop("_rn")
+    val withDigest = paras.withColumn("_dg", md5(col("para")))
+    // struct min = lexicographic (idCol asc, idx asc) — the same
+    // first-occurrence order the old window used
+    val firsts = withDigest.groupBy(col("_dg"))
+      .agg(min(struct(col(idCol), col("idx"))).as("_first"))
+    withDigest.join(firsts, Seq("_dg"))
+      .withColumn("kept",
+        col("_first")(idCol) === col(idCol) && col("_first")("idx") === col("idx"))
+      .drop("_dg", "_first")
   }
 
   /** Rebuild each document from its surviving paragraphs (drop-dup

@@ -32,5 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "sorted_intersect_size takes exactly 2 arguments")
         SortedIntersectSize(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_at_least"),
+      new ExpressionInfo(classOf[SortedIntersectAtLeast].getName, "sorted_intersect_at_least"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "sorted_intersect_at_least takes exactly 3 arguments")
+        SortedIntersectAtLeast(children.head, children(1), children(2))
+      }))
   }
 }

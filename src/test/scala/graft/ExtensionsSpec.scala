@@ -36,6 +36,47 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(inter == 2)
   }
 
+  test("sorted_intersect_at_least: interpreted == codegen on abort, exact, and boundary paths") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftx.SortedIntersectAtLeast
+    import spark.implicits._
+    // (a, b, minKeep) cases spanning: full-walk survivor (inter >= need),
+    // early-abort negative (bound unreachable mid-walk), boundary
+    // (inter == need exactly), need=0 (never aborts), empty arrays,
+    // disjoint arrays with need>0 (aborts on first bound check).
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 7L), 2), // survivor: inter=3 >= 2
+      (Seq(1L, 2L, 3L, 4L), Seq(10L, 11L, 12L, 13L), 1), // disjoint, aborts
+      (Seq(1L, 3L, 5L), Seq(3L, 5L, 9L), 2), // boundary: inter=2 == need
+      (Seq(1L, 3L, 5L), Seq(3L, 5L, 9L), 3), // one short: inter=2 < 3 → -1
+      (Seq(1L, 2L), Seq(3L, 4L), 0), // need=0: exact count 0
+      (Seq.empty[Long], Seq(1L, 2L), 1), // empty side
+      ((1L to 200L).toSeq, (150L to 400L).toSeq, 120) // long walk, aborts late
+    )
+    // interpreted: direct Expression.eval on literals
+    val interp = cases.map { case (a, b, k) =>
+      SortedIntersectAtLeast(
+        Literal.create(a, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        Literal.create(b, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        Literal(k)).eval(null).asInstanceOf[Int]
+    }
+    // codegen: same rows through a DataFrame projection (whole-stage codegen)
+    val df = cases.toDF("a", "b", "k")
+    val gen = df.select(SortedIntersectAtLeast.asColumn(col("a"), col("b"), col("k")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(interp == gen)
+    // reference semantics: -1 iff true intersection < minKeep, exact otherwise
+    val expected = cases.map { case (a, b, k) =>
+      val n = a.toSet.intersect(b.toSet).size; if (n < k) -1 else n
+    }
+    assert(interp == expected)
+    // and the SQL registration round-trips
+    val viaSql = spark.sql(
+      "SELECT sorted_intersect_at_least(array(1L, 3L, 5L), array(3L, 4L, 5L), 2) AS n")
+      .head().getInt(0)
+    assert(viaSql == 2)
+  }
+
   test("bm25 model persistence: fitAndSave then searchWithModel on a stale corpus") {
     import spark.implicits._
     val store = Files.createTempDirectory("graft_bm25").toString

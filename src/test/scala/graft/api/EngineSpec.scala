@@ -204,21 +204,26 @@ class EngineSpec extends SparkSpec {
     assert(engine.cleanupIfDue(t0 + 25 * 3600 * 1000L) == Some(0L)) // 25h: due again
   }
 
-  test("cleanupIfDue: a held lock skips; a stale lock (crashed holder) is broken") {
-    import java.nio.file.{Files, Paths}
+  test("cleanupIfDue: a HELD lock skips; a crashed holder's lock file does not block") {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
     val t0 = 1800000000000L
     val lock = Paths.get(store, "last_cleanup.lock")
     Files.createDirectories(lock.getParent)
-    Files.createFile(lock)
-    // lock mtime 30 min before the call: RECENT -> held -> skip, lock intact
-    Files.setLastModifiedTime(lock,
-      java.nio.file.attribute.FileTime.fromMillis(t0 + 50 * 3600 * 1000L - 30 * 60 * 1000L))
+    // simulate another process mid-cleanup: actually HOLD the OS lock
+    val ch = java.nio.channels.FileChannel.open(lock,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val fl = ch.tryLock()
+    assert(fl != null)
     assert(engine.cleanupIfDue(t0 + 50 * 3600 * 1000L) == None)
+    // "crashed holder": the OS releases the lock with the process — here,
+    // explicit release. The leftover .lock FILE alone must not block: no
+    // interval-outlived wait, no delete-then-create stale break (the old
+    // TOCTOU scheme), the next due call just runs.
+    fl.release(); ch.close()
     assert(Files.exists(lock))
-    // 30h later the same lock has outlived the interval -> treated as
-    // crashed, broken, and the cleanup runs
-    assert(engine.cleanupIfDue(t0 + 80 * 3600 * 1000L) == Some(0L))
-    assert(!Files.exists(lock))
+    assert(engine.cleanupIfDue(t0 + 50 * 3600 * 1000L) == Some(0L))
+    // the sentinel file deliberately survives (never unlinked)
+    assert(Files.exists(lock))
   }
 
   test("manual memories survive re-index and clear-preserve-manual") {
