@@ -1,57 +1,127 @@
 package graft.mm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.Dataset
 import graft.core.Ids
 
 /** Multimodal column plumbing for a training-data pipeline: media as
   * opaque `binary` columns + typed metadata, with decode / feature-extract
-  * / resize / frame-sample as batched per-partition stages.
+  * / resize / frame-sample as batched per-partition stages (the Scala
+  * analog of `mapInPandas` batches).
   *
-  * The Spark-side shape is real and tested — schema, partitioning, batch
-  * iteration — while the codec itself is STUBBED (this container has no
-  * image/audio libraries): `decodeStub` derives deterministic pseudo
-  * dimensions/features from the bytes. Swapping in a real decoder changes
-  * ONLY the function body passed to `mapPartitions`; the pipeline shape
-  * (batched iterator in, rows out — the Scala analog of `mapInPandas`
-  * batches) stays identical.
+  * The IMAGE leg is real: the JDK's own `javax.imageio` decodes
+  * PNG/JPEG/GIF/BMP with zero extra dependencies, so image rows get actual
+  * width/height, exact per-channel pixel sums, and a 4×4-grid mean-luminance
+  * embedding, and `resizeImages` re-encodes a genuinely resampled payload.
+  * Audio/video codecs are NOT in the JDK (and this container has no media
+  * libraries), so those kinds fall back to the deterministic stub — swapping
+  * in a real codec changes only the per-row body inside [[decodeBatch]];
+  * the pipeline shape (batched iterator in, rows out) stays identical.
   */
 object Multimodal {
 
   /** A media row: opaque payload + typed envelope. */
   case class MediaRow(mediaId: Long, kind: String, bytes: Array[Byte], meta: Map[String, String])
 
-  /** Decoded features (what a real decoder would emit). */
+  /** Decoded features. For `decoded = true` (images the JDK codec read)
+    * width/height/channel sums/embedding come from real pixels; otherwise
+    * they are the deterministic stub derivation.
+    */
   case class MediaFeatures(
       mediaId: Long,
       kind: String,
       sizeBytes: Long,
       contentHash: String,
-      width: Int, // STUB: derived, not decoded
-      height: Int, // STUB: derived, not decoded
-      durationMs: Long, // STUB: derived, not decoded
-      embedding: Seq[Double])
+      width: Int,
+      height: Int,
+      durationMs: Long,
+      sumR: Long, // exact per-channel pixel sums (0 when stubbed)
+      sumG: Long,
+      sumB: Long,
+      embedding: Seq[Double],
+      decoded: Boolean)
 
   val BatchSize = 64 // batch shape of the vectorized-UDF analog
-  val EmbeddingDim = 16
+  val GridDim = 4 // embedding = GridDim × GridDim mean-luminance cells
+  val EmbeddingDim: Int = GridDim * GridDim
 
-  /** STUB decode: deterministic pseudo-decode from the payload bytes.
-    * A real implementation calls the codec per batch here (batching
-    * amortizes model/codec init exactly like pandas-UDF batches).
+  // ImageIO's default scratch cache is a temp FILE per decode — in-memory
+  // payloads must stay in memory on a 1000-executor cluster
+  ImageIO.setUseCache(false)
+
+  /** Decode one image payload with the JDK codec. Returns None when the
+    * bytes aren't a format `javax.imageio` can read (caller falls back to
+    * the stub). `getRGB` converts any internal raster layout to packed
+    * sRGB, so channel extraction is format-independent.
     */
-  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long, Seq[Double])] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var sumR = 0L; var sumG = 0L; var sumB = 0L
+        val cellLum = new Array[Double](EmbeddingDim)
+        val cellN = new Array[Long](EmbeddingDim)
+        var y = 0
+        while (y < h) {
+          val cy = y * GridDim / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sumR += r; sumG += g; sumB += b
+            val cell = cy * GridDim + x * GridDim / w
+            cellLum(cell) += (r + g + b) / (3.0 * 255.0)
+            cellN(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val emb = (0 until EmbeddingDim).map(i => if (cellN(i) == 0) 0.0 else cellLum(i) / cellN(i))
+        (w, h, sumR, sumG, sumB, emb)
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** STUB features: deterministic pseudo-decode from the payload bytes —
+    * the fallback for kinds the JDK has no codec for (audio/video) and for
+    * undecodable image bytes.
+    */
+  private def stubFeatures(r: MediaRow): MediaFeatures = {
+    val h = Ids.md5Hex(r.bytes.map("%02x".format(_)).mkString)
+    val h31 = Ids.hash31(h)
+    MediaFeatures(
+      r.mediaId, r.kind, r.bytes.length.toLong, h,
+      width = (h31 % 1920).toInt + 1,
+      height = (h31 % 1080).toInt + 1,
+      durationMs = if (r.kind == "image") 0L else h31 % 600000L,
+      sumR = 0L, sumG = 0L, sumB = 0L,
+      embedding = (0 until EmbeddingDim).map(d =>
+        ((Ids.hash31(s"$h:$d") % 2001L) - 1000L) / 1000.0),
+      decoded = false)
+  }
+
+  /** Batched decode: real JDK codec for image rows, stub otherwise. The
+    * `grouped(BatchSize)` seam is where a real audio/video codec (or a
+    * batched embedding model) would amortize its per-batch init.
+    */
+  def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.grouped(BatchSize).flatMap { batch =>
       // per-batch init would happen HERE (codec/model handle)
       batch.map { r =>
-        val h = Ids.md5Hex(r.bytes.map("%02x".format(_)).mkString)
-        val h31 = Ids.hash31(h)
-        MediaFeatures(
-          r.mediaId, r.kind, r.bytes.length.toLong, h,
-          width = (h31 % 1920).toInt + 1,
-          height = (h31 % 1080).toInt + 1,
-          durationMs = if (r.kind == "image") 0L else h31 % 600000L,
-          embedding = (0 until EmbeddingDim).map(d =>
-            ((Ids.hash31(s"$h:$d") % 2001L) - 1000L) / 1000.0))
+        val stub = stubFeatures(r)
+        if (r.kind != "image") stub
+        else decodeImage(r.bytes) match {
+          case Some((w, h, sr, sg, sb, emb)) =>
+            stub.copy(width = w, height = h, durationMs = 0L,
+              sumR = sr, sumG = sg, sumB = sb, embedding = emb, decoded = true)
+          case None => stub
+        }
       }
     }
 
@@ -61,20 +131,53 @@ object Multimodal {
     */
   def extractFeatures(media: Dataset[MediaRow], partitions: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.repartition(partitions).mapPartitions(decodeStub)
+    media.repartition(partitions).mapPartitions(decodeBatch)
   }
 
-  /** STUB resize: a real implementation transforms the payload; the stub
-    * tags the metadata and passes bytes through (shape-preserving).
+  /** Encode a raster to PNG bytes (lossless — decode(encode(img)) returns
+    * identical pixels, which is what makes closed-form oracles possible).
     */
-  def resizeStub(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real image resize: deterministic nearest-neighbor resample (a hand
+    * raster walk, not the AWT rendering pipeline, so the output bytes are
+    * platform-independent), re-encoded as PNG. Non-image rows and
+    * undecodable payloads pass through untouched except for the meta tag —
+    * same contract the stub had.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.map(r => r.copy(meta = r.meta + ("resized" -> s"${w}x$h")))
+    media.map { r =>
+      val tagged = r.copy(meta = r.meta + ("resized" -> s"${w}x$h"))
+      if (r.kind != "image") tagged
+      else
+        (try Option(ImageIO.read(new ByteArrayInputStream(r.bytes)))
+         catch { case NonFatal(_) => None }) match {
+          case Some(src) =>
+            val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              val sy = y * src.getHeight / h
+              var x = 0
+              while (x < w) {
+                dst.setRGB(x, y, src.getRGB(x * src.getWidth / w, sy))
+                x += 1
+              }
+              y += 1
+            }
+            tagged.copy(bytes = encodePng(dst))
+          case _ => tagged
+        }
+    }
   }
 
   /** STUB frame sampling for video rows: emits `n` pseudo-frames per video
-    * as image rows (a real impl decodes frames; the fan-out shape — one
-    * row to n rows — is the real part).
+    * as image rows (a real impl decodes frames — no JDK video codec exists;
+    * the fan-out shape — one row to n rows — is the real part).
     */
   def sampleFramesStub(media: Dataset[MediaRow], n: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._

@@ -1,0 +1,89 @@
+package graft.queries
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.mm.Multimodal
+import graft.mm.Multimodal.MediaRow
+
+/** Multimodal decode gate. q51 generates deterministic synthetic PNGs in
+  * the executors (solid fills and horizontal gradients with closed-form
+  * pixel statistics), runs them through the REAL `javax.imageio` decode in
+  * [[Multimodal.extractFeatures]], and reports exact integer per-channel
+  * pixel sums. The DuckDB oracle recomputes those sums from the generation
+  * formula alone — the two can only agree if the PNG encode→decode round
+  * trip read the actual pixels (the gate filters on `decoded`, so a codec
+  * fallback to the stub drops rows and fails the row-count compare).
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumImages = 64
+
+  /** Deterministic test raster i: solid (even i) or horizontal gradient
+    * (odd i), dimensions 8..31 so every 4×4 embedding cell is populated.
+    */
+  def syntheticImage(i: Long): MediaRow = {
+    val w = 8 + (i % 24).toInt
+    val h = 8 + ((i * 3) % 24).toInt
+    val cr = ((i * 5) % 256).toInt
+    val cg = ((i * 11) % 256).toInt
+    val cb = ((i * 17) % 256).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = if (i % 2 == 0) cr else x * 255 / (w - 1)
+        val g = if (i % 2 == 0) cg else 255 - x * 255 / (w - 1)
+        img.setRGB(x, y, (r << 16) | (g << 8) | cb)
+        x += 1
+      }
+      y += 1
+    }
+    MediaRow(i, "image", Multimodal.encodePng(img), Map("gen" -> "synthetic"))
+  }
+
+  def defs: Map[String, Q] = Map(
+    // Real JDK-ImageIO decode over generated PNGs; exact channel sums.
+    "q51_image_decode" -> ((s, _) => {
+      import s.implicits._
+      val media = s.range(NumImages).map(i => syntheticImage(i.longValue))
+      Multimodal.extractFeatures(media, 8).toDF()
+        .filter(col("decoded")) // stub fallback must NOT count as decoded
+        .select(
+          col("mediaId").cast("long").as("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sumR").as("sum_r"),
+          col("sumG").as("sum_g"),
+          col("sumB").as("sum_b"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // Closed-form replay of the generator: solid images sum to w*h*channel;
+    // the gradient row sums its per-x integer ramp once and scales by h.
+    "q51_image_decode" ->
+      s"""WITH dims AS (
+         |  SELECT i, 8 + (i % 24) AS w, 8 + ((i * 3) % 24) AS h,
+         |         (i * 5) % 256 AS cr, (i * 11) % 256 AS cg, (i * 17) % 256 AS cb
+         |  FROM generate_series(0, ${NumImages - 1}) AS t(i)
+         |), ramp AS (
+         |  SELECT i, w, h, cr, cg, cb,
+         |         h * list_sum(list_transform(generate_series(0, w - 1),
+         |                                     x -> (x * 255) // (w - 1))) AS grad_r
+         |  FROM dims
+         |)
+         |SELECT CAST(i AS BIGINT) AS media_id,
+         |       CAST(w AS BIGINT) AS width,
+         |       CAST(h AS BIGINT) AS height,
+         |       CAST(CASE WHEN i % 2 = 0 THEN w * h * cr ELSE grad_r END AS BIGINT) AS sum_r,
+         |       CAST(CASE WHEN i % 2 = 0 THEN w * h * cg ELSE w * h * 255 - grad_r END AS BIGINT) AS sum_g,
+         |       CAST(w * h * cb AS BIGINT) AS sum_b
+         |FROM ramp ORDER BY media_id""".stripMargin
+  )
+}

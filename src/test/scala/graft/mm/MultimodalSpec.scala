@@ -1,37 +1,87 @@
 package graft.mm
 
+import java.awt.image.BufferedImage
+
 import graft.SparkSpec
 import graft.mm.Multimodal.MediaRow
+import graft.queries.MultimodalQueries
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  private def media = Seq(
-    MediaRow(1L, "image", Array[Byte](1, 2, 3, 4), Map("src" -> "cam0")),
-    MediaRow(2L, "video", Array[Byte](9, 9, 9), Map("src" -> "cam1")),
-    MediaRow(3L, "audio", Array[Byte](5), Map.empty[String, String])
-  ).toDS
-
-  test("extractFeatures: schema, determinism, batch shape") {
-    val f1 = Multimodal.extractFeatures(media, 2).collect().sortBy(_.mediaId)
-    val f2 = Multimodal.extractFeatures(media, 3).collect().sortBy(_.mediaId)
-    assert(f1.map(_.contentHash).toSeq == f2.map(_.contentHash).toSeq) // partitioning-invariant
-    assert(f1.forall(_.embedding.length == Multimodal.EmbeddingDim))
-    assert(f1.forall(f => f.width >= 1 && f.height >= 1))
-    val img = f1.find(_.mediaId == 1L).get
-    assert(img.durationMs == 0L) // images have no duration
-    assert(img.sizeBytes == 4L)
+  /** 3×2 PNG with known pixels: rows of (red, green, blue) / (white, black, gray). */
+  private def knownPng: Array[Byte] = {
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00); img.setRGB(2, 0, 0x0000ff)
+    img.setRGB(0, 1, 0xffffff); img.setRGB(1, 1, 0x000000); img.setRGB(2, 1, 0x808080)
+    Multimodal.encodePng(img)
   }
 
-  test("resize stub preserves rows and tags metadata") {
-    val out = Multimodal.resizeStub(media, 224, 224).collect()
-    assert(out.length == 3)
-    assert(out.forall(_.meta.get("resized").contains("224x224")))
+  private def media = Seq(
+    MediaRow(1L, "image", knownPng, Map("src" -> "cam0")),
+    MediaRow(2L, "video", Array[Byte](9, 9, 9), Map("src" -> "cam1")),
+    MediaRow(3L, "audio", Array[Byte](5), Map.empty[String, String]),
+    MediaRow(4L, "image", Array[Byte](1, 2, 3), Map.empty[String, String]) // not an image
+  ).toDS
+
+  test("real decode: actual dimensions and exact channel sums from a known PNG") {
+    val f = Multimodal.extractFeatures(media, 2).collect().sortBy(_.mediaId)
+    val img = f.find(_.mediaId == 1L).get
+    assert(img.decoded)
+    assert(img.width == 3 && img.height == 2)
+    // sums over the six known pixels
+    assert(img.sumR == 255L + 255 + 0x80)
+    assert(img.sumG == 255L + 255 + 0x80)
+    assert(img.sumB == 255L + 255 + 0x80)
+    assert(img.durationMs == 0L)
+    assert(img.embedding.length == Multimodal.EmbeddingDim)
+    // 3×2 < 4×4 grid: populated cells carry real luminance in [0,1], the
+    // pixel-less cells are exactly 0
+    assert(img.embedding.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("decode fallback: non-image kinds and undecodable image bytes take the stub") {
+    val f = Multimodal.extractFeatures(media, 2).collect().sortBy(_.mediaId)
+    val (video, audio, bogus) = (f(1), f(2), f(3))
+    assert(!video.decoded && !audio.decoded && !bogus.decoded)
+    assert(Seq(video, audio, bogus).forall(m => m.sumR == 0L && m.sumG == 0L && m.sumB == 0L))
+    assert(video.durationMs > 0L) // stubbed duration for time-based media
+    // determinism across partitionings
+    val f2 = Multimodal.extractFeatures(media, 3).collect().sortBy(_.mediaId)
+    assert(f.map(_.contentHash).toSeq == f2.map(_.contentHash).toSeq)
+  }
+
+  test("resizeImages: real nearest-neighbor resample, re-decodable payload") {
+    val out = Multimodal.resizeImages(media, 6, 4).collect().sortBy(_.mediaId)
+    assert(out.forall(_.meta.get("resized").contains("6x4")))
+    val resized = out.find(_.mediaId == 1L).get
+    val dec = Multimodal.decodeImage(resized.bytes).get
+    assert(dec._1 == 6 && dec._2 == 4)
+    // nearest-neighbor doubling of a 3×2 source duplicates each pixel 2×2:
+    // channel sums scale exactly by 4
+    assert(dec._3 == (255L + 255 + 0x80) * 4)
+    // non-image payloads pass through untouched
+    assert(out.find(_.mediaId == 2L).get.bytes.toSeq == Seq[Byte](9, 9, 9))
+  }
+
+  test("synthetic gate images: decode matches the closed-form generator") {
+    // mirrors q51's oracle arithmetic for one solid and one gradient image
+    val solid = MultimodalQueries.syntheticImage(2L) // w=10, h=14, solid
+    val s = Multimodal.decodeImage(solid.bytes).get
+    assert(s._1 == 10 && s._2 == 14)
+    assert(s._3 == 10L * 14 * ((2 * 5) % 256))
+    assert(s._4 == 10L * 14 * ((2 * 11) % 256))
+    assert(s._5 == 10L * 14 * ((2 * 17) % 256))
+    val grad = MultimodalQueries.syntheticImage(3L) // w=11, h=17, gradient
+    val g = Multimodal.decodeImage(grad.bytes).get
+    val rampSum = (0 until 11).map(x => x * 255 / 10).sum.toLong * 17
+    assert(g._3 == rampSum)
+    assert(g._4 == 11L * 17 * 255 - rampSum)
   }
 
   test("frame sampling fans out video rows only") {
     val out = Multimodal.sampleFramesStub(media, 4).collect()
-    assert(out.length == 2 + 4) // image + audio pass through, video -> 4 frames
+    assert(out.length == 3 + 4) // image + audio + bogus pass through, video -> 4 frames
     val frames = out.filter(_.meta.contains("frame"))
     assert(frames.length == 4)
     assert(frames.forall(_.kind == "image"))
