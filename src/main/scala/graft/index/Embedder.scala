@@ -34,20 +34,42 @@ object EmbedBatching {
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single marks — the
     * same split rule as [[graft.functions.TextOps.bpeishTokenCount]],
     * standing in for the reference's tiktoken (embeddings/base.py:120-140).
-    * A real BPE never merges ACROSS these spans, and splits long spans into
-    * roughly 4-char pieces — so each match contributes max(1, len/4)
-    * tokens: word-aware for prose, len/4-ish for long runs, never wildly
-    * under a budget.
+    * A real BPE never merges ACROSS these spans; long letter spans split
+    * into roughly 4-char pieces, and cl100k groups digits in runs of at
+    * most THREE — so letters contribute max(1, len/4), digit runs
+    * ceil(len/3), marks 1 each. Divergence vs real cl100k is bounded and
+    * measured in EmbedderSpec against [[cl100kPreTokens]]: the estimator
+    * tracks or exceeds the pre-token lower bound on prose and code bodies;
+    * its one known blind spot is pure-whitespace runs (indentation), which
+    * cl100k spends tokens on and this rule skips.
     */
   private val TokenRx = java.util.regex.Pattern.compile("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")
 
-  private def pieceTokens(len: Int): Long = math.max(1L, len / 4L)
+  private def pieceTokens(piece0: Char, len: Int): Long =
+    if (piece0.isDigit) (len + 2L) / 3L // cl100k groups digits 1-3 at a time
+    else math.max(1L, len / 4L)
 
   def estimateTokens(text: String): Long = {
     val m = TokenRx.matcher(text)
     var n = 0L
-    while (m.find()) n += pieceTokens(m.end() - m.start())
+    while (m.find()) n += pieceTokens(text.charAt(m.start()), m.end() - m.start())
     math.max(1L, n)
+  }
+
+  /** cl100k_base PRE-tokenizer count (the public split pattern from the
+    * tiktoken project). BPE merges never cross pre-token boundaries and
+    * every pre-token encodes to >= 1 token, so this is a hard LOWER bound
+    * on the true cl100k token count of any text — the yardstick the
+    * estimator above is measured against (no tokenizer data needed).
+    */
+  private val Cl100kRx = java.util.regex.Pattern.compile(
+    """(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+""")
+
+  def cl100kPreTokens(text: String): Long = {
+    val m = Cl100kRx.matcher(text)
+    var n = 0L
+    while (m.find()) n += 1L
+    n
   }
 
   /** Truncate at a TOKEN boundary, not a byte offset (reference:
@@ -62,7 +84,7 @@ object EmbedBatching {
     var end = 0
     var cut = false
     while (!cut && m.find()) {
-      val t = pieceTokens(m.end() - m.start())
+      val t = pieceTokens(text.charAt(m.start()), m.end() - m.start())
       if (n + t > maxTokens && end > 0) cut = true
       else { n += t; end = m.end() }
     }

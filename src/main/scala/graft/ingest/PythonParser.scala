@@ -30,12 +30,115 @@ object PythonParser {
   private val AttrRe = """([A-Za-z_]\w*)\.([A-Za-z_]\w*)""".r
   private val ExceptRe = """except\s+([A-Za-z_]\w*)""".r
   private val DecoratorRe = """^\s*@([\w.]+)""".r
-  // file-operation patterns (reference detects ~30 I/O call families,
-  // analysis/parser.py:1198-1441); op name + optional string-literal arg
-  private val FileOpRe =
-    ("""(open|json\.loads?|json\.dumps?|yaml\.safe_load|yaml\.load|pickle\.loads?|pickle\.dumps?|""" +
-      """csv\.reader|csv\.writer|pd\.read_\w+|requests\.(?:get|post|put|delete)|""" +
-      """configparser\.ConfigParser|toml\.load|Path)\s*\(\s*(?:['"]([^'"]*)['"])?""").r
+  // file-operation patterns — the reference's ~30 I/O call families
+  // (analysis/parser.py:1206-1242 FILE_OPERATIONS), detected as prefix
+  // calls (`json.load(...)`), method calls (`df.to_csv(...)`,
+  // `p.read_text()`), and the Path(...).open() special case. Relation
+  // targets are first-string-literal args; bare file modes are filtered
+  // (parser.py:1274-1283).
+  private val PrefixOpRe =
+    ("""(?<![\w.])(open|json\.loads|json\.load|json\.dumps|json\.dump|yaml\.safe_load|yaml\.load|yaml\.dump|""" +
+      """pickle\.loads|pickle\.load|pickle\.dumps|pickle\.dump|csv\.reader|csv\.writer|""" +
+      """(?:pd|pandas)\.read_\w+|requests\.(?:get|post|put|delete)|urllib\.request\.urlopen|""" +
+      """toml\.load|(?:xml\.etree\.ElementTree|ET)\.parse)\s*\(\s*(?:[rbf]{0,2}['"]([^'"]*)['"])?""").r
+  private val MethodOpRe =
+    """\.(to_json|to_csv|to_excel|read_text|read_bytes|write_text|write_bytes)\s*\(\s*(?:[rbf]{0,2}['"]([^'"]*)['"])?""".r
+  private val PathOpenRe = """Path\(\s*[rbf]{0,2}['"]([^'"]+)['"]\s*\)\s*\.open\s*\(""".r
+  private val PathRecvRe = """Path\(\s*[rbf]{0,2}['"]([^'"]+)['"]\s*\)""".r
+  private val IniReadRe = """\.read\(\s*[rbf]{0,2}['"]([^'"]+\.ini)['"]""".r
+  private val FileModes = Set("r", "w", "a", "x", "b", "t", "rb", "wb", "ab",
+    "rt", "wt", "at", "r+", "w+", "a+", "x+")
+
+  /** Typed op name for prefix-call ops (reference parser.py:1206-1242). */
+  private def opType(op: String): String = op match {
+    case "open"                  => "file_open"
+    case "json.load"             => "json_load"
+    case "json.loads"            => "json_parse"
+    case "json.dump" | "json.dumps"     => "json_write"
+    case "yaml.load" | "yaml.safe_load" => "yaml_load"
+    case "yaml.dump"             => "yaml_write"
+    case "pickle.load" | "pickle.loads" => "pickle_load"
+    case "pickle.dump" | "pickle.dumps" => "pickle_write"
+    case "csv.reader"            => "csv_read"
+    case "csv.writer"            => "csv_write"
+    case "requests.get"          => "requests_get"
+    case "requests.post"         => "requests_post"
+    case "requests.put"          => "requests_put"
+    case "requests.delete"       => "requests_delete"
+    case "urllib.request.urlopen" => "urllib_open"
+    case "toml.load"             => "toml_read"
+    case p if p.contains(".read_") => s"pandas_${p.substring(p.indexOf(".read_") + 6)}_read"
+    case p if p.endsWith(".parse") => "xml_parse"
+    case other                   => other
+  }
+
+  /** Typed op name for method-call ops (`.to_csv` → pandas, `.read_text` → pathlib). */
+  private def methodOpType(m: String): String = m match {
+    case "to_json"  => "pandas_json_write"
+    case "to_csv"   => "pandas_csv_write"
+    case "to_excel" => "pandas_excel_write"
+    case other      => s"path_$other"
+  }
+  // docstring-section patterns (reference: observation_extractor.py:313-380)
+  private val DocArgsRe = """(?is)Args?:\s*(.*?)(?=\n\s*\n|\n\s*Returns?:|\n\s*Raises?:|\z)""".r
+  private val DocReturnsRe = """(?is)Returns?:\s*(.*?)(?=\n\s*\n|\n\s*Raises?:|\n\s*Args?:|\z)""".r
+  private val DocRaisesRe = """(?is)Raises?:\s*(.*?)(?=\n\s*\n|\n\s*Returns?:|\n\s*Args?:|\z)""".r
+  private val DocParamNameRe = """(\w+):\s""".r
+  private val DocExceptionRe = """(\w+(?:Error|Exception)):""".r
+  private val DocBehaviorRe =
+    ("""\b(validates?|authenticates?|processes?|handles?|manages?|creates?|deletes?|updates?|""" +
+      """retrieves?|calculates?|generates?|transforms?|parses?|formats?)\b""").r
+  private val ReturnStmtRe = """(?m)^\s*return\s+(\S.*?)\s*$""".r
+  // framework detection by content keyword (reference:
+  // observation_extractor.py:909-991). Deviations from the reference, on
+  // purpose: the reference's `import ` → Node.js and bare `$` → Vue checks
+  // would tag virtually every Python function, so frameworks here require a
+  // framework-specific token.
+  private val FrameworkChecks: Seq[(String, Seq[String])] = Seq(
+    "Express.js" -> Seq("express"),
+    "React" -> Seq("react", "usestate", "useeffect"),
+    "Vue.js" -> Seq("vue"),
+    "Angular" -> Seq("angular", "@component", "@injectable"),
+    "Mongoose" -> Seq("mongoose", "findone(", "findbyid("),
+    "Sequelize" -> Seq("sequelize"),
+    // the reference also keys Jest on bare `it(`, which substring-matches
+    // `split(`/`exit(` in Python bodies — dropped here
+    "Jest" -> Seq("jest", "describe("),
+    "Mocha/Chai" -> Seq("mocha", "chai"),
+    "JWT/Auth" -> Seq("jwt", "jsonwebtoken", "passport"))
+
+  /** Args/Returns/Raises/Examples/behavior-keyword observations from a full
+    * docstring (reference: observation_extractor.py:313-380).
+    */
+  private[ingest] def docstringPatternObs(doc: String): Seq[String] = {
+    if (doc.isEmpty) return Seq.empty
+    val out = ArrayBuffer[String]()
+    DocArgsRe.findFirstMatchIn(doc).map(_.group(1).trim).filter(_.nonEmpty).foreach { argText =>
+      val names = DocParamNameRe.findAllMatchIn(argText).map(_.group(1)).toSeq
+      if (names.nonEmpty) out += s"doc params: ${names.take(3).mkString(", ")}"
+      else out += "has parameter documentation"
+    }
+    DocReturnsRe.findFirstMatchIn(doc).map(_.group(1).trim).filter(_.nonEmpty).foreach { retText =>
+      val desc = retText.split("\n")(0).trim
+      if (desc.nonEmpty) out += s"doc returns: ${desc.take(50)}${if (desc.length > 50) "..." else ""}"
+    }
+    DocRaisesRe.findFirstMatchIn(doc).map(_.group(1).trim).filter(_.nonEmpty).foreach { raisesText =>
+      val excs = DocExceptionRe.findAllMatchIn(raisesText).map(_.group(1)).toSeq
+      if (excs.nonEmpty) out += s"doc raises: ${excs.take(3).mkString(", ")}"
+      else out += "documents exceptions"
+    }
+    if ("""(?i)Examples?:""".r.findFirstIn(doc).isDefined) out += "has usage examples"
+    val behaviors = DocBehaviorRe.findAllMatchIn(doc.toLowerCase).map(_.group(1)).toSeq.distinct.sorted.take(3)
+    if (behaviors.nonEmpty) out += s"behaviors: ${behaviors.mkString(", ")}"
+    out.toSeq
+  }
+
+  /** Framework usage observations (reference: observation_extractor.py:909-991). */
+  private[ingest] def frameworkObs(body: String): Seq[String] = {
+    val lc = body.toLowerCase
+    FrameworkChecks.collect { case (fw, tokens) if tokens.exists(lc.contains) => fw }
+  }
+
   private val ControlKeywords = Seq("if ", "elif ", "for ", "while ", "except", "with ", " and ", " or ")
   private val Builtins = Set("print", "len", "range", "str", "int", "float", "list", "dict", "set",
     "tuple", "isinstance", "super", "type", "open", "enumerate", "zip", "map", "filter", "sorted")
@@ -103,6 +206,28 @@ object PythonParser {
       } else ""
     }
 
+    // complete docstring text (multi-line), for Args:/Returns:/Raises:
+    // section scanning — docstringAt above keeps only the summary line
+    def fullDocstringAt(bodyStart: Int): String = {
+      var j = bodyStart
+      while (j < lines.length && lines(j).trim.isEmpty) j += 1
+      if (j >= lines.length) return ""
+      val t = lines(j).trim
+      if (!(t.startsWith("\"\"\"") || t.startsWith("'''"))) return ""
+      val q = t.take(3)
+      val rest = t.drop(3)
+      if (rest.contains(q)) return rest.substring(0, rest.indexOf(q)).trim
+      val sb = new StringBuilder(rest)
+      j += 1
+      while (j < lines.length) {
+        val l = lines(j)
+        if (l.contains(q)) return (sb.append("\n").append(l.substring(0, l.indexOf(q)))).toString.trim
+        sb.append("\n").append(l)
+        j += 1
+      }
+      sb.toString.trim
+    }
+
     def decoratorsAbove(line: Int): Seq[String] = {
       var i = line - 1
       val out = ArrayBuffer[String]()
@@ -132,6 +257,8 @@ object PythonParser {
     // --- classes & functions ----------------------------------------------
     var i = 0
     var currentClass: Option[(String, Int, Int)] = None // (name, indent, endLine)
+    // (name, defLine0, endLineExclusive) for file-op attribution
+    val funcRanges = ArrayBuffer[(String, Int, Int)]()
     while (i < lines.length) {
       val line = lines(i)
       line match {
@@ -188,19 +315,30 @@ object PythonParser {
           if (decs.nonEmpty) obs += s"decorators: ${decs.mkString(", ")}"
           if (cx > 5) obs += s"high complexity: $cx"
           if (line.trim.startsWith("async")) obs += "async function"
+          // parameter patterns (reference: observation_extractor.py:573-607)
+          val paramList = params.split(",").map(_.trim).filter(_.nonEmpty)
+          if (paramList.nonEmpty)
+            obs += s"parameters: ${paramList.length}: ${paramList.mkString(", ").take(80)}"
+          // docstring-section patterns (Args/Returns/Raises/Examples/behaviors)
+          obs ++= docstringPatternObs(fullDocstringAt(i + 1))
+          // return-shape pattern (reference: observation_extractor.py:543-571)
+          val retExprs = ReturnStmtRe.findAllMatchIn(bodyNoDef).map(_.group(1)).toSeq.distinct
+          if (retExprs.length == 1)
+            obs += s"returns pattern: single value (${retExprs.head.take(20)}${if (retExprs.head.length > 20) "..." else ""})"
+          else if (retExprs.length > 1)
+            obs += s"returns pattern: multiple (${retExprs.length} different)"
+          // framework + async patterns (observation_extractor.py:909-1040)
+          val fws = frameworkObs(bodyNoDef)
+          if (fws.nonEmpty) obs += s"framework: ${fws.mkString(", ")}"
+          if (bodyNoDef.contains("await ")) {
+            obs += "uses await"
+            if (bodyNoDef.contains("try:")) obs += "async error handling"
+          }
           val owner = if (inClass) currentClass.get._1 else relPath
           entities += Entity(name, entityType, relPath, i + 1, endL, obs.toSeq, doc, sig)
           relations += Relation(owner, name, "contains", "", "", 1.0)
           calls.foreach(c => relations += Relation(name, c, "calls", "", s"$relPath:${i + 1}", 0.9))
-          // file-operation edges, typed by the detected op
-          // (reference: analysis/parser.py:1198-1441)
-          FileOpRe.findAllMatchIn(bodyNoDef).toSeq
-            .map(m => (m.group(1), Option(m.group(2)).getOrElse("")))
-            .distinct.take(10)
-            .foreach { case (op, target) =>
-              val to = if (target.nonEmpty) target else op
-              relations += Relation(name, to, "uses", s"file_op:$op", "", 0.8)
-            }
+          funcRanges += ((name, i, endL))
           // imports_used pairs (reference: analysis/parser.py:1161-1181)
           AttrRe.findAllMatchIn(bodyNoDef).map(_.group(1)).toSeq.distinct.take(10)
             .foreach(m => relations += Relation(name, m, "uses", "", "", 0.5))
@@ -236,6 +374,46 @@ object PythonParser {
       }
       i += 1
     }
+
+    // --- file-operation edges, whole-file pass -----------------------------
+    // The reference walks the full module AST (parser.py:1198-1441), so
+    // module-level ops (`df = pd.read_csv('x.csv')`) count too; we attribute
+    // each op to the innermost enclosing function when there is one, else to
+    // the file. Targets are first string-literal args, with bare open() modes
+    // filtered (parser.py:1274-1283); pathlib receivers (`Path('x').read_text()`)
+    // resolve the target from the receiver's literal.
+    val fileOps = ArrayBuffer[(Int, String, String)]() // (line0, opType, target)
+    lines.zipWithIndex.foreach { case (line, ln) =>
+      if (!line.trim.startsWith("#")) {
+        PrefixOpRe.findAllMatchIn(line).foreach { m =>
+          fileOps += ((ln, opType(m.group(1)), Option(m.group(2)).getOrElse("")))
+        }
+        MethodOpRe.findAllMatchIn(line).foreach { m =>
+          val op = methodOpType(m.group(1))
+          val firstArg = Option(m.group(2)).getOrElse("")
+          // pathlib ops name their file in the RECEIVER (`Path('x').write_text(
+          // 'content')` — the first arg is payload, not path); pandas to_* ops
+          // name it in the first arg
+          val recv = PathRecvRe.findFirstMatchIn(line.take(m.start)).map(_.group(1))
+          val t = if (op.startsWith("path_")) recv.getOrElse("") else firstArg
+          fileOps += ((ln, op, t))
+        }
+        PathOpenRe.findAllMatchIn(line).foreach(m => fileOps += ((ln, "path_open", m.group(1))))
+        IniReadRe.findAllMatchIn(line).foreach(m => fileOps += ((ln, "config_ini_read", m.group(1))))
+      }
+    }
+    fileOps.toSeq
+      .filterNot { case (_, _, t) => FileModes.contains(t) }
+      .map { case (ln, op, target) =>
+        // innermost = latest-starting range containing the line
+        val owner = funcRanges.filter { case (_, s, e) => ln > s && ln < e }
+          .sortBy(-_._2).headOption.map(_._1).getOrElse(relPath)
+        (owner, op, if (target.nonEmpty) target else op)
+      }
+      .distinct.take(50)
+      .foreach { case (owner, op, to) =>
+        relations += Relation(owner, to, "uses", s"file_op:$op", "", 0.8)
+      }
 
     ParserResult(relPath, Ids.sha256Hex(content), entities.toSeq, relations.toSeq,
       implChunks.toSeq, Seq.empty)

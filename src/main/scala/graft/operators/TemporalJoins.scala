@@ -70,8 +70,12 @@ object TemporalJoins {
     */
   def countInWindow(left: DataFrame, right: DataFrame, key: String, leftId: String,
                     leftTs: String, rightTs: String, windowUs: Long): DataFrame = {
-    val lb = left
-      .withColumn("_lus", unix_micros(col(leftTs)))
+    // candidates group and join back on (key, leftId, ts) — NOT leftId alone —
+    // so a leftId reused across keys or timestamps neither merges counts nor
+    // fans out. Exact full-duplicate left rows remain ambiguous: each copy
+    // enters the candidate join, so both carry the summed count.
+    val lKeyed = left.withColumn("_lus", unix_micros(col(leftTs)))
+    val lb = lKeyed
       .withColumn("_b", explode(array(floor(col("_lus") / windowUs),
         floor(col("_lus") / windowUs) + 1)))
     val rb = right.select(col(key), unix_micros(col(rightTs)).as("_rus"))
@@ -79,8 +83,9 @@ object TemporalJoins {
     val counts = lb.select(col(key), col(leftId), col("_lus"), col("_b"))
       .join(rb, Seq(key, "_b"))
       .filter(col("_rus") >= col("_lus") && col("_rus") < col("_lus") + windowUs)
-      .groupBy(col(leftId)).agg(count(lit(1)).as("n_in_window"))
-    left.join(counts, Seq(leftId), "left")
+      .groupBy(col(key), col(leftId), col("_lus")).agg(count(lit(1)).as("n_in_window"))
+    lKeyed.join(counts, Seq(key, leftId, "_lus"), "left")
       .withColumn("n_in_window", coalesce(col("n_in_window"), lit(0L)))
+      .drop("_lus")
   }
 }

@@ -41,9 +41,13 @@ object TemporalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // the right side is pre-deduped to max(event_id) per (user_id, ts) so the
+    // duplicate-(key, ts) tie-break is explicit in BOTH engines — DuckDB's
+    // native ASOF JOIN leaves it unspecified, asof() documents largest-id
     "q47_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |c AS (SELECT user_id, ts, max(event_id) AS event_id
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.event_id, p.user_id, c.event_id AS asof_event_id,
         |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,

@@ -112,8 +112,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val r = PythonParser.parse("cfg.py", src)
     val ops = r.relations.filter(_.importType.startsWith("file_op:"))
       .map(x => (x.fromEntity, x.importType, x.toEntity)).toSet
-    assert(ops.contains(("load_config", "file_op:open", "config.json")))
-    assert(ops.exists { case (f, t, _) => f == "load_config" && t == "file_op:json.load" })
-    assert(ops.contains(("load_config", "file_op:requests.get", "https://api.example.com/items")))
+    assert(ops.contains(("load_config", "file_op:file_open", "config.json")))
+    assert(ops.exists { case (f, t, _) => f == "load_config" && t == "file_op:json_load" })
+    assert(ops.contains(("load_config", "file_op:requests_get", "https://api.example.com/items")))
   }
 }

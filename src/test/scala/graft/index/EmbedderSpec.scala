@@ -12,6 +12,49 @@ class EmbedderSpec extends AnyFunSuite {
     assert(EmbedBatching.estimateTokens("x.y") == 3L)
   }
 
+  test("estimateTokens: digit runs grouped cl100k-style (3 per token)") {
+    assert(EmbedBatching.estimateTokens("1234567") == 3L) // 123|456|7
+    assert(EmbedBatching.estimateTokens("12") == 1L)
+    assert(EmbedBatching.estimateTokens("v2") == 2L) // letter piece + digit piece
+  }
+
+  test("divergence vs cl100k: estimator >= pre-token lower bound on the fixture corpus") {
+    // cl100kPreTokens is a hard LOWER bound on the true cl100k count (BPE
+    // never merges across pre-token boundaries). The measured band below is
+    // the documented divergence bound: on prose and code the estimator
+    // stays at or above the lower bound (budget-safe — a batch never
+    // exceeds a remote token cap because of under-estimation) and within
+    // 3x of it (batches aren't pathologically small either).
+    val corpus = Seq(
+      // prose
+      "The quick brown fox jumps over the lazy dog, then pauses to reconsider.",
+      "Internationalization and localization require extraordinarily careful planning.",
+      "It's the user's responsibility to ensure they're not re-running the job.",
+      // code-ish (whitespace-light)
+      "def add(x, y): return x + y  # simple",
+      """val out = df.groupBy("k").agg(sum("v").as("total")).filter(col("total") > 100)""",
+      "SELECT doc_id, count(*) AS n FROM documents GROUP BY doc_id ORDER BY n DESC LIMIT 10;",
+      // numbers & mixed
+      "ts=1723400000123456 id=9934 score=0.9912 bucket=17",
+      "ed25519:4f2a9cc013del0923ab34",
+      // unicode prose
+      "Les embeddings denses capturent la sémantique du texte, pas sa syntaxe.")
+    corpus.foreach { text =>
+      val est = EmbedBatching.estimateTokens(text)
+      val lower = EmbedBatching.cl100kPreTokens(text)
+      assert(est >= lower, s"undercounts vs cl100k lower bound: est=$est lower=$lower for: $text")
+      assert(est <= 3 * lower, s"overcounts >3x lower bound: est=$est lower=$lower for: $text")
+    }
+    // known, documented blind spot: leading indentation is free for the
+    // estimator but costs cl100k pre-tokens — divergence is bounded by one
+    // pre-token per indented line, not by content length
+    val indented = "def f():\n    if x:\n        return 1\n    return 2\n"
+    val est = EmbedBatching.estimateTokens(indented)
+    val lower = EmbedBatching.cl100kPreTokens(indented)
+    val lines = indented.count(_ == '\n').toLong
+    assert(est >= lower - 2 * lines, s"indent divergence exceeded 2/line: est=$est lower=$lower")
+  }
+
   test("truncateToTokens cuts at a token boundary, keeps within-budget text intact") {
     val text = "alpha beta gamma delta"
     assert(EmbedBatching.truncateToTokens(text, 100) eq text) // untouched

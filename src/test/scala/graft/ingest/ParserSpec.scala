@@ -237,6 +237,130 @@ class ParserSpec extends AnyFunSuite {
     assert(rels.contains(("uses", ".btn")))
   }
 
+  test("python: pandas/pathlib/requests/config/xml file-op families (typed names)") {
+    // mirrors reference tests/unit/test_python_file_operations.py expectations
+    val src =
+      """import pandas as pd
+        |from pathlib import Path
+        |import configparser
+        |import toml
+        |import xml.etree.ElementTree as ET
+        |
+        |df1 = pd.read_csv('sales_data.csv')
+        |df2 = pd.read_json('user_data.json')
+        |df3 = pd.read_excel('inventory.xlsx')
+        |df1.to_csv('output_sales.csv')
+        |df2.to_json('output_users.json')
+        |df3.to_excel('output_inventory.xlsx')
+        |
+        |config_text = Path('config.txt').read_text()
+        |binary_data = Path('data.bin').read_bytes()
+        |Path('output.txt').write_text('results')
+        |Path('output.bin').write_bytes(b'binary_results')
+        |
+        |def fetch():
+        |    api_data = requests.get('https://api.example.com/users.json')
+        |    result = requests.post('api/upload.json', json={'data': 'test'})
+        |    raw = urllib.request.urlopen('https://example.com/feed.xml')
+        |    return api_data
+        |
+        |config = configparser.ConfigParser()
+        |config.read('app_settings.ini')
+        |pyproject_data = toml.load('pyproject.toml')
+        |tree = ET.parse('notes.xml')
+        |""".stripMargin
+    val r = PythonParser.parse("io.py", src)
+    val ops = r.relations.filter(_.importType.startsWith("file_op:"))
+      .map(x => (x.fromEntity, x.importType.stripPrefix("file_op:"), x.toEntity)).toSet
+    // pandas read + write, module-level → attributed to the file
+    assert(ops.contains(("io.py", "pandas_csv_read", "sales_data.csv")))
+    assert(ops.contains(("io.py", "pandas_json_read", "user_data.json")))
+    assert(ops.contains(("io.py", "pandas_excel_read", "inventory.xlsx")))
+    assert(ops.contains(("io.py", "pandas_csv_write", "output_sales.csv")))
+    assert(ops.contains(("io.py", "pandas_json_write", "output_users.json")))
+    assert(ops.contains(("io.py", "pandas_excel_write", "output_inventory.xlsx")))
+    // pathlib: target resolved from the Path('...') receiver
+    assert(ops.contains(("io.py", "path_read_text", "config.txt")))
+    assert(ops.contains(("io.py", "path_read_bytes", "data.bin")))
+    assert(ops.contains(("io.py", "path_write_text", "output.txt")))
+    assert(ops.contains(("io.py", "path_write_bytes", "output.bin")))
+    // requests/urllib inside a function → attributed to that function
+    assert(ops.contains(("fetch", "requests_get", "https://api.example.com/users.json")))
+    assert(ops.contains(("fetch", "requests_post", "api/upload.json")))
+    assert(ops.contains(("fetch", "urllib_open", "https://example.com/feed.xml")))
+    // config + xml
+    assert(ops.contains(("io.py", "config_ini_read", "app_settings.ini")))
+    assert(ops.contains(("io.py", "toml_read", "pyproject.toml")))
+    assert(ops.contains(("io.py", "xml_parse", "notes.xml")))
+  }
+
+  test("python: file-op no false positives (no string arg, variables, modes)") {
+    val src =
+      """import pandas as pd
+        |
+        |df = pd.DataFrame({'a': [1, 2, 3]})
+        |result = df.sum()
+        |var_name = 'data.csv'
+        |df2 = pd.read_csv(var_name)
+        |""".stripMargin
+    val r = PythonParser.parse("nf.py", src)
+    val ops = r.relations.filter(_.importType.startsWith("file_op:"))
+    // read_csv(var) has no string literal → falls back to op-name target only
+    assert(ops.forall(_.toEntity != "data.csv"))
+    assert(!ops.exists(o => o.importType == "file_op:pandas_csv_write"))
+    // open('f.txt', 'r'): the mode never becomes a relation target
+    val r2 = PythonParser.parse("m.py", "fh = open('f.txt', 'r')\n")
+    val ts = r2.relations.filter(_.importType.startsWith("file_op:")).map(_.toEntity)
+    assert(ts.contains("f.txt") && !ts.contains("r"))
+  }
+
+  test("python: parameter/docstring/return/framework/async observation families") {
+    val src =
+      s"""import jwt
+         |
+         |async def authorize(username: str, db_path: str = None):
+         |    ${"\"\"\""}Validates a user and creates a session token.
+         |
+         |    Args:
+         |        username: the login name
+         |        db_path: optional database override
+         |
+         |    Returns:
+         |        A signed JWT string for the session.
+         |
+         |    Raises:
+         |        ValueError: if the user is unknown
+         |
+         |    Examples:
+         |        token = await authorize('bob')
+         |    ${"\"\"\""}
+         |    try:
+         |        user = await lookup(username)
+         |    except KeyError:
+         |        raise ValueError(username)
+         |    if user.admin:
+         |        return jwt.encode(user)
+         |    return None
+         |""".stripMargin
+    val r = PythonParser.parse("auth.py", src)
+    val obs = r.entities.find(_.name == "authorize").get.observations
+    assert(obs.contains("parameters: 2: username: str, db_path: str = None"))
+    assert(obs.contains("doc params: username, db_path"))
+    assert(obs.exists(_.startsWith("doc returns: A signed JWT string")))
+    assert(obs.contains("doc raises: ValueError"))
+    assert(obs.contains("has usage examples"))
+    assert(obs.exists(o => o.startsWith("behaviors: ") && o.contains("validates")))
+    assert(obs.contains("returns pattern: multiple (2 different)"))
+    assert(obs.exists(o => o.startsWith("framework: ") && o.contains("JWT/Auth")))
+    assert(obs.contains("uses await"))
+    assert(obs.contains("async error handling"))
+    assert(obs.contains("async function"))
+    // single-return shape
+    val r2 = PythonParser.parse("s.py", "def one():\n    return 42\n")
+    val obs2 = r2.entities.find(_.name == "one").get.observations
+    assert(obs2.contains("returns pattern: single value (42)"))
+  }
+
   test("registry dispatch + graceful failure") {
     assert(ParserRegistry.canParse("x/y.py"))
     assert(!ParserRegistry.canParse("x/y.exe"))

@@ -36,4 +36,20 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(1L) == 2L)
     assert(out(2L) == 0L)
   }
+
+  test("countInWindow: leftId reused across keys neither merges counts nor fans out") {
+    // same lid=1 under two different users — counts must stay per-(key, id, ts)
+    val left = Seq((1L, 1L, 1000000L), (1L, 2L, 1000000L))
+      .toDF("lid", "user", "lts")
+      .select(col("lid"), col("user"), timestamp_micros(col("lts")).as("ts"))
+    val right = Seq((1L, 1000000L), (1L, 1500000L), (2L, 1200000L))
+      .toDF("user", "rts")
+      .select(col("user"), timestamp_micros(col("rts")).as("ts"))
+    val rows = TemporalJoins.countInWindow(left, right, "user", "lid", "ts", "ts", 1000000L)
+      .select(col("user"), col("lid"), col("n_in_window")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.size == 2) // no fan-out on the join-back
+    assert(rows((1L, 1L)) == 2L)
+    assert(rows((2L, 1L)) == 1L)
+  }
 }

@@ -1,0 +1,73 @@
+package graft.search
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Recall gate for the approximate search paths: IVF (q30/q46 machinery)
+  * and sign-bit LSH (q17 machinery) are measured against the exact cosine
+  * top-10 (q13) on the driver's sf0.1 embeddings (2000 vectors), over 3
+  * probe queries. Approximate rankings have no SQL-expressible oracle, so
+  * this spec is the regression gate for the probe-count/band-count knobs:
+  * a knob change that quietly guts recall fails here.
+  *
+  * Measured (deterministic data + deterministic KMeans → exact repeatable):
+  *   IVF  nprobe=2/8 cells: mean 0.567   nprobe=4: 0.833   nprobe=8: 1.000
+  *   LSH  nBits=8 (q17 recipe): 0.233    nBits=4: 0.600
+  * The synthetic embeddings are near-uniform — the hardest case for
+  * locality hashing (real text embeddings cluster, raising recall at the
+  * same knobs) — so the floors below are the measured values minus a hair,
+  * documented in README ("ANN recall").
+  */
+class RecallSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.1"
+  private val K = 10
+  private val queryIds = Seq(0L, 700L, 1500L)
+
+  private def withData(f: (org.apache.spark.sql.DataFrame, Seq[(Seq[Double], Set[Long])]) => Unit): Unit = {
+    assume(new java.io.File(sfDir).isDirectory)
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val exact = queryIds.map { qid =>
+      val q = KnnSearch.vectorOf(emb, "vec_id", "embedding", qid)
+      q -> KnnSearch.topK(emb, "vec_id", "embedding", q, K)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+    }
+    try f(emb, exact) finally emb.unpersist()
+  }
+
+  test("IVF: nprobe=4 clears the 0.8 floor; q46 recipe (nprobe=2) holds 0.5; all-cells = exact") {
+    withData { (emb, exact) =>
+      val cents = KMeans.fit(emb, "vec_id", "embedding", 8, 2).cache()
+      def recalls(np: Int): Seq[Double] = exact.map { case (q, ex) =>
+        val ivf = IvfAnn.topKWith(emb, "vec_id", "embedding", cents, q, K, nprobe = np)
+          .collect().map(_.getAs[Long]("vec_id")).toSet
+        (ivf & ex).size.toDouble / ex.size
+      }
+      val r2 = recalls(2); val r4 = recalls(4); val r8 = recalls(8)
+      info(f"recall@10 mean: nprobe=2 ${r2.sum / 3}%.3f, nprobe=4 ${r4.sum / 3}%.3f, nprobe=8 ${r8.sum / 3}%.3f")
+      // probing every cell degenerates to exact search — a structural identity
+      assert(r8.forall(_ == 1.0), s"nprobe=all must reproduce the exact top-k, got $r8")
+      assert(r4.sum / 3 >= 0.8, s"nprobe=4 mean recall ${r4.sum / 3} under 0.8 floor")
+      assert(r2.sum / 3 >= 0.5, s"q46-recipe (nprobe=2) mean recall ${r2.sum / 3} under 0.5 floor")
+      // more probes never hurt recall
+      r2.lazyZip(r4).lazyZip(r8).foreach((a, b, c) => assert(a <= b && b <= c))
+      cents.unpersist()
+    }
+  }
+
+  test("LSH: 4-bit buckets hold 0.55; q17 recipe (8-bit) holds its measured 0.2 floor") {
+    withData { (emb, exact) =>
+      def recalls(nb: Int): Seq[Double] = exact.map { case (q, ex) =>
+        val lsh = LshAnn.topK(emb, "vec_id", "embedding", q, K, nBits = nb)
+          .collect().map(_.getAs[Long]("vec_id")).toSet
+        (lsh & ex).size.toDouble / ex.size
+      }
+      val r4 = recalls(4); val r8 = recalls(8)
+      info(f"recall@10 mean: nBits=4 ${r4.sum / 3}%.3f, nBits=8 ${r8.sum / 3}%.3f")
+      assert(r4.sum / 3 >= 0.55, s"nBits=4 mean recall ${r4.sum / 3} under 0.55 floor")
+      assert(r8.sum / 3 >= 0.2, s"q17-recipe (nBits=8) mean recall ${r8.sum / 3} under 0.2 floor")
+      // coarser buckets scan more candidates — recall must not decrease
+      assert(r4.sum >= r8.sum)
+    }
+  }
+}
