@@ -17,10 +17,14 @@ import graft.core.Ids
   * PNG/JPEG/GIF/BMP with zero extra dependencies, so image rows get actual
   * width/height, exact per-channel pixel sums, and a 4×4-grid mean-luminance
   * embedding, and `resizeImages` re-encodes a genuinely resampled payload.
-  * Audio/video codecs are NOT in the JDK (and this container has no media
-  * libraries), so those kinds fall back to the deterministic stub — swapping
-  * in a real codec changes only the per-row body inside [[decodeBatch]];
-  * the pipeline shape (batched iterator in, rows out) stays identical.
+  * The AUDIO leg is real for RIFF/WAVE PCM: `javax.sound.sampled` (also
+  * JDK-only) reads sample rate, channels, and the raw 16-bit samples, so
+  * WAV rows get actual duration, an exact integer sum of absolute sample
+  * values, and a windowed mean-amplitude embedding. Compressed audio
+  * (MP3/OGG) and video codecs are NOT in the JDK, so those fall back to
+  * the deterministic stub — swapping in a real codec changes only the
+  * per-row body inside [[decodeBatch]]; the pipeline shape (batched
+  * iterator in, rows out) stays identical.
   */
 object Multimodal {
 
@@ -42,6 +46,9 @@ object Multimodal {
       sumR: Long, // exact per-channel pixel sums (0 when stubbed)
       sumG: Long,
       sumB: Long,
+      sampleRate: Int, // audio: frames/sec (0 for images / stubbed rows)
+      channels: Int, // audio: channel count (0 for images / stubbed rows)
+      sumAbs: Long, // audio: exact sum of |16-bit sample| over all channels
       embedding: Seq[Double],
       decoded: Boolean)
 
@@ -88,9 +95,78 @@ object Multimodal {
       }
     } catch { case NonFatal(_) => None }
 
+  /** Decode one WAV payload with the JDK's `javax.sound.sampled`. Handles
+    * signed 16-bit PCM (either endianness, any channel count) — the format
+    * `encodeWav` writes and the overwhelmingly common WAV layout. Returns
+    * (sampleRate, channels, durationMs, sumAbs, embedding); None for
+    * non-WAV bytes or other sample layouts (caller falls back to the stub).
+    * PCM is lossless, so encode→decode round trips are bit-exact — the same
+    * property that makes the image gate's closed-form oracle possible.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Seq[Double])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getFrameSize <= 0) None
+        else {
+          val data = in.readAllBytes()
+          val frameBytes = fmt.getFrameSize
+          val nFrames = data.length / frameBytes
+          val ch = fmt.getChannels
+          val big = fmt.isBigEndian
+          if (nFrames == 0) None
+          else {
+            var sumAbs = 0L
+            val cellSum = new Array[Double](EmbeddingDim)
+            val cellN = new Array[Long](EmbeddingDim)
+            var f = 0
+            while (f < nFrames) {
+              val cell = (f.toLong * EmbeddingDim / nFrames).toInt
+              var c = 0
+              while (c < ch) {
+                val off = f * frameBytes + c * 2
+                val s =
+                  if (big) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+                  else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+                sumAbs += math.abs(s.toLong)
+                cellSum(cell) += math.abs(s / 32768.0)
+                cellN(cell) += 1
+                c += 1
+              }
+              f += 1
+            }
+            val rate = fmt.getSampleRate.toInt
+            val emb = (0 until EmbeddingDim).map(i => if (cellN(i) == 0) 0.0 else cellSum(i) / cellN(i))
+            Some((rate, ch, nFrames.toLong * 1000L / rate, sumAbs, emb))
+          }
+        }
+      } finally in.close()
+    } catch { case NonFatal(_) => None }
+
+  /** Encode signed 16-bit mono PCM samples as a RIFF/WAVE payload
+    * (little-endian — the canonical WAV layout; deterministic bytes).
+    */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** STUB features: deterministic pseudo-decode from the payload bytes —
-    * the fallback for kinds the JDK has no codec for (audio/video) and for
-    * undecodable image bytes.
+    * the fallback for kinds the JDK has no codec for (compressed audio,
+    * video) and for undecodable image/WAV bytes.
     */
   private def stubFeatures(r: MediaRow): MediaFeatures = {
     val h = Ids.md5Hex(r.bytes.map("%02x".format(_)).mkString)
@@ -101,6 +177,7 @@ object Multimodal {
       height = (h31 % 1080).toInt + 1,
       durationMs = if (r.kind == "image") 0L else h31 % 600000L,
       sumR = 0L, sumG = 0L, sumB = 0L,
+      sampleRate = 0, channels = 0, sumAbs = 0L,
       embedding = (0 until EmbeddingDim).map(d =>
         ((Ids.hash31(s"$h:$d") % 2001L) - 1000L) / 1000.0),
       decoded = false)
@@ -115,12 +192,21 @@ object Multimodal {
       // per-batch init would happen HERE (codec/model handle)
       batch.map { r =>
         val stub = stubFeatures(r)
-        if (r.kind != "image") stub
-        else decodeImage(r.bytes) match {
-          case Some((w, h, sr, sg, sb, emb)) =>
-            stub.copy(width = w, height = h, durationMs = 0L,
-              sumR = sr, sumG = sg, sumB = sb, embedding = emb, decoded = true)
-          case None => stub
+        r.kind match {
+          case "image" => decodeImage(r.bytes) match {
+            case Some((w, h, sr, sg, sb, emb)) =>
+              stub.copy(width = w, height = h, durationMs = 0L,
+                sumR = sr, sumG = sg, sumB = sb, embedding = emb, decoded = true)
+            case None => stub
+          }
+          case "audio" => decodeWav(r.bytes) match {
+            case Some((rate, ch, durMs, sumAbs, emb)) =>
+              stub.copy(width = 0, height = 0, durationMs = durMs,
+                sampleRate = rate, channels = ch, sumAbs = sumAbs,
+                embedding = emb, decoded = true)
+            case None => stub
+          }
+          case _ => stub
         }
       }
     }

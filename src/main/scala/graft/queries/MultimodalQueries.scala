@@ -46,7 +46,38 @@ object MultimodalQueries {
     MediaRow(i, "image", Multimodal.encodePng(img), Map("gen" -> "synthetic"))
   }
 
+  val NumClips = 64
+
+  /** Deterministic test clip i: 16-bit mono PCM at 8 kHz, 800..2400 samples
+    * of the integer sawtooth `((t * (i+1)) mod 2048) - 1024` — every sample
+    * value (and so the absolute-amplitude sum) is closed-form replayable.
+    */
+  def syntheticWav(i: Long): MediaRow = {
+    val n = 800 + (i % 5).toInt * 400
+    val samples = Array.tabulate[Short](n)(t => (((t.toLong * (i + 1)) % 2048L) - 1024L).toShort)
+    MediaRow(i, "audio", Multimodal.encodeWav(samples, 8000), Map("gen" -> "synthetic"))
+  }
+
   def defs: Map[String, Q] = Map(
+    // Real JDK javax.sound.sampled decode over generated WAVs; exact
+    // absolute-sample sums. Same gate design as q51: the oracle replays the
+    // generator formula, so agreement requires the WAV encode→decode round
+    // trip to have read the actual PCM samples (filter on `decoded` makes a
+    // stub fallback drop rows and fail the row-count compare).
+    "q52_audio_decode" -> ((s, _) => {
+      import s.implicits._
+      val media = s.range(NumClips).map(i => syntheticWav(i.longValue))
+      Multimodal.extractFeatures(media, 8).toDF()
+        .filter(col("decoded"))
+        .select(
+          col("mediaId").cast("long").as("media_id"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("durationMs").as("duration_ms"),
+          col("sumAbs").as("sum_abs"))
+        .orderBy(col("media_id"))
+    }),
+
     // Real JDK-ImageIO decode over generated PNGs; exact channel sums.
     "q51_image_decode" -> ((s, _) => {
       import s.implicits._
@@ -65,6 +96,21 @@ object MultimodalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // Closed-form replay of the sawtooth generator: sum of
+    // |((t*(i+1)) mod 2048) - 1024| over the clip's samples; duration is
+    // integer frames*1000/rate exactly as the decoder computes it.
+    "q52_audio_decode" ->
+      s"""WITH clips AS (
+         |  SELECT i, 800 + (i % 5) * 400 AS n
+         |  FROM generate_series(0, ${NumClips - 1}) AS t(i)
+         |)
+         |SELECT CAST(i AS BIGINT) AS media_id,
+         |       CAST(8000 AS BIGINT) AS sample_rate,
+         |       CAST(1 AS BIGINT) AS channels,
+         |       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+         |       CAST(list_sum(list_transform(generate_series(0, n - 1),
+         |                t -> abs(((t * (i + 1)) % 2048) - 1024))) AS BIGINT) AS sum_abs
+         |FROM clips ORDER BY media_id""".stripMargin,
     // Closed-form replay of the generator: solid images sum to w*h*channel;
     // the gradient row sums its per-x integer ramp once and scales by h.
     "q51_image_decode" ->

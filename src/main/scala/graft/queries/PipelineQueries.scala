@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.dedup.{DupClusters, MinHashLsh}
-import graft.functions.Splits
+import graft.functions.{Splits, TextOps}
 import graft.search.{Bm25, IvfAnn, KMeans}
 
 /** Training-data pipeline operators beyond the reference's surface
@@ -19,6 +19,21 @@ object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def defs: Map[String, Q] = Map(
+    // Training-sequence packing (concat-then-chunk): shard by doc_id mod 8,
+    // pack each shard's id-ordered token stream into 2048-token sequences,
+    // report per-sequence fill. Per-shard windows — no global sort at any
+    // scale; the oracle replays the identical cumulative-sum arithmetic.
+    "q53_seq_packing" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("toks"))
+      val assigned = graft.operators.SequencePacking
+        .assign(toks, "doc_id", "toks", budget = 2048L, nShards = 8)
+      graft.operators.SequencePacking.packStats(assigned, "toks", 2048L)
+        .select(col("shard").cast("long").as("shard"), col("seq_id"),
+          col("n_docs"), col("sum_tokens").cast("long").as("sum_tokens"),
+          col("fill_ratio"))
+    }),
+
     // Hash-based train/val/test split (80/10/10): reproducible across
     // engines, clusters and re-runs — no RNG, a pure map pass at any scale.
     "q35_split" -> ((s, dir) =>
@@ -168,6 +183,25 @@ object PipelineQueries {
   private val sampleSql = "CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':s'),1,15)) AS BIGINT) % 10"
 
   def oracles: Map[String, String] = Map(
+    // identical shard/cumsum/quotient arithmetic, integer end to end
+    "q53_seq_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id % 8 AS shard, doc_id,
+        |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT shard, toks,
+        |         sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |                         ROWS UNBOUNDED PRECEDING) - toks AS before_toks
+        |  FROM d
+        |)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(before_toks // 2048 AS BIGINT) AS seq_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        |       round(sum(toks) / 2048.0, 6) AS fill_ratio
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
     "q35_split" ->
       s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
          |       count(*) AS n_docs, count(DISTINCT lang) AS n_langs

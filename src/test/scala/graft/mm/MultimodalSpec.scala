@@ -79,6 +79,31 @@ class MultimodalSpec extends SparkSpec {
     assert(g._4 == 11L * 17 * 255 - rampSum)
   }
 
+  test("real WAV decode: rate, channels, duration, exact |sample| sum round-trip") {
+    val samples = Array.tabulate[Short](1600)(t => (((t * 7) % 2048) - 1024).toShort)
+    val wav = Multimodal.encodeWav(samples, 8000)
+    val (rate, ch, durMs, sumAbs, emb) = Multimodal.decodeWav(wav).get
+    assert(rate == 8000 && ch == 1)
+    assert(durMs == 200L) // 1600 frames at 8 kHz
+    assert(sumAbs == samples.map(s => math.abs(s.toLong)).sum)
+    assert(emb.length == Multimodal.EmbeddingDim)
+    assert(emb.forall(v => v >= 0.0 && v <= 1.0))
+    // through the batched pipeline: audio rows now decode for real
+    val rows = Seq(MediaRow(9L, "audio", wav, Map.empty[String, String])).toDS
+    val f = Multimodal.extractFeatures(rows, 1).collect().head
+    assert(f.decoded && f.sampleRate == 8000 && f.channels == 1 && f.sumAbs == sumAbs)
+    assert(f.width == 0 && f.height == 0) // no raster fields on audio
+  }
+
+  test("synthetic gate clips: decode matches the closed-form generator") {
+    val clip = MultimodalQueries.syntheticWav(3L) // n = 2000, factor i+1 = 4
+    val (rate, ch, durMs, sumAbs, _) = Multimodal.decodeWav(clip.bytes).get
+    assert(rate == 8000 && ch == 1)
+    assert(durMs == 2000L * 1000 / 8000)
+    val expect = (0 until 2000).map(t => math.abs(((t.toLong * 4) % 2048) - 1024)).sum
+    assert(sumAbs == expect)
+  }
+
   test("frame sampling fans out video rows only") {
     val out = Multimodal.sampleFramesStub(media, 4).collect()
     assert(out.length == 3 + 4) // image + audio + bogus pass through, video -> 4 frames
