@@ -261,18 +261,124 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling for video rows: emits `n` pseudo-frames per video
-    * as image rows (a real impl decodes frames — no JDK video codec exists;
-    * the fan-out shape — one row to n rows — is the real part).
+  /** A parsed YUV4MPEG2 clip: only the luma (Y) planes are retained —
+    * chroma is skipped during parse, which is all frame-sampling needs.
     */
-  def sampleFramesStub(media: Dataset[MediaRow], n: Int): Dataset[MediaRow] = {
+  case class Y4mVideo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                      frames: IndexedSeq[Array[Byte]])
+
+  /** Encode luma planes as an uncompressed YUV4MPEG2 (Y4M) clip with C444
+    * chroma fixed at the neutral value 128 (grayscale). Y4M is a plain
+    * byte-oriented container — header line, then `FRAME\n` + raw planes per
+    * frame — so encode→decode round trips are bit-exact, the same property
+    * the PNG/WAV gates rely on for closed-form oracles.
+    */
+  def encodeY4m(w: Int, h: Int, fps: Int, yPlanes: Seq[Array[Byte]]): Array[Byte] = {
+    require(yPlanes.forall(_.length == w * h), s"each Y plane must be $w*$h bytes")
+    val out = new ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C444\n".getBytes("US-ASCII"))
+    val chroma = Array.fill[Byte](w * h)(128.toByte)
+    yPlanes.foreach { y =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(y); out.write(chroma); out.write(chroma)
+    }
+    out.toByteArray
+  }
+
+  /** Parse a YUV4MPEG2 payload (C444 / C422 / C420 family / Cmono) with
+    * pure byte walking — Y4M is uncompressed, so "decoding" is container
+    * parsing, no codec required. Returns None for anything that is not a
+    * well-formed Y4M stream (caller falls back to the stub fan-out).
+    */
+  def decodeY4m(bytes: Array[Byte]): Option[Y4mVideo] =
+    try {
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl <= 0) None
+      else {
+        val tokens = new String(bytes, 0, nl, "US-ASCII").split(' ')
+        if (tokens.head != "YUV4MPEG2") None
+        else {
+          var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "420"
+          tokens.tail.foreach { t =>
+            if (t.nonEmpty) t.charAt(0) match {
+              case 'W' => w = t.substring(1).toInt
+              case 'H' => h = t.substring(1).toInt
+              case 'F' =>
+                val p = t.substring(1).split(':')
+                fn = p(0).toInt; fd = if (p.length > 1) p(1).toInt else 1
+              case 'C' => cs = t.substring(1)
+              case _ => () // Ip/A/X params — irrelevant to plane layout
+            }
+          }
+          val chromaSize =
+            if (cs == "mono") 0
+            else if (cs.startsWith("444")) w * h
+            else if (cs.startsWith("422")) (w / 2) * h
+            else if (cs.startsWith("420") || cs.startsWith("411")) (w / 2) * (h / 2)
+            else -1
+          if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || chromaSize < 0) None
+          else {
+            val frames = IndexedSeq.newBuilder[Array[Byte]]
+            var pos = nl + 1
+            var ok = true
+            while (ok && pos < bytes.length) {
+              // each frame starts with a "FRAME[ params]\n" marker line
+              var eol = pos
+              while (eol < bytes.length && bytes(eol) != '\n') eol += 1
+              val marker = new String(bytes, pos, eol - pos, "US-ASCII")
+              val end = eol + 1 + w * h + 2 * chromaSize
+              if (!marker.startsWith("FRAME") || end > bytes.length) ok = false
+              else {
+                frames += java.util.Arrays.copyOfRange(bytes, eol + 1, eol + 1 + w * h)
+                pos = end
+              }
+            }
+            val fs = frames.result()
+            if (ok && fs.nonEmpty) Some(Y4mVideo(w, h, fn, fd, fs)) else None
+          }
+        }
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** Frame sampling for video rows: `n` evenly spaced frames per clip
+    * (index `floor(j * nFrames / n)`), each emitted as a grayscale PNG
+    * image row that flows into the real image leg ([[decodeBatch]]). The
+    * VIDEO decode is real for Y4M payloads (uncompressed container — pure
+    * byte parsing, zero deps); compressed codecs are not in the JDK, so
+    * undecodable payloads keep the stub fan-out shape (pseudo-frame rows
+    * carrying the parent bytes, which the image decoder then rejects).
+    */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
       if (r.kind != "video") Seq(r)
-      else (0 until n).map(i => r.copy(
-        mediaId = r.mediaId * 1000 + i,
-        kind = "image",
-        meta = r.meta + ("frame" -> i.toString, "parent" -> r.mediaId.toString)))
+      else decodeY4m(r.bytes) match {
+        case Some(v) =>
+          (0 until n).map { j =>
+            val fi = (j.toLong * v.frames.length / n).toInt
+            val plane = v.frames(fi)
+            val img = new BufferedImage(v.width, v.height, BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < v.height) {
+              var x = 0
+              while (x < v.width) {
+                val lum = plane(y * v.width + x) & 0xff
+                img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+                x += 1
+              }
+              y += 1
+            }
+            r.copy(mediaId = r.mediaId * 1000 + j, kind = "image",
+              bytes = encodePng(img),
+              meta = r.meta + ("frame" -> j.toString, "frameIdx" -> fi.toString,
+                "parent" -> r.mediaId.toString, "src" -> "y4m"))
+          }
+        case None =>
+          (0 until n).map(i => r.copy(
+            mediaId = r.mediaId * 1000 + i,
+            kind = "image",
+            meta = r.meta + ("frame" -> i.toString, "parent" -> r.mediaId.toString)))
+      }
     }
   }
 }

@@ -58,7 +58,48 @@ object MultimodalQueries {
     MediaRow(i, "audio", Multimodal.encodeWav(samples, 8000), Map("gen" -> "synthetic"))
   }
 
+  val NumVideos = 16
+  val FramesSampled = 4
+
+  /** Deterministic test clip v: `6 + (v % 5)` frames of w×h luma where
+    * pixel (x, y) of frame f is `(v*31 + f*17 + x*3 + y*5) mod 256` —
+    * closed-form replayable per sampled frame.
+    */
+  def syntheticY4m(v: Long): MediaRow = {
+    val w = 12 + (v % 16).toInt
+    val h = 8 + ((v * 3) % 16).toInt
+    val nf = 6 + (v % 5).toInt
+    val frames = (0 until nf).map { f =>
+      Array.tabulate[Byte](w * h) { p =>
+        val x = p % w; val y = p / w
+        ((v * 31 + f * 17 + x * 3 + y * 5) % 256).toByte
+      }
+    }
+    MediaRow(v, "video", Multimodal.encodeY4m(w, h, 25, frames), Map("gen" -> "synthetic"))
+  }
+
   def defs: Map[String, Q] = Map(
+    // Real Y4M container parse + frame sampling + real ImageIO decode of
+    // the sampled frames: each video yields FramesSampled grayscale PNGs
+    // whose luma sum the oracle recomputes from the generator formula (and
+    // the frame-index formula floor(j*nf/4)). Agreement requires BOTH
+    // decodes to have read actual bytes; `decoded` filters out any stub
+    // fallback, failing the row-count compare.
+    "q54_video_frames" -> ((s, _) => {
+      import s.implicits._
+      val media = s.range(NumVideos).map(v => syntheticY4m(v.longValue))
+      val frames = Multimodal.sampleFrames(media, FramesSampled)
+      Multimodal.extractFeatures(frames, 8).toDF()
+        .filter(col("decoded"))
+        .select(
+          floor(col("mediaId") / 1000).cast("long").as("video_id"),
+          (col("mediaId") % 1000).cast("long").as("frame_j"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sumR").as("sum_y"))
+        .orderBy(col("video_id"), col("frame_j"))
+    }),
+
     // Real JDK javax.sound.sampled decode over generated WAVs; exact
     // absolute-sample sums. Same gate design as q51: the oracle replays the
     // generator formula, so agreement requires the WAV encode→decode round
@@ -96,6 +137,27 @@ object MultimodalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // Closed-form replay of the luma generator over each sampled frame:
+    // frame index fi = (j*nf)//4, pixel (x,y) = (v*31+fi*17+3x+5y) mod 256.
+    "q54_video_frames" ->
+      s"""WITH vids AS (
+         |  SELECT v, 12 + (v % 16) AS w, 8 + ((v * 3) % 16) AS h, 6 + (v % 5) AS nf
+         |  FROM generate_series(0, ${NumVideos - 1}) t(v)
+         |), fr AS (
+         |  SELECT vids.*, j, (j * nf) // ${FramesSampled} AS fi
+         |  FROM vids, generate_series(0, ${FramesSampled - 1}) s(j)
+         |), px AS (
+         |  SELECT fr.v, fr.j, fr.w, fr.h,
+         |         sum((fr.v * 31 + fr.fi * 17 + xs.x * 3 + ys.y * 5) % 256) AS sum_y
+         |  FROM fr, generate_series(0, 26) xs(x), generate_series(0, 22) ys(y)
+         |  WHERE xs.x < fr.w AND ys.y < fr.h
+         |  GROUP BY fr.v, fr.j, fr.w, fr.h
+         |)
+         |SELECT CAST(v AS BIGINT) AS video_id, CAST(j AS BIGINT) AS frame_j,
+         |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |       CAST(sum_y AS BIGINT) AS sum_y
+         |FROM px ORDER BY video_id, frame_j""".stripMargin,
+
     // Closed-form replay of the sawtooth generator: sum of
     // |((t*(i+1)) mod 2048) - 1024| over the clip's samples; duration is
     // integer frames*1000/rate exactly as the decoder computes it.

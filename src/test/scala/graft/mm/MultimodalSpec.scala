@@ -104,12 +104,58 @@ class MultimodalSpec extends SparkSpec {
     assert(sumAbs == expect)
   }
 
-  test("frame sampling fans out video rows only") {
-    val out = Multimodal.sampleFramesStub(media, 4).collect()
+  test("frame sampling fans out video rows only (stub fallback for non-Y4M)") {
+    val out = Multimodal.sampleFrames(media, 4).collect()
     assert(out.length == 3 + 4) // image + audio + bogus pass through, video -> 4 frames
     val frames = out.filter(_.meta.contains("frame"))
     assert(frames.length == 4)
     assert(frames.forall(_.kind == "image"))
     assert(frames.forall(_.meta("parent") == "2"))
+    assert(frames.forall(!_.meta.contains("src") || frames.head.meta("src") == "cam1"))
+  }
+
+  test("Y4M encode -> decode round trip is bit-exact on the luma planes") {
+    val planes = (0 until 5).map(f => Array.tabulate[Byte](12 * 8)(p => (f * 40 + p).toByte))
+    val clip = Multimodal.encodeY4m(12, 8, 25, planes)
+    val v = Multimodal.decodeY4m(clip).get
+    assert(v.width == 12 && v.height == 8 && v.fpsNum == 25 && v.fpsDen == 1)
+    assert(v.frames.length == 5)
+    (0 until 5).foreach(f => assert(v.frames(f).toSeq == planes(f).toSeq))
+    // malformed payloads are rejected, not mis-parsed
+    assert(Multimodal.decodeY4m("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeY4m(clip.take(clip.length - 3)).isEmpty) // truncated frame
+  }
+
+  test("Y4M decode handles C420 and mono chroma layouts") {
+    // hand-built C420: 4x2 luma + two 2x1 chroma planes per frame
+    val y = Array.tabulate[Byte](8)(i => (i * 10).toByte)
+    val c420 = "YUV4MPEG2 W4 H2 F30:1 C420jpeg\nFRAME\n".getBytes("US-ASCII") ++
+      y ++ Array[Byte](1, 2) ++ Array[Byte](3, 4)
+    val v = Multimodal.decodeY4m(c420).get
+    assert(v.width == 4 && v.height == 2 && v.fpsNum == 30 && v.frames.length == 1)
+    assert(v.frames.head.toSeq == y.toSeq)
+    val mono = "YUV4MPEG2 W4 H2 F1:1 Cmono\nFRAME\nFRAME\n".getBytes("US-ASCII")
+    // mono: zero chroma bytes; two frames of 8 luma bytes required — absent => reject
+    assert(Multimodal.decodeY4m(mono).isEmpty)
+  }
+
+  test("real frame sampling: sampled Y4M frames decode as PNGs with exact luma sums") {
+    val clip = MultimodalQueries.syntheticY4m(5L) // w=17, h=23, nf=6
+    val ds = Seq(clip).toDS
+    val frames = Multimodal.sampleFrames(ds, 4).collect().sortBy(_.mediaId)
+    assert(frames.length == 4)
+    assert(frames.forall(f => f.kind == "image" && f.meta("src") == "y4m"))
+    // frame indices are floor(j * 6 / 4) = 0, 1, 3, 4
+    assert(frames.map(_.meta("frameIdx")).toSeq == Seq("0", "1", "3", "4"))
+    // each sampled frame is a REAL PNG whose channel sums equal the
+    // generator's luma sum for that frame (grayscale => r = g = b = Y)
+    frames.foreach { fr =>
+      val fi = fr.meta("frameIdx").toInt
+      val (w, h, sr, sg, sb, _) = Multimodal.decodeImage(fr.bytes).get
+      assert(w == 17 && h == 23)
+      val expect = (for { y <- 0 until 23; x <- 0 until 17 }
+        yield (5L * 31 + fi * 17 + x * 3 + y * 5) % 256).sum
+      assert(sr == expect && sg == expect && sb == expect)
+    }
   }
 }
