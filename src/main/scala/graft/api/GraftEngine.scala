@@ -19,8 +19,10 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
                        embedder: Embedder = DeterministicEmbedder(),
                        config: graft.core.GraftConfig = graft.core.GraftConfig()) {
 
-  def index(projectDir: String): IndexPipeline.IndexingResult =
+  def index(projectDir: String): IndexPipeline.IndexingResult = {
+    searchCache.clear() // any write invalidates memoized results
     IndexPipeline.index(spark, projectDir, storeDir, embedder, config)
+  }
 
   def chunks: DataFrame = IndexStore.readChunks(spark, storeDir)
 
@@ -68,6 +70,29 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
           .orderBy(col("rrf_score").desc, col("chunkId").asc)
       case other => throw new IllegalArgumentException(s"unknown search mode: $other")
     }
+  }
+
+  /** Result-memoized search (reference: `storage/base.py:249-330`
+    * `CachingVectorStore`, an opt-in decorator — searchSimilar itself stays
+    * pure/lazy). A repeat of the same (query, mode, filters, limit,
+    * threshold) replays the collected top-k rows without touching the
+    * cluster; any mutation through THIS engine clears the memo, mirroring
+    * the reference's clear-on-upsert/delete policy.
+    */
+  @transient lazy val searchCache =
+    new graft.search.SearchCache[(String, String, Seq[String], Int, Double),
+      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])](1000)
+
+  def searchSimilarCached(query: String, mode: String = "semantic",
+                          entityTypes: Seq[String] = Seq.empty,
+                          limit: Int = 10,
+                          threshold: Double = Double.NegativeInfinity): DataFrame = {
+    val (schema, rows) =
+      searchCache.getOrElseUpdate((query, mode, entityTypes.toList, limit, threshold)) {
+        val df = searchSimilar(query, mode, entityTypes, limit, threshold)
+        (df.schema, df.collect())
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** The CLI's unified "all" search (reference: cli_full.py:976-1072,
@@ -208,6 +233,7 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
     */
   def addManualMemory(name: String, content: String, entityType: String = "documentation"): Unit = {
     import spark.implicits._
+    searchCache.clear()
     val chunkId = s"manual::$name::metadata"
     val chunk = graft.core.Model.Chunk(chunkId, "metadata", name, entityType, "",
       0, 0, content, s"$name $name $content", graft.core.Ids.sha256Hex(content),
@@ -225,6 +251,7 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
     * reference: storage/qdrant.py:1303-1401).
     */
   def clearCollection(preserveManual: Boolean = true): Unit = {
+    searchCache.clear()
     if (!preserveManual) {
       IndexStore.overwrite(chunks.limit(0), IndexStore.chunksPath(storeDir), Seq("chunkType"))
     } else {
@@ -304,6 +331,7 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
   }
 
   def cleanup(): Long = {
+    searchCache.clear()
     val all = chunks.cache()
     val names = all.filter(col("chunkType") =!= "relation")
       .select(col("entityName")).distinct()

@@ -278,4 +278,38 @@ class EngineSpec extends SparkSpec {
       assert(r.getAs[Boolean]("bidirectional") == expected)
     }
   }
+
+  test("search-result cache: repeat query replays rows, mutation invalidates") {
+    engine.searchCache.clear()
+    val h0 = engine.searchCache.hits
+    val first = engine.searchSimilarCached("add numbers", "semantic", limit = 5).collect()
+    assert(engine.searchCache.size == 1 && engine.searchCache.hits == h0)
+    val second = engine.searchSimilarCached("add numbers", "semantic", limit = 5).collect()
+    assert(engine.searchCache.hits == h0 + 1) // served from the memo
+    assert(second.map(_.toString).toSeq == first.map(_.toString).toSeq)
+    // cached rows match the uncached search exactly
+    val direct = engine.searchSimilar("add numbers", "semantic", limit = 5).collect()
+    assert(first.map(_.toString).toSeq == direct.map(_.toString).toSeq)
+    // different parameters are a different entry, not a hit
+    engine.searchSimilarCached("add numbers", "keyword", limit = 5)
+    assert(engine.searchCache.size == 2 && engine.searchCache.hits == h0 + 1)
+    // any write through the engine clears the memo (reference policy)
+    engine.addManualMemory("cache_probe", "a manual memory about caching")
+    assert(engine.searchCache.size == 0)
+    // and the fresh result reflects the write when relevant
+    val after = engine.searchSimilarCached("a manual memory about caching", "keyword", limit = 5)
+      .select("entityName").collect().map(_.getString(0))
+    assert(after.contains("cache_probe"))
+  }
+
+  test("search-result cache: LRU bound evicts the least recently used entry") {
+    val c = new graft.search.SearchCache[Int, Int](3)
+    (1 to 3).foreach(i => c.getOrElseUpdate(i)(i * 10))
+    c.getOrElseUpdate(1)(-1) // touch 1 so 2 is now eldest
+    c.getOrElseUpdate(4)(40) // evicts 2
+    assert(c.size == 3)
+    assert(c.getOrElseUpdate(2)(99) == 99) // 2 was evicted -> recomputed
+    assert(c.getOrElseUpdate(1)(-1) == 10) // 1 survived with its original value
+    assert(c.hits == 2 && c.misses == 5)
+  }
 }
