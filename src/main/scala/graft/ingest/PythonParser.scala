@@ -107,6 +107,37 @@ object PythonParser {
     "Mocha/Chai" -> Seq("mocha", "chai"),
     "JWT/Auth" -> Seq("jwt", "jsonwebtoken", "passport"))
 
+  // `x: T = ...` — an explicit annotation outranks RHS inference
+  private val AnnotAssignRe = """^\s*[A-Za-z_]\w*\s*:\s*([^=]+?)\s*=""".r
+  private val CtorRe = """^(?:[A-Za-z_]\w*\.)*([A-Z]\w*)\s*\(""".r
+  private val IntLitRe = """[+-]?\d+""".r
+  private val FloatLitRe = """[+-]?(?:\d+\.\d*|\.\d+|\d+[eE][+-]?\d+)(?:[eE][+-]?\d+)?""".r
+
+  /** Infer a variable's type from its assignment RHS — the structural
+    * analog of the Jedi inference the reference taps for
+    * `inferred_types` (analysis/parser.py:919-1095). Literals map to
+    * builtin type names; `Name(...)` / `pkg.Name(...)` constructor calls
+    * map to `Name` (classes are conventionally capitalized — a lowercase
+    * call is a function whose return type a structural parser cannot
+    * know, so it stays uninferred rather than guessed).
+    */
+  private[ingest] def inferRhsType(rhs: String): Option[String] = {
+    val r = rhs.trim.takeWhile(_ != '#').trim
+    if (r.isEmpty) None
+    else if (r.startsWith("\"") || r.startsWith("'") ||
+      r.matches("(?s)[rfu]{1,2}['\"].*")) Some("str")
+    else if (r.matches("(?s)(?:rb|br|b)['\"].*")) Some("bytes")
+    else if (r == "True" || r == "False") Some("bool")
+    else if (r == "None") Some("NoneType")
+    else if (IntLitRe.matches(r)) Some("int")
+    else if (FloatLitRe.matches(r)) Some("float")
+    else if (r.startsWith("[")) Some("list")
+    else if (r.startsWith("{")) Some(if (r.contains(":")) "dict" else "set")
+    else if (r.startsWith("(")) Some("tuple")
+    else if (r.startsWith("lambda")) Some("function")
+    else CtorRe.findFirstMatchIn(r).map(_.group(1))
+  }
+
   /** Args/Returns/Raises/Examples/behavior-keyword observations from a full
     * docstring (reference: observation_extractor.py:313-380).
     */
@@ -351,14 +382,23 @@ object PythonParser {
               case AssignRe(namesStr) if !line.trim.startsWith("#") =>
                 // flatten nested/parenthesized unpacks, strip stars:
                 // (a, b), *rest = ... -> a, b, rest
-                namesStr.replaceAll("[()\\[\\]]", " ").split(",")
+                val names = namesStr.replaceAll("[()\\[\\]]", " ").split(",")
                   .map(_.trim.stripPrefix("*").trim)
-                  .filter(n => n.matches("[A-Za-z_]\\w*") && n != "_").foreach { n =>
-                    val t = if (n.toUpperCase == n) "constant" else "variable"
-                    entities += Entity(n, t, relPath, i + 1, i + 1,
-                      Seq(s"$t: $n"), "", line.trim.take(80))
-                    relations += Relation(relPath, n, "contains", "", "", 1.0)
-                  }
+                  .filter(n => n.matches("[A-Za-z_]\\w*") && n != "_")
+                // RHS type inference (the structural analog of the Jedi
+                // inference the reference taps in parser.py:919-1095):
+                // only for single-name assignments — unpacks distribute
+                // element types we don't track
+                val inferred =
+                  if (names.length != 1) None
+                  else AnnotAssignRe.findFirstMatchIn(line).map(_.group(1))
+                    .orElse(inferRhsType(line.substring(line.indexOf('=') + 1).trim))
+                names.foreach { n =>
+                  val t = if (n.toUpperCase == n) "constant" else "variable"
+                  entities += Entity(n, t, relPath, i + 1, i + 1,
+                    Seq(s"$t: $n") ++ inferred.map(ty => s"type: $ty"), "", line.trim.take(80))
+                  relations += Relation(relPath, n, "contains", "", "", 1.0)
+                }
               case _ =>
                 // walrus at module scope: (x := ...)
                 // (reference: analysis/parser.py:615-641)

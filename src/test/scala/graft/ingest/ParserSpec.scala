@@ -205,6 +205,45 @@ class ParserSpec extends AnyFunSuite {
     assert(factory.observations.contains("design pattern: factory"))
   }
 
+  test("python: RHS/annotation type inference on module variables") {
+    val src =
+      """name = "graft"
+        |count = 42
+        |ratio = 0.5
+        |flag = True
+        |nothing = None
+        |items = [1, 2]
+        |lookup = {"a": 1}
+        |uniq = {1, 2}
+        |pair = (1, 2)
+        |conn = DatabaseClient(url)
+        |remote = pkg.sub.HttpSession()
+        |fn = lambda x: x + 1
+        |annotated: dict[str, int] = load()
+        |mystery = helper()
+        |a, b = 1, 2
+        |""".stripMargin
+    val r = PythonParser.parse("t.py", src)
+    def typeOf(n: String): Option[String] =
+      r.entities.find(_.name == n).get.observations
+        .find(_.startsWith("type: ")).map(_.stripPrefix("type: "))
+    assert(typeOf("name").contains("str"))
+    assert(typeOf("count").contains("int"))
+    assert(typeOf("ratio").contains("float"))
+    assert(typeOf("flag").contains("bool"))
+    assert(typeOf("nothing").contains("NoneType"))
+    assert(typeOf("items").contains("list"))
+    assert(typeOf("lookup").contains("dict"))
+    assert(typeOf("uniq").contains("set"))
+    assert(typeOf("pair").contains("tuple"))
+    assert(typeOf("conn").contains("DatabaseClient"))
+    assert(typeOf("remote").contains("HttpSession")) // dotted constructor
+    assert(typeOf("fn").contains("function"))
+    assert(typeOf("annotated").contains("dict[str, int]")) // annotation outranks RHS
+    assert(typeOf("mystery").isEmpty) // lowercase call: unknown, not guessed
+    assert(typeOf("a").isEmpty && typeOf("b").isEmpty) // unpacks stay untyped
+  }
+
   test("python: class instance attributes observation") {
     val src =
       """class Config:
