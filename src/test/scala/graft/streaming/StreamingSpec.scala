@@ -126,6 +126,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicate content across micro-batches is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("docId", "ts", "content")
+    val out = graft.streaming.StreamDedup.exactDedup(docs, "content", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("sdedup").start()
+    try {
+      def t(s: Long) = new java.sql.Timestamp(s * 1000)
+      mem.addData((1L, t(10), "alpha"), (2L, t(11), "beta"), (3L, t(12), "alpha"))
+      q.processAllAvailable()
+      mem.addData((4L, t(20), "alpha"), (5L, t(21), "gamma")) // 4 dups doc 1 cross-batch
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("docId").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("streaming keep-first bucket dedup: later bucket arrivals flag the keeper") {
+    import graft.streaming.StreamDedup.DocEvent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val out = graft.streaming.StreamDedup.keepFirstPerBucket(mem.toDS(), "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("skeep").start()
+    try {
+      def t(s: Long) = new java.sql.Timestamp(s * 1000)
+      mem.addData(
+        DocEvent(1L, "bx", t(10), "doc one"),
+        DocEvent(2L, "by", t(11), "doc two"),
+        DocEvent(3L, "bx", t(12), "doc one v2")) // same bucket, same batch
+      q.processAllAvailable()
+      mem.addData(DocEvent(4L, "bx", t(20), "doc one v3")) // same bucket, NEXT batch
+      q.processAllAvailable()
+      val rows = spark.table("skeep")
+        .select("docId", "kept", "firstDocId").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (1L, true, 1L), (2L, true, 2L),
+        (3L, false, 1L), // within-batch dup
+        (4L, false, 1L)  // cross-batch dup: state remembered the keeper
+      ), s"got $rows")
+    } finally q.stop()
+  }
+
   test("watermarked windowed event rate compiles against a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
