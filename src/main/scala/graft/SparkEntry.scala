@@ -33,7 +33,8 @@ object SparkEntry {
     graft.queries.DedupQueries.defs ++ graft.queries.TextQueries.defs ++
     graft.queries.EngineQueries.defs ++ graft.queries.ChatQueries.defs ++
     graft.queries.IndexBenchQueries.defs ++ graft.queries.PipelineQueries.defs ++
-    graft.queries.TemporalQueries.defs ++ graft.queries.MultimodalQueries.defs
+    graft.queries.TemporalQueries.defs ++ graft.queries.MultimodalQueries.defs ++
+    graft.queries.CorpusQueries.defs
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -48,5 +49,5 @@ object SparkEntry {
     graft.queries.DedupQueries.oracles ++ graft.queries.TextQueries.oracles ++
     graft.queries.EngineQueries.oracles ++ graft.queries.ChatQueries.oracles ++
     graft.queries.PipelineQueries.oracles ++ graft.queries.TemporalQueries.oracles ++
-    graft.queries.MultimodalQueries.oracles
+    graft.queries.MultimodalQueries.oracles ++ graft.queries.CorpusQueries.oracles
 }

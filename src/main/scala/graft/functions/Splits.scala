@@ -39,4 +39,13 @@ object Splits {
     */
   def sampled(c: Column, outOf: Int, salt: String = ":s"): Column =
     hashBucket(c, outOf, salt) === 0
+
+  /** Deterministic weighted keep for corpus mixing: true for ~`weightBp`
+    * basis points (1/10000ths) of keys. Weights stay INTEGER basis points
+    * end-to-end — a float weight would hit engine-specific double→int
+    * rounding (Spark casts truncate, DuckDB casts round) and break
+    * cross-engine replay.
+    */
+  def weightedKeep(c: Column, weightBp: Column, salt: String = ":mix"): Column =
+    hashBucket(c, 10000, salt) < weightBp
 }

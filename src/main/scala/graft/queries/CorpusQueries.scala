@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{Quantiles, Splits, UrlOps}
+
+/** Corpus-preparation operators over the documents table: URL
+  * canonicalization (q55), percentile-band quality filtering backed by
+  * scale-safe exact quantiles (q56), and deterministic source-mixing
+  * sampling (q57).
+  *
+  * Gate designs: q55 constructs deliberately messy synthetic URLs from
+  * doc_id (mixed case, www, default port, tracking params, trailing slash,
+  * fragment) and the oracle states the expected canonical form in closed
+  * form — agreement proves the normalizer undid every artifact. q56/q57
+  * replay the quantile/hash arithmetic directly in SQL.
+  */
+object CorpusQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def defs: Map[String, Q] = Map(
+    // URL canonicalization + host-level rollup. The messy form exercises
+    // every rule at once; per-host counts/min prove per-row correctness.
+    "q55_url_normalize" -> ((s, dir) => {
+      val messy = concat(
+        lit("HTTPS://WWW.Site"), col("doc_id") % 37,
+        lit(".example.COM:443/a/b"), col("doc_id") % 5,
+        lit("/?utm_source=feed&ref=r"), col("doc_id") % 3,
+        lit("&q=x"), col("doc_id") % 11, lit("#sec"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), messy.as("url"))
+        .select(
+          UrlOps.host(col("url")).as("host"),
+          UrlOps.normalized(col("url")).as("url_norm"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"), min(col("url_norm")).as("first_url"))
+        .orderBy(col("host"))
+    }),
+
+    // Percentile-band filter: per-language P05/P95 of n_chars from the
+    // distinct-value distribution (never buffers a group), then a
+    // broadcast join back to count the kept band.
+    "q56_quantile_filter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = Quantiles.exactQuantiles(docs, "lang", "n_chars",
+        Seq("p05" -> 0.05, "p95" -> 0.95))
+      docs.join(broadcast(qs), "lang")
+        .groupBy(col("lang"))
+        .agg(
+          max(col("p05")).as("p05"), // per-lang constant; max = the value
+          max(col("p95")).as("p95"),
+          sum(when(col("n_chars").between(col("p05"), col("p95")), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
+    // Deterministic source mixing: srcN keeps (1 + N % 4) * 25% of its
+    // docs by hash threshold — idempotent, retry-stable, and exactly
+    // replayable (no RNG).
+    "q57_domain_mix" -> ((s, dir) => {
+      val wbp = (lit(1) + regexp_extract(col("source"), "(\\d+)$", 1)
+        .cast("long") % 4) * 2500
+      Tables.documents(s, dir)
+        .withColumn("_wbp", wbp)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(Splits.weightedKeep(col("doc_id"), col("_wbp")), 1L)
+            .otherwise(0L)).as("n_sampled"),
+          max(col("_wbp")).as("target_bp"))
+        .orderBy(col("source"))
+    })
+  )
+
+  private val mixBpSql =
+    "(1 + CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 4) * 2500"
+  private val mixHashSql =
+    "CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),1,15)) AS BIGINT) % 10000"
+
+  def oracles: Map[String, String] = Map(
+    // Closed-form expected canonical URL: lowercase, www/port/fragment/
+    // tracking gone, trailing slash trimmed, q= param kept.
+    "q55_url_normalize" ->
+      """WITH n AS (
+        |  SELECT 'site' || (doc_id % 37) || '.example.com' AS host,
+        |         'https://site' || (doc_id % 37) || '.example.com/a/b' ||
+        |         (doc_id % 5) || '?q=x' || (doc_id % 11) AS url_norm
+        |  FROM documents)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_docs, min(url_norm) AS first_url
+        |FROM n GROUP BY host ORDER BY host""".stripMargin,
+
+    "q56_quantile_filter" ->
+      """WITH q AS (
+        |  SELECT lang, quantile_disc(n_chars, 0.05) AS p05,
+        |         quantile_disc(n_chars, 0.95) AS p95
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, CAST(max(q.p05) AS BIGINT) AS p05,
+        |       CAST(max(q.p95) AS BIGINT) AS p95,
+        |       CAST(count(*) FILTER (WHERE d.n_chars BETWEEN q.p05 AND q.p95)
+        |            AS BIGINT) AS n_kept
+        |FROM documents d JOIN q USING (lang)
+        |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "q57_domain_mix" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(count(*) FILTER (WHERE $mixHashSql < $mixBpSql) AS BIGINT) AS n_sampled,
+         |       CAST($mixBpSql AS BIGINT) AS target_bp
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("url normalization: case, www, default port, tracking, slash, fragment") {
+    val cases = Seq(
+      // messy -> expected canonical
+      ("HTTPS://WWW.Example.COM:443/Path/Sub/?utm_source=a&q=1#frag",
+        "https://example.com/Path/Sub?q=1"),
+      ("http://example.com:80/", "http://example.com"),
+      ("http://example.com:8080/x", "http://example.com:8080/x"), // non-default port kept
+      ("https://example.com/a?ref=zz&fbclid=123&gclid=4", "https://example.com/a"),
+      ("https://example.com", "https://example.com"),
+      ("https://www.example.com/a?b=2&utm_medium=m&c=3", "https://example.com/a?b=2&c=3")
+    )
+    val out = cases.map(_._1).toDF("url")
+      .select(UrlOps.normalized(col("url")).as("n")).as[String].collect()
+    out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got == want) }
+  }
+
+  test("url host: lowercased, www-stripped") {
+    val h = Seq("HTTPS://WWW.Example.COM:443/x").toDF("url")
+      .select(UrlOps.host(col("url"))).as[String].head()
+    assert(h == "example.com")
+  }
+
+  test("exact quantiles match the inverse-CDF definition, per key") {
+    // key a: 1..10 -> p05 = ceil(0.5)-1 = idx 0 -> 1; p50 = idx ceil(5)-1=4 -> 5;
+    //   p95 = idx ceil(9.5)-1 = 9 -> 10 (the quantile_disc distinguishing case)
+    // key b: duplicates collapse into the distribution correctly
+    val rows = (1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 10L), ("b", 10L), ("b", 10L), ("b", 40L))
+    val out = Quantiles.exactQuantiles(rows.toDF("k", "v"), "k", "v",
+      Seq("p05" -> 0.05, "p50" -> 0.5, "p95" -> 0.95))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((1L, 5L, 10L)))
+    assert(out("b") == ((10L, 10L, 40L))) // idx 0, idx ceil(2)-1=1, idx ceil(3.8)-1=3
+  }
+
+  test("weighted keep is deterministic and tracks the target fraction") {
+    val df = (0L until 4000L).toDF("id")
+    val kept = df.filter(Splits.weightedKeep(col("id"), lit(2500))).count()
+    // 25% target; hash is uniform-ish, allow generous tolerance
+    assert(kept > 800 && kept < 1200, s"kept=$kept of 4000 at 25%")
+    val kept2 = df.filter(Splits.weightedKeep(col("id"), lit(2500))).count()
+    assert(kept == kept2) // no RNG: identical on re-run
+    assert(df.filter(Splits.weightedKeep(col("id"), lit(10000))).count() == 4000)
+    assert(df.filter(Splits.weightedKeep(col("id"), lit(0))).count() == 0)
+  }
+}
