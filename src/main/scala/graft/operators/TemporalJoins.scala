@@ -48,8 +48,11 @@ object TemporalJoins {
       .orderBy(col("_ts").asc, col("_tag").asc, col("_rid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.select(r.columns.map(col): _*).unionByName(r)
-      .withColumn("_m_rid", last(when(col("_tag") === 0, col("_rid")), ignoreNulls = true).over(w))
-      .withColumn("_m_ts", last(when(col("_tag") === 0, col("_ts")), ignoreNulls = true).over(w))
+      // both lasts in ONE select: chained withColumn would plan two Window
+      // nodes (same shuffle, but two passes over the sorted partition)
+      .select(col("*"),
+        last(when(col("_tag") === 0, col("_rid")), ignoreNulls = true).over(w).as("_m_rid"),
+        last(when(col("_tag") === 0, col("_ts")), ignoreNulls = true).over(w).as("_m_ts"))
       .filter(col("_tag") === 1)
       .select(leftCols.map(col) :+
         col("_m_rid").as(s"asof_$rightId") :+ col("_m_ts").as("asof_ts"): _*)
