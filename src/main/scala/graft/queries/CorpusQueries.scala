@@ -56,6 +56,13 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // Sharded-export manifest: the deterministic global shuffle's
+    // per-shard row counts, payload sizes, and order-hash spans.
+    "q58_shard_export" -> ((s, dir) =>
+      graft.operators.ShardedExport.shardStats(
+        Tables.documents(s, dir), "doc_id", "n_chars", 16)
+        .orderBy(col("shard"))),
+
     // Deterministic source mixing: srcN keeps (1 + N % 4) * 25% of its
     // docs by hash threshold — idempotent, retry-stable, and exactly
     // replayable (no RNG).
@@ -102,6 +109,17 @@ object CorpusQueries {
         |            AS BIGINT) AS n_kept
         |FROM documents d JOIN q USING (lang)
         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "q58_shard_export" ->
+      """WITH t AS (
+        |  SELECT CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':shard'),1,15)) AS BIGINT) % 16 AS shard,
+        |         CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':ord'),1,15)) AS BIGINT) % 1000000000 AS ord,
+        |         n_chars
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_size,
+        |       min(ord) AS min_ord, max(ord) AS max_ord
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q57_domain_mix" ->
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_total,
