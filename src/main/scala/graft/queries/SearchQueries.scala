@@ -71,6 +71,23 @@ object SearchQueries {
       val cents = graft.search.KMeans.fit(emb, "vec_id", "embedding", 8, 2)
       IvfAnn.topKWith(emb, "vec_id", "embedding", cents, queryVec(s, dir), 5, nprobe = 2)
         .select(col("vec_id"), col("cluster"), round(col("score"), 6).as("score"))
+    }),
+
+    // int8 max-abs quantization of the vector index (4x memory at 100 TB):
+    // per-vector code sums + saturation counts, exactly replayed by the
+    // oracle (float32 max, float->double promotion, floor(x+0.5) half-up
+    // — `round` differs between engines, floor(x+0.5) doesn't).
+    "q59_vector_quant" -> ((s, dir) => {
+      import graft.functions.VectorQuant
+      Tables.embeddings(s, dir)
+        .withColumn("_scale", VectorQuant.scaleOf(col("embedding")))
+        .withColumn("_q", VectorQuant.quantize(col("embedding"), col("_scale")))
+        .select(
+          col("vec_id"),
+          aggregate(col("_q"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+          size(filter(col("_q"), x => abs(x) === 127)).cast("long").as("n_sat"),
+          round(col("_scale").cast("double"), 6).as("scale"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -231,6 +248,27 @@ object SearchQueries {
         |       round(list_cosine_similarity(v, (SELECT v FROM qv)), 6) AS score
         |FROM a3 JOIN probed USING (cluster)
         |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, vec_id
-        |LIMIT 5""".stripMargin
+        |LIMIT 5""".stripMargin,
+
+    // float32 max-abs scale, float->double promotion, floor(x+0.5): the
+    // exact arithmetic the Spark side performs, step for step.
+    "q59_vector_quant" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_max(list_transform(embedding, x -> abs(x))) AS scale,
+        |         CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0 THEN
+        |           list_transform(embedding, x -> CAST(0 AS INTEGER))
+        |         ELSE
+        |           list_transform(embedding, x ->
+        |             CAST(floor(CAST(x AS DOUBLE)
+        |                        / CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+        |                        * 127.0 + 0.5) AS INTEGER))
+        |         END AS qv
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        |       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+        |       round(CAST(scale AS DOUBLE), 6) AS scale
+        |FROM q ORDER BY vec_id""".stripMargin
   )
 }

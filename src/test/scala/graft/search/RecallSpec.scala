@@ -55,6 +55,29 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantized index: recall@10 >= 0.9 vs the float index") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorQuant
+    withData { (emb, exact) =>
+      // quantize the whole index once (what a stored int8 index would hold)
+      val qIndex = emb
+        .withColumn("_s", VectorQuant.scaleOf(col("embedding")))
+        .withColumn("embedding", VectorQuant.quantizedAsFloat(col("embedding"), col("_s")))
+        .drop("_s").cache()
+      val rs = exact.map { case (q, ex) =>
+        // the query vector is quantized too: symmetric int8-vs-int8 search
+        val scale = q.map(math.abs).max
+        val qq = if (scale == 0) q else q.map(v => math.floor(v / scale * 127.0 + 0.5))
+        val got = KnnSearch.topK(qIndex, "vec_id", "embedding", qq, K)
+          .collect().map(_.getAs[Long]("vec_id")).toSet
+        (got & ex).size.toDouble / ex.size
+      }
+      info(f"int8 recall@10 mean: ${rs.sum / 3}%.3f")
+      assert(rs.sum / 3 >= 0.9, s"int8 mean recall ${rs.sum / 3} under 0.9 floor")
+      qIndex.unpersist()
+    }
+  }
+
   test("LSH: 4-bit buckets hold 0.55; q17 recipe (8-bit) holds its measured 0.2 floor") {
     withData { (emb, exact) =>
       def recalls(nb: Int): Seq[Double] = exact.map { case (q, ex) =>
