@@ -56,6 +56,34 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // WARC crawl ingestion: generate well-formed WARC payloads in the
+    // executors, parse with the real container parser, split the HTTP
+    // response header/body, and report per-record body stats. The oracle
+    // rebuilds every body closed-form and md5s it — agreement requires
+    // the Content-Length-driven record walk and the HTTP split to have
+    // read the exact bytes.
+    "q60_warc_ingest" -> ((s, _) => {
+      import s.implicits._
+      import graft.ingest.WarcParser
+      val files = s.range(16).map { f =>
+        WarcParser.encode((0 until 3).map { r =>
+          val body = s"body $f:$r " * (1 + (f * 3 + r) % 5).toInt
+          WarcParser.WarcRecord("response", s"https://example.com/f$f/r$r",
+            "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body)
+              .getBytes("UTF-8"))
+        })
+      }
+      files.flatMap { bytes =>
+        WarcParser.parse(bytes).flatMap { rec =>
+          WarcParser.httpBody(rec.payload)
+            .map(b => (rec.targetUri, b.length.toLong, new String(b, "UTF-8")))
+        }
+      }.toDF("uri", "body_len", "body")
+        .select(col("uri"), col("body_len"), md5(col("body")).as("body_md5"))
+        .orderBy(col("uri"))
+    }),
+
     // Sharded-export manifest: the deterministic global shuffle's
     // per-shard row counts, payload sizes, and order-hash spans.
     "q58_shard_export" -> ((s, dir) =>
@@ -109,6 +137,16 @@ object CorpusQueries {
         |            AS BIGINT) AS n_kept
         |FROM documents d JOIN q USING (lang)
         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "q60_warc_ingest" ->
+      """WITH g AS (
+        |  SELECT f, r,
+        |         repeat('body ' || f || ':' || r || ' ', 1 + (f * 3 + r) % 5) AS body
+        |  FROM generate_series(0, 15) tf(f), generate_series(0, 2) tr(r))
+        |SELECT 'https://example.com/f' || f || '/r' || r AS uri,
+        |       CAST(length(body) AS BIGINT) AS body_len,
+        |       md5(body) AS body_md5
+        |FROM g ORDER BY uri""".stripMargin,
 
     "q58_shard_export" ->
       """WITH t AS (

@@ -1,0 +1,55 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+import WarcParser.WarcRecord
+
+class WarcSpec extends AnyFunSuite {
+
+  private def rec(uri: String, body: String): WarcRecord =
+    WarcRecord("response", uri, "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response",
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body).getBytes("UTF-8"))
+
+  test("encode -> parse round trip preserves every record and payload byte") {
+    val in = Seq(rec("https://a/1", "hello world"), rec("https://a/2", "x" * 500),
+      WarcRecord("warcinfo", "", "2026-01-01T00:00:00Z", "application/warc-fields",
+        "software: graft\r\n".getBytes("UTF-8")))
+    val out = WarcParser.parse(WarcParser.encode(in))
+    assert(out.length == 3)
+    out.zip(in).foreach { case (o, i) =>
+      assert(o.recordType == i.recordType && o.targetUri == i.targetUri)
+      assert(o.payload.toSeq == i.payload.toSeq)
+    }
+  }
+
+  test("Content-Length governs record boundaries, not delimiter scanning") {
+    // a payload that CONTAINS the record separator and a fake version line:
+    // a delimiter-scanning parser would split here; a length-driven one not
+    val trap = "part1\r\n\r\nWARC/1.0\r\npart2"
+    val in = Seq(rec("https://t/1", trap), rec("https://t/2", "after"))
+    val out = WarcParser.parse(WarcParser.encode(in))
+    assert(out.length == 2)
+    assert(new String(WarcParser.httpBody(out.head.payload).get, "UTF-8") == trap)
+    assert(out(1).targetUri == "https://t/2")
+  }
+
+  test("httpBody splits on the first blank line; none for truncated payloads") {
+    val b = WarcParser.httpBody("HTTP/1.1 200 OK\r\nA: b\r\n\r\nbody".getBytes)
+    assert(new String(b.get) == "body")
+    assert(WarcParser.httpBody("HTTP/1.1 200 OK\r\nno blank line".getBytes).isEmpty)
+  }
+
+  test("malformed input: garbage and truncated records are skipped, not thrown") {
+    assert(WarcParser.parse("not a warc at all".getBytes).isEmpty)
+    assert(WarcParser.parse(Array.empty[Byte]).isEmpty)
+    // valid record followed by a truncated one: the valid one survives
+    val good = WarcParser.encode(Seq(rec("https://g/1", "ok")))
+    val truncated = WarcParser.encode(Seq(rec("https://g/2", "cut off here")))
+      .dropRight(20)
+    val out = WarcParser.parse(good ++ truncated)
+    assert(out.length == 1 && out.head.targetUri == "https://g/1")
+    // header without Content-Length is rejected
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\npayload".getBytes
+    assert(WarcParser.parse(noLen).isEmpty)
+  }
+}
