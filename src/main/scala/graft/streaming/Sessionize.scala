@@ -46,4 +46,22 @@ object Sessionize {
         min(col(tsCol)).as("sess_start"),
         max(col(tsCol)).as("sess_end")
       )
+
+  /** The same gap semantics over an UNBOUNDED stream: Spark's native
+    * `session_window` merges events within `gap` into one growing window
+    * per key, and the watermark both bounds the session state and decides
+    * when a closed session is final (append mode emits a session only
+    * once nothing can extend it). The batch form above answers "what were
+    * the sessions"; this one maintains them live.
+    */
+  def streamingSessions(events: DataFrame, userCol: String, tsCol: String,
+                        gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"))
 }

@@ -169,6 +169,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: gap merge within key, close on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("user", "ts")
+    val out = graft.streaming.Sessionize.streamingSessions(df, "user", "ts",
+      gap = "30 seconds", watermark = "10 seconds")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("ssess").start()
+    try {
+      def t(s: Long) = new java.sql.Timestamp(s * 1000)
+      // u1: two events 20s apart (one session); u2: one event
+      mem.addData(("u1", t(10)), ("u1", t(30)), ("u2", t(15)))
+      q.processAllAvailable()
+      // advance the watermark far past session end + gap -> sessions close
+      mem.addData(("u3", t(1000)))
+      q.processAllAvailable()
+      val rows = spark.table("ssess")
+        .select("user", "sess_start", "sess_end", "n_events").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+          r.getTimestamp(2).getTime / 1000, r.getLong(3))).toSet
+      // session end = last event + gap (session_window semantics)
+      assert(rows == Set(("u1", 10L, 60L, 2L), ("u2", 15L, 45L, 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("watermarked windowed event rate compiles against a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
