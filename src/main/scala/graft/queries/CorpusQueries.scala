@@ -56,6 +56,21 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // Text normalization: NFC canonical composition (native codegen
+    // expression — Spark has no builtin) + structure-preserving
+    // whitespace/control cleanup. The messy input carries a decomposed
+    // accent, a control char, CRLFs, tab/space runs and ragged edges; the
+    // oracle states the exact cleaned string (composed accent via chr),
+    // so agreement proves every rule fired.
+    "q61_text_normalize" -> ((s, dir) => {
+      // explicit escapes: decomposed accent (o + U+0301) and a BEL control
+      val messy = concat(lit("  Wo\u0301rd\u0007\t x"), col("doc_id"),
+        lit("  \r\n\r\n\r\n end  "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.TextNorm.clean(messy).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WARC crawl ingestion: generate well-formed WARC payloads in the
     // executors, parse with the real container parser, split the HTTP
     // response header/body, and report per-record body stats. The oracle
@@ -137,6 +152,12 @@ object CorpusQueries {
         |            AS BIGINT) AS n_kept
         |FROM documents d JOIN q USING (lang)
         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    // chr(243) = composed ó — the NFC image of o + U+0301
+    "q61_text_normalize" ->
+      """SELECT doc_id,
+        |       'W' || chr(243) || 'rd x' || doc_id || chr(10) || chr(10) || 'end' AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q60_warc_ingest" ->
       """WITH g AS (

@@ -39,5 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3, "sorted_intersect_at_least takes exactly 3 arguments")
         SortedIntersectAtLeast(children.head, children(1), children(2))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(children.head)
+      }))
   }
 }

@@ -77,6 +77,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == 2)
   }
 
+  test("nfc_normalize: SQL function, interpreted == codegen, composes accents") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftx.NfcNormalize
+    // decomposed e + U+0301 composes to a single code point (the combining
+    // accent is embedded via Scala escape — Spark SQL's char() is ASCII-only)
+    val composed = spark.sql("SELECT nfc_normalize('é') AS n")
+      .head().getString(0)
+    assert(composed == "é") // é, single code point
+    assert(composed.codePoints().toArray.length == 1)
+    // interpreted matches codegen
+    val expr = NfcNormalize(Literal.create("Wórd already-é"))
+    assert(expr.eval(null).toString == "Wórd already-é")
+    // idempotent on already-composed text
+    val again = spark.sql("SELECT nfc_normalize('café') AS n").head().getString(0)
+    assert(again == "café")
+  }
+
   test("bm25 model persistence: fitAndSave then searchWithModel on a stale corpus") {
     import spark.implicits._
     val store = Files.createTempDirectory("graft_bm25").toString

@@ -84,4 +84,29 @@ class PropertySpec extends AnyFunSuite {
       assert(Ids.relationChunkId(a, "calls", b) != Ids.relationChunkId(b, "calls", a))
     }
   }
+
+  test("warc: encode -> parse round-trips arbitrary binary payloads") {
+    import graft.ingest.WarcParser
+    import graft.ingest.WarcParser.WarcRecord
+    // payloads include record separators, version strings, empty bytes —
+    // Content-Length framing must survive all of them
+    val payload = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      Gen.const("\r\n\r\nWARC/1.0\r\n".getBytes("US-ASCII")),
+      Gen.const(Array.empty[Byte]))
+    val record = for {
+      p <- payload
+      t <- Gen.oneOf("response", "request", "metadata", "warcinfo")
+      u <- Gen.identifier
+    } yield WarcRecord(t, s"https://x/$u", "2026-01-01T00:00:00Z", "text/plain", p)
+    val batch = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, record))
+    forSamples(batch, 60) { recs =>
+      val out = WarcParser.parse(WarcParser.encode(recs))
+      assert(out.length == recs.length)
+      out.zip(recs).foreach { case (o, i) =>
+        assert(o.recordType == i.recordType && o.targetUri == i.targetUri)
+        assert(o.payload.toSeq == i.payload.toSeq)
+      }
+    }
+  }
 }

@@ -41,6 +41,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out("b") == ((10L, 10L, 40L))) // idx 0, idx ceil(2)-1=1, idx ceil(3.8)-1=3
   }
 
+  test("text normalization: NFC + control strip + whitespace collapse") {
+    // decomposed accent (o + U+0301) and a BEL control in the input
+    val messy = "  Wo\u0301rd\u0007\t two  \r\n\r\n\r\n\r\n last  "
+    val out = Seq(messy).toDF("t").select(TextNorm.clean(col("t"))).as[String].head()
+    assert(out == "W\u00f3rd two\n\nlast") // composed single-codepoint accent
+    // structure preserved: single newlines and paragraph breaks survive
+    val kept = Seq("a\nb\n\nc").toDF("t")
+      .select(TextNorm.cleanWhitespace(col("t"))).as[String].head()
+    assert(kept == "a\nb\n\nc")
+    // idempotent: cleaning clean text changes nothing
+    val twice = Seq(out).toDF("t").select(TextNorm.clean(col("t"))).as[String].head()
+    assert(twice == out)
+  }
+
   test("weighted keep is deterministic and tracks the target fraction") {
     val df = (0L until 4000L).toDF("id")
     val kept = df.filter(Splits.weightedKeep(col("id"), lit(2500))).count()
