@@ -144,32 +144,22 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
   }
 
   /** Multi-hop neighborhood (the read_graph "dependencies" scope as real
-    * BFS): iterative frontier expansion over the relation partition.
-    * Frontier names resolve driver-side per level (neighborhoods are small
-    * by construction); the edge table itself never leaves the cluster.
-    * Returns (entityName, depth) for every node within `maxDepth` hops.
+    * BFS), delegated to the distributed frontier walk
+    * ([[graft.operators.GraphOps.bfs]]): each level is a semi-join +
+    * anti-join, the frontier never leaves the cluster (no driver collect —
+    * a hub entity with a huge neighborhood costs a shuffle, not a driver
+    * OOM). Relations walk both directions. Returns (entityName, depth)
+    * for every node within `maxDepth` hops.
     */
   def readGraphBfs(entity: String, maxDepth: Int = 2): DataFrame = {
     import spark.implicits._
     val edges = chunks.filter(col("chunkType") === "relation")
-      .select(col("entityName").as("src"), col("relationTarget").as("dst")).cache()
-    var visited = Map(entity -> 0)
-    var frontier = Set(entity)
-    var d = 0
-    while (frontier.nonEmpty && d < maxDepth) {
-      d += 1
-      // frontier ships as a broadcast join input, not an `isin` literal
-      // list: one hub entity (a util imported everywhere) would otherwise
-      // inflate the plan string / codegen with thousands of literals
-      val frontierDf = broadcast(frontier.toSeq.toDF("name"))
-      val next = edges.join(frontierDf, col("src") === col("name"), "left_semi").select(col("dst"))
-        .union(edges.join(frontierDf, col("dst") === col("name"), "left_semi").select(col("src")))
-        .distinct().as[String].collect().toSet -- visited.keySet
-      next.foreach(n => visited += n -> d)
-      frontier = next
-    }
-    edges.unpersist()
-    visited.toSeq.toDF("entityName", "depth").orderBy("depth", "entityName")
+      .select(col("entityName").as("src"), col("relationTarget").as("dst"))
+    val undirected = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.GraphOps.bfs(undirected, "src", "dst", Seq(entity).toDF("node"), maxDepth)
+      .select(col("node").as("entityName"), col("depth").cast("int").as("depth"))
+      .orderBy("depth", "entityName")
   }
 
   /** Implementation fetch (reference MCP get_implementation): `minimal` =

@@ -56,6 +56,23 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // Distributed BFS over the region->nation->customer edge set, seeded
+    // at region 0: depth labels from iterative frontier semi-joins (no
+    // driver-side frontier), replayed by a recursive-CTE oracle.
+    "q62_graph_bfs" -> ((s, dir) => {
+      import s.implicits._
+      val e1 = Tables.nation(s, dir).select(
+        concat(lit("r"), col("n_regionkey")).as("src"),
+        concat(lit("n"), col("n_nationkey")).as("dst"))
+      val e2 = Tables.customer(s, dir).select(
+        concat(lit("n"), col("c_nationkey")).as("src"),
+        concat(lit("c"), col("c_custkey")).as("dst"))
+      graft.operators.GraphOps.bfs(e1.unionByName(e2), "src", "dst",
+        Seq("r0").toDF("node"), maxDepth = 2)
+        .select(col("node"), col("depth"))
+        .orderBy(col("node"))
+    }),
+
     // Text normalization: NFC canonical composition (native codegen
     // expression — Spark has no builtin) + structure-preserving
     // whitespace/control cleanup. The messy input carries a decomposed
@@ -152,6 +169,19 @@ object CorpusQueries {
         |            AS BIGINT) AS n_kept
         |FROM documents d JOIN q USING (lang)
         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "q62_graph_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'r' || n_regionkey AS src, 'n' || n_nationkey AS dst FROM nation
+        |  UNION ALL
+        |  SELECT 'n' || c_nationkey, 'c' || c_custkey FROM customer
+        |), b AS (
+        |  SELECT 'r0' AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst, b.depth + 1 FROM b JOIN e ON e.src = b.node WHERE b.depth < 2
+        |)
+        |SELECT node, CAST(min(depth) AS BIGINT) AS depth
+        |FROM b GROUP BY node ORDER BY node""".stripMargin,
 
     // chr(243) = composed ó — the NFC image of o + U+0301
     "q61_text_normalize" ->
