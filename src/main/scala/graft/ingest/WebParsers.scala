@@ -315,8 +315,16 @@ object HtmlParser {
   * definitions, @import relations.
   */
 object CssParser {
-  private val ClassRe = """(?m)^\s*\.([A-Za-z_][\w-]*)""".r
-  private val IdRe = """(?m)^\s*#([A-Za-z_][\w-]*)""".r
+  // class/id tokens are matched inside SELECTOR text only (the spans
+  // immediately preceding '{', comments stripped) — matching the whole
+  // file would hit hex colors (`#fff`) in declarations, and the previous
+  // line-start anchor missed compound selectors (`div.btn:hover`,
+  // `.a.b`) and rules nested in @media. Reference extracts per selector
+  // node (css_parser.py:98-172); the lookahead split is the structural
+  // equivalent.
+  private val SelectorSpanRe = """[^{}]+(?=\{)""".r
+  private val ClassRe = """\.([A-Za-z_][\w-]*)""".r
+  private val IdRe = """#([A-Za-z_][\w-]*)""".r
   private val VarRe = """--([\w-]+)\s*:""".r
   private val ImportRe = """@import\s+(?:url\()?["']?([^"')]+)""".r
 
@@ -326,11 +334,13 @@ object CssParser {
     val lines = content.split("\n", -1)
     entities += Entity(relPath, "file", relPath, 1, lines.length,
       Seq(s"CSS file with ${lines.length} lines"), "", "")
-    ClassRe.findAllMatchIn(content).map(_.group(1)).toSeq.distinct.take(200).foreach { c =>
+    val noComments = content.replaceAll("""(?s)/\*.*?\*/""", "")
+    val selectorText = SelectorSpanRe.findAllIn(noComments).mkString("\n")
+    ClassRe.findAllMatchIn(selectorText).map(_.group(1)).toSeq.distinct.take(200).foreach { c =>
       entities += Entity(s".$c", "variable", relPath, 1, 1, Seq(s"css class: .$c"), "", "")
       relations += Relation(relPath, s".$c", "contains", "", "", 1.0)
     }
-    IdRe.findAllMatchIn(content).map(_.group(1)).toSeq.distinct.take(200).foreach { c =>
+    IdRe.findAllMatchIn(selectorText).map(_.group(1)).toSeq.distinct.take(200).foreach { c =>
       entities += Entity(s"#$c", "variable", relPath, 1, 1, Seq(s"css id: #$c"), "", "")
       relations += Relation(relPath, s"#$c", "contains", "", "", 1.0)
     }

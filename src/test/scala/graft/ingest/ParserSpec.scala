@@ -276,6 +276,30 @@ class ParserSpec extends AnyFunSuite {
     assert(rels.contains(("uses", ".btn")))
   }
 
+  test("css: compound selectors, @media nesting, no hex-color false ids") {
+    val css =
+      """/* .commented { } */
+        |div.btn:hover, .card .title { color: #fff; background: #a1b2c3; }
+        |@media (max-width: 600px) {
+        |  .responsive-nav { display: none; }
+        |  #mobile-menu { display: block; }
+        |}
+        |:root { --brand-color: #123456; }
+        |@import url("theme.css");
+        |""".stripMargin
+    val r = CssParser.parse("site.css", css)
+    val names = r.entities.map(_.name).toSet
+    assert(names.contains(".btn")) // compound selector, not line-start
+    assert(names.contains(".card") && names.contains(".title"))
+    assert(names.contains(".responsive-nav")) // inside @media
+    assert(names.contains("#mobile-menu"))
+    assert(names.contains("--brand-color"))
+    assert(!names.contains("#fff") && !names.contains("#a1b2c3") &&
+      !names.contains("#123456")) // declaration colors are not ids
+    assert(!names.contains(".commented")) // comments stripped
+    assert(r.relations.exists(x => x.relationType == "imports" && x.toEntity == "theme.css"))
+  }
+
   test("python: pandas/pathlib/requests/config/xml file-op families (typed names)") {
     // mirrors reference tests/unit/test_python_file_operations.py expectations
     val src =
