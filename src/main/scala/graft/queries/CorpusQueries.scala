@@ -88,6 +88,36 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // WebDataset shard ingestion: generate ustar training shards (one
+    // .txt + one .cls member per sample, under a directory prefix), parse
+    // with the real tar parser, group members into samples by basename
+    // key, and report per-sample stats the oracle rebuilds closed-form.
+    "q63_webdataset" -> ((s, _) => {
+      import s.implicits._
+      import graft.ingest.TarWebDataset
+      val shards = s.range(8).map { sh =>
+        val entries = (0 until 4).flatMap { k =>
+          val txt = s"sample $sh:$k text " * (1 + (sh + k) % 3).toInt
+          Seq(
+            TarWebDataset.TarEntry(f"d$sh/$k%04d.txt", txt.getBytes("UTF-8")),
+            TarWebDataset.TarEntry(f"d$sh/$k%04d.cls",
+              ((sh * k) % 10).toString.getBytes("UTF-8")))
+        }
+        (sh, TarWebDataset.encodeTar(entries))
+      }
+      shards.flatMap { case (sh, tar) =>
+        TarWebDataset.groupSamples(TarWebDataset.parseTar(tar)).map { sample =>
+          (sh, sample.key,
+            sample.parts("txt").length.toLong,
+            new String(sample.parts("txt"), "UTF-8"),
+            new String(sample.parts("cls"), "UTF-8").toLong)
+        }
+      }.toDF("shard", "key", "txt_len", "txt", "cls")
+        .select(col("shard"), col("key"), col("txt_len"),
+          md5(col("txt")).as("txt_md5"), col("cls"))
+        .orderBy(col("shard"), col("key"))
+    }),
+
     // WARC crawl ingestion: generate well-formed WARC payloads in the
     // executors, parse with the real container parser, split the HTTP
     // response header/body, and report per-record body stats. The oracle
@@ -188,6 +218,16 @@ object CorpusQueries {
       """SELECT doc_id,
         |       'W' || chr(243) || 'rd x' || doc_id || chr(10) || chr(10) || 'end' AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q63_webdataset" ->
+      """WITH g AS (
+        |  SELECT sh, k,
+        |         repeat('sample ' || sh || ':' || k || ' text ', 1 + (sh + k) % 3) AS txt
+        |  FROM generate_series(0, 7) ts(sh), generate_series(0, 3) tk(k))
+        |SELECT CAST(sh AS BIGINT) AS shard, lpad(CAST(k AS VARCHAR), 4, '0') AS key,
+        |       CAST(length(txt) AS BIGINT) AS txt_len, md5(txt) AS txt_md5,
+        |       CAST((sh * k) % 10 AS BIGINT) AS cls
+        |FROM g ORDER BY shard, key""".stripMargin,
 
     "q60_warc_ingest" ->
       """WITH g AS (
