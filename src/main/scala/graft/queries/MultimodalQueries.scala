@@ -79,6 +79,42 @@ object MultimodalQueries {
   }
 
   def defs: Map[String, Q] = Map(
+    // END-TO-END multimodal ingestion: WebDataset tar shards carrying
+    // real PNGs + captions -> tar parse -> sample grouping -> REAL
+    // ImageIO decode -> per-sample channel sums. Composes q63's container
+    // layer with q51's codec layer; the oracle is q51's closed form keyed
+    // through the shard layout (image i = shard*8 + sample).
+    "q64_wds_decode" -> ((s, _) => {
+      import s.implicits._
+      import graft.ingest.TarWebDataset
+      val shards = s.range(NumImages / 8).map { sh =>
+        val entries = (0 until 8).flatMap { k =>
+          val img = syntheticImage(sh * 8 + k)
+          Seq(
+            TarWebDataset.TarEntry(f"$k%04d.png", img.bytes),
+            TarWebDataset.TarEntry(f"$k%04d.txt",
+              s"caption ${sh * 8 + k}".getBytes("UTF-8")))
+        }
+        (sh, TarWebDataset.encodeTar(entries))
+      }
+      val media = shards.flatMap { case (sh, tar) =>
+        TarWebDataset.groupSamples(TarWebDataset.parseTar(tar)).map { sample =>
+          Multimodal.MediaRow(sh * 8 + sample.key.toLong, "image",
+            sample.parts("png"), Map("caption" -> new String(sample.parts("txt"), "UTF-8")))
+        }
+      }
+      Multimodal.extractFeatures(media, 8).toDF()
+        .filter(col("decoded"))
+        .select(
+          col("mediaId").cast("long").as("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sumR").as("sum_r"),
+          col("sumG").as("sum_g"),
+          col("sumB").as("sum_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // Real Y4M container parse + frame sampling + real ImageIO decode of
     // the sampled frames: each video yields FramesSampled grayscale PNGs
     // whose luma sum the oracle recomputes from the generator formula (and
@@ -137,6 +173,27 @@ object MultimodalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // q51's closed form: the tar/grouping layer must hand the codec the
+    // exact PNG bytes for these sums to come out right.
+    "q64_wds_decode" ->
+      s"""WITH dims AS (
+         |  SELECT i, 8 + (i % 24) AS w, 8 + ((i * 3) % 24) AS h,
+         |         (i * 5) % 256 AS cr, (i * 11) % 256 AS cg, (i * 17) % 256 AS cb
+         |  FROM generate_series(0, ${NumImages - 1}) t(i)
+         |), ramp AS (
+         |  SELECT i, w, h, cr, cg, cb,
+         |         h * list_sum(list_transform(generate_series(0, w - 1),
+         |                                     x -> (x * 255) // (w - 1))) AS grad_r
+         |  FROM dims
+         |)
+         |SELECT CAST(i AS BIGINT) AS media_id,
+         |       CAST(w AS BIGINT) AS width,
+         |       CAST(h AS BIGINT) AS height,
+         |       CAST(CASE WHEN i % 2 = 0 THEN w * h * cr ELSE grad_r END AS BIGINT) AS sum_r,
+         |       CAST(CASE WHEN i % 2 = 0 THEN w * h * cg ELSE w * h * 255 - grad_r END AS BIGINT) AS sum_g,
+         |       CAST(w * h * cb AS BIGINT) AS sum_b
+         |FROM ramp ORDER BY media_id""".stripMargin,
+
     // Closed-form replay of the luma generator over each sampled frame:
     // frame index fi = (j*nf)//4, pixel (x,y) = (v*31+fi*17+3x+5y) mod 256.
     "q54_video_frames" ->
