@@ -56,6 +56,22 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // Tokenizer-training corpus statistics: adjacent character-pair
+    // counts within words (the counting step of a BPE vocab fit). Map +
+    // double explode + partial-agg count + TakeOrdered top-k — the
+    // canonical shape for corpus statistics at any scale.
+    "q65_bpe_pairs" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+      words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(30)
+    }),
+
     // Distributed BFS over the region->nation->customer edge set, seeded
     // at region 0: depth labels from iterative frontier semi-joins (no
     // driver-side frontier), replayed by a recursive-CTE oracle.
@@ -199,6 +215,19 @@ object CorpusQueries {
         |            AS BIGINT) AS n_kept
         |FROM documents d JOIN q USING (lang)
         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "q65_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            t -> len(t) > 1)) AS w
+        |  FROM documents
+        |), p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |                               i -> w[i:i+1])) AS pair
+        |  FROM w)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
 
     "q62_graph_bfs" ->
       """WITH RECURSIVE e AS (
