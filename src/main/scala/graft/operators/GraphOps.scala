@@ -21,6 +21,40 @@ object GraphOps {
     * convergence probe. For an undirected walk, pass `edges` unioned with
     * its own reversal.
     */
+  /** Fixed-iteration PageRank over a (src, dst) edge set:
+    * `rank(v) = (1-d) + d * Σ_{u→v} rank(u)/outdeg(u)` (dangling mass
+    * dropped — nodes with no out-edges contribute nothing, matching the
+    * classic formulation the oracle replays).
+    *
+    * Shape: the edge set is joined ONCE with out-degrees and checkpointed —
+    * every iteration then costs exactly one equi-join (ranks × edges on
+    * src, both hash-partitioned on the join key) and one partial-agg
+    * groupBy(dst). At cluster scale the edge table dominates; pre-bucketing
+    * it by src makes the per-iteration join shuffle-free on the big side,
+    * and ranks (one row per node) is the small side. `localCheckpoint`
+    * per iteration truncates the otherwise exponentially deep lineage.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")).distinct()
+    val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    val ed = e.join(deg, "_src").localCheckpoint()
+    val nodes = e.select(col("_src").as("node"))
+      .unionByName(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contribs = ed
+        .join(ranks.withColumnRenamed("node", "_src"), Seq("_src"))
+        .groupBy(col("_dst").as("node"))
+        .agg(sum(col("rank") / col("_deg")).as("_in"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("_in"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   def bfs(edges: DataFrame, srcCol: String, dstCol: String,
           seeds: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))

@@ -72,6 +72,39 @@ object CorpusQueries {
         .limit(30)
     }),
 
+    // Multi-granularity corpus stats in ONE pass: rollup(source, lang)
+    // computes (source, lang), (source) and grand-total groups with a
+    // single shuffle (Spark expands grouping sets map-side), where the
+    // naive three-queries-and-union shape would scan the corpus three
+    // times. The null-filled super-aggregate rows are named 'ALL'.
+    "q66_rollup_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("first_doc"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("chars"), col("first_doc"))
+        .orderBy(col("source"), col("lang"))),
+
+    // Fixed-iteration PageRank over a cyclic synthetic follow-graph
+    // derived from event users (two hash-successor edges per node, ~50
+    // nodes at any sf). 3 iterations, d=0.85; the oracle unrolls the
+    // same recurrence closed-form. Rounded to 6dp — both engines sum
+    // IEEE doubles over small in-neighbor sets.
+    "q67_pagerank" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val e1 = ev.select((col("user_id") % 50).as("src"),
+        ((col("user_id") * 7 + 3) % 50).as("dst"))
+      val e2 = ev.select((col("user_id") % 50).as("src"),
+        ((col("user_id") * 13 + 11) % 50).as("dst"))
+      graft.operators.GraphOps.pageRank(
+        e1.unionByName(e2).distinct(), "src", "dst", iterations = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    }),
+
     // Distributed BFS over the region->nation->customer edge set, seeded
     // at region 0: depth labels from iterative frontier semi-joins (no
     // driver-side frontier), replayed by a recursive-CTE oracle.
@@ -228,6 +261,36 @@ object CorpusQueries {
         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
+    "q66_rollup_stats" ->
+      """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY source, lang""".stripMargin,
+
+    "q67_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id % 50 AS src, (user_id * 7 + 3) % 50 AS dst FROM events
+        |  UNION
+        |  SELECT DISTINCT user_id % 50, (user_id * 13 + 11) % 50 FROM events
+        |), deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |p0 AS (SELECT node, 1.0 AS r FROM n),
+        |c1 AS (SELECT e.dst AS node, sum(p0.r / deg.d) AS s
+        |       FROM e JOIN deg USING (src) JOIN p0 ON p0.node = e.src GROUP BY e.dst),
+        |p1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c1.s, 0) AS r
+        |       FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum(p1.r / deg.d) AS s
+        |       FROM e JOIN deg USING (src) JOIN p1 ON p1.node = e.src GROUP BY e.dst),
+        |p2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c2.s, 0) AS r
+        |       FROM n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum(p2.r / deg.d) AS s
+        |       FROM e JOIN deg USING (src) JOIN p2 ON p2.node = e.src GROUP BY e.dst),
+        |p3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c3.s, 0) AS r
+        |       FROM n LEFT JOIN c3 USING (node))
+        |SELECT node, round(r, 6) AS rank FROM p3 ORDER BY node""".stripMargin,
 
     "q62_graph_bfs" ->
       """WITH RECURSIVE e AS (

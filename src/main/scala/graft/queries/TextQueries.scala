@@ -56,6 +56,28 @@ object TextQueries {
         .select(col("doc_id"), TextOps.fingerprint("text").as("fp")))
     ,
 
+    // Unigram-LM document quality score (the CCNet-style OOD filter): fit
+    // corpus unigram frequencies, score each doc by its mean token
+    // log-probability, surface the 20 most out-of-distribution docs.
+    // Shape: one token explode + count shuffle fits the "model"; scoring
+    // is a token->unigram equi-join (at 100 TB the unigram table is far
+    // smaller than the corpus — broadcast it) + per-doc partial avg. The
+    // corpus total rides along as a broadcast single-row cross join, never
+    // a driver collect.
+    "q68_lm_quality" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val tot = uni.agg(sum(col("cnt")).as("n_corpus"))
+      toks.join(broadcast(uni), Seq("w"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log(col("cnt") / col("n_corpus"))), 6).as("lm_score"),
+          count(lit(1)).as("n_tok"))
+        .orderBy(col("lm_score"), col("doc_id"))
+        .limit(20)
+    }),
+
     // PII/URL detection + redaction (graft.functions.PiiScrub). The corpus
     // has no natural contact strings, so the gate derives one per customer
     // row IN-QUERY (identically in both engines) and then verifies the
@@ -158,6 +180,19 @@ object TextQueries {
          |                     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647)),
          |    (acc, h) -> (acc * 31 + h) % ${TextOps.FpMod}) AS fp
          |FROM documents""".stripMargin,
+
+    "q68_lm_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            x -> len(x) > 1)) AS w
+        |  FROM documents
+        |), u AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+        |tot AS (SELECT sum(cnt) AS n_corpus FROM u)
+        |SELECT doc_id, round(avg(ln(cnt * 1.0 / n_corpus)), 6) AS lm_score,
+        |       CAST(count(*) AS BIGINT) AS n_tok
+        |FROM t JOIN u USING (w), tot
+        |GROUP BY doc_id ORDER BY lm_score, doc_id LIMIT 20""".stripMargin,
 
     "q49_pii_scrub" ->
       """WITH c AS (

@@ -55,6 +55,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(twice == out)
   }
 
+  test("rollup stats: one pass yields leaf, per-source and grand-total rows") {
+    val docs = Seq(("s0", "en", 10L), ("s0", "en", 20L), ("s0", "de", 5L), ("s1", "en", 7L))
+      .toDF("source", "lang", "n_chars")
+    val out = docs.rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"), col("n"), col("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("s0", "en")) == (2L, 30L))
+    assert(out(("s0", "ALL")) == (3L, 35L))
+    assert(out(("s1", "ALL")) == (1L, 7L))
+    assert(out(("ALL", "ALL")) == (4L, 42L))
+  }
+
+  test("bpe pair counts: adjacent two-char windows inside tokens only") {
+    val df = Seq("ab abc!xy").toDF("text")
+    val pairs = df
+      .select(explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tokens: "ab", "abc", "xy" (len>1); pairs: ab(×2), bc, xy — never b↔x across the '!'
+    assert(pairs == Map("ab" -> 2L, "bc" -> 1L, "xy" -> 1L))
+  }
+
   test("weighted keep is deterministic and tracks the target fraction") {
     val df = (0L until 4000L).toDF("id")
     val kept = df.filter(Splits.weightedKeep(col("id"), lit(2500))).count()

@@ -34,6 +34,25 @@ class TextOpsSpec extends SparkSpec {
     assert(one(TextOps.langGuess(col("text")), "xyzzy plugh").getString(0) == "unknown")
   }
 
+  test("unigram LM score: rarer tokens score lower; hand-computed mean logprob") {
+    // corpus: doc1 = "aa aa bb", doc2 = "aa zz"
+    // unigrams: aa=3, bb=1, zz=1, total=5
+    val docs = Seq((1L, "aa aa bb"), (2L, "aa zz")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = uni.agg(sum(col("cnt")).as("n"))
+    val out = toks.join(uni, Seq("w")).crossJoin(tot)
+      .groupBy(col("doc_id"))
+      .agg(avg(log(col("cnt") / col("n"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d1 = (2 * math.log(3.0 / 5) + math.log(1.0 / 5)) / 3
+    val d2 = (math.log(3.0 / 5) + math.log(1.0 / 5)) / 2
+    assert(math.abs(out(1L) - d1) < 1e-12)
+    assert(math.abs(out(2L) - d2) < 1e-12)
+    assert(out(2L) < out(1L)) // the zz-heavy doc is more OOD
+  }
+
   test("fingerprint: order-sensitive, deterministic, stable") {
     val fp1 = one(TextOps.fingerprint("text"), "alpha beta gamma").getLong(0)
     val fp2 = one(TextOps.fingerprint("text"), "gamma beta alpha").getLong(0)

@@ -14,6 +14,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L)) // no e, no z
   }
 
+  test("pageRank: hand-computed 3-node ranks; sink gets no out-contribution") {
+    // a -> b, a -> c, b -> c  (c is a sink: contributes nothing back)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val out = GraphOps.pageRank(edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // iter1: a=0.15, b=0.15+0.85*(1/2)=0.575, c=0.15+0.85*(1/2+1)=1.425
+    // iter2: a=0.15, b=0.15+0.85*(0.15/2)=0.21375,
+    //        c=0.15+0.85*(0.15/2 + 0.575) = 0.7025
+    assert(math.abs(out("a") - 0.15) < 1e-12)
+    assert(math.abs(out("b") - 0.21375) < 1e-12)
+    assert(math.abs(out("c") - 0.7025) < 1e-12)
+  }
+
+  test("pageRank: a symmetric cycle stays uniform at rank 1.0") {
+    val cycle = Seq(("x", "y"), ("y", "z"), ("z", "x")).toDF("src", "dst")
+    val out = GraphOps.pageRank(cycle, "src", "dst", iterations = 5)
+      .collect().map(r => r.getDouble(1))
+    assert(out.length == 3 && out.forall(r => math.abs(r - 1.0) < 1e-12))
+  }
+
   test("bfs: multi-source takes the minimum depth; maxDepth bounds the walk") {
     val chain = Seq(("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n5", "n3"))
       .toDF("src", "dst")
