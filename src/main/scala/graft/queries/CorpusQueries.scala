@@ -72,6 +72,45 @@ object CorpusQueries {
         .limit(30)
     }),
 
+    // Compaction planner over a file manifest: pack files into ~64KB bins
+    // per source via a running-sum window (bin = floor(bytes-before/target)).
+    // The window partitions by source — parallelism = #sources, which is
+    // the right shape because compaction plans over FILE METADATA (a
+    // manifest ~6 orders of magnitude smaller than the data); the data
+    // movement it plans is executed by the engine afterwards, per bin.
+    "q69_compaction_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("_before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("_before") / lit(65536)))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_chars")).as("bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // Key-skew diagnostic: per-key share of total plus a skew factor
+    // (share × #keys — 1.0 means perfectly uniform), top-20 heaviest.
+    // One partial-agg shuffle + a broadcast single-row total; the report
+    // that decides WHERE salting (q33) is worth applying.
+    "q70_skew_report" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("n_total"),
+        count(lit(1)).as("n_keys"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("cnt"),
+          round(col("cnt") / col("n_total"), 6).as("share"),
+          round(col("cnt") * col("n_keys") / col("n_total"), 4).as("skew_factor"))
+        .orderBy(col("cnt").desc, col("event_type"))
+        .limit(20)
+    }),
+
     // Multi-granularity corpus stats in ONE pass: rollup(source, lang)
     // computes (source, lang), (source) and grand-total groups with a
     // single shuffle (Spark expands grouping sets map-side), where the
@@ -261,6 +300,27 @@ object CorpusQueries {
         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
+    "q69_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT source, doc_id, n_chars,
+        |         coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM documents)
+        |SELECT source, CAST(floor(before / 65536) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |       CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM f GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "q70_skew_report" ->
+      """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+        |t AS (SELECT sum(cnt) AS n_total, count(*) AS n_keys FROM c)
+        |SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
+        |       round(cnt / n_total, 6) AS share,
+        |       round(cnt * n_keys / n_total, 4) AS skew_factor
+        |FROM c, t ORDER BY cnt DESC, event_type LIMIT 20""".stripMargin,
 
     "q66_rollup_stats" ->
       """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,

@@ -81,6 +81,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pairs == Map("ab" -> 2L, "bc" -> 1L, "xy" -> 1L))
   }
 
+  test("compaction bins: running-sum-before packing, per-partition restart") {
+    import org.apache.spark.sql.expressions.Window
+    val files = Seq(("a", 1L, 60L), ("a", 2L, 50L), ("a", 3L, 10L), ("b", 4L, 250L))
+      .toDF("source", "doc_id", "n_chars")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bins = files
+      .withColumn("bin", floor(coalesce(sum(col("n_chars")).over(w), lit(0L)) / lit(100)))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // source a, target 100: before = 0, 60, 110 -> bins 0, 0, 1; b restarts at 0
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("weighted keep is deterministic and tracks the target fraction") {
     val df = (0L until 4000L).toDF("id")
     val kept = df.filter(Splits.weightedKeep(col("id"), lit(2500))).count()
