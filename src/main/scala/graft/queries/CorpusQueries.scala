@@ -72,6 +72,48 @@ object CorpusQueries {
         .limit(30)
     }),
 
+    // Temperature-weighted source mixing (the multilingual-corpus sampling
+    // rule): w_s ∝ n_s^0.7, targets for a 10k-doc budget, effective epochs
+    // per source. One partial-agg shuffle + a broadcast single-row
+    // normalizer — the planning half of q57's deterministic sampler.
+    "q71_temperature_mix" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val z = counts.agg(sum(pow(col("n_docs"), 0.7)).as("z"))
+      counts.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"),
+          round(pow(col("n_docs"), 0.7) / col("z"), 6).as("weight"),
+          floor(pow(col("n_docs"), 0.7) / col("z") * 10000).as("target_docs"),
+          round(pow(col("n_docs"), 0.7) / col("z") * 10000 / col("n_docs"), 4)
+            .as("epochs"))
+        .orderBy(col("source"))
+    }),
+
+    // Hard-negative mining for contrastive retrieval training: for each
+    // probe vector, the top-3 similar-but-not-near-dup neighbors
+    // (cos < 0.95 excludes self + near-dups). Probes broadcast against the
+    // corpus scan — one pass, no shuffle of the big side; the per-probe
+    // top-k runs through Spark's WindowGroupLimit pushdown so each
+    // partition keeps only 3 rows per probe before the final exchange.
+    "q72_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos",
+          org.apache.spark.sql.graftx.CosineSimilarity.asColumn(col("embedding"), col("pv")))
+        .filter(col("cos") < 0.95)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("probe_id"), col("vec_id").as("neg_id"),
+          round(col("cos"), 6).as("cos"), col("rk").cast("long").as("rk"))
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // Compaction planner over a file manifest: pack files into ~64KB bins
     // per source via a running-sum window (bin = floor(bytes-before/target)).
     // The window partitions by source — parallelism = #sources, which is
@@ -300,6 +342,27 @@ object CorpusQueries {
         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
+    "q71_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |z AS (SELECT sum(power(n_docs, 0.7)) AS z FROM c)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |       round(power(n_docs, 0.7) / z, 6) AS weight,
+        |       CAST(floor(power(n_docs, 0.7) / z * 10000) AS BIGINT) AS target_docs,
+        |       round(power(n_docs, 0.7) / z * 10000 / n_docs, 4) AS epochs
+        |FROM c, z ORDER BY source""".stripMargin,
+
+    "q72_hard_negatives" ->
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT p.probe_id, e.vec_id,
+        |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv) AS c
+        |      FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+        |r AS (SELECT probe_id, vec_id, c,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rk
+        |      FROM s WHERE c < 0.95)
+        |SELECT probe_id, vec_id AS neg_id, round(c, 6) AS cos, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin,
 
     "q69_compaction_plan" ->
       """WITH f AS (
