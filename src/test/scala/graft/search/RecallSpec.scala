@@ -78,6 +78,34 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: below the ceiling, ranked, and never the probe itself") {
+    withData { (emb, _) =>
+      import org.apache.spark.sql.functions._
+      val ceiling = 0.95
+      val probes = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      val negs = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos",
+          org.apache.spark.sql.graftx.CosineSimilarity.asColumn(col("embedding"), col("pv")))
+        .filter(col("cos") < ceiling)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .collect()
+      assert(negs.length == 9) // 3 probes × 3 negatives
+      negs.foreach { r =>
+        assert(r.getAs[Long]("vec_id") != r.getAs[Long]("probe_id"))
+        assert(r.getAs[Double]("cos") < ceiling)
+      }
+      // within a probe, ranks follow descending cosine
+      negs.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rs) =>
+        val byRank = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+        assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      }
+    }
+  }
+
   test("LSH: 4-bit buckets hold 0.55; q17 recipe (8-bit) holds its measured 0.2 floor") {
     withData { (emb, exact) =>
       def recalls(nb: Int): Seq[Double] = exact.map { case (q, ex) =>
