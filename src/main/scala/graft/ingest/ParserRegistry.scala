@@ -25,12 +25,14 @@ object ParserRegistry {
     "ts" -> JsParser.parse,
     "tsx" -> JsParser.parse,
     "mjs" -> JsParser.parse,
+    "cjs" -> JsParser.parse,
     "html" -> HtmlParser.parse,
     "htm" -> HtmlParser.parse,
     "css" -> CssParser.parse,
     "csv" -> CsvParser.parse,
     "ini" -> IniParser.parse,
     "cfg" -> IniParser.parse,
+    "conf" -> IniParser.parse,
     "toml" -> IniParser.parse
   )
 
