@@ -27,6 +27,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(out("c") - 0.7025) < 1e-12)
   }
 
+  test("pageRank: mass conserved when no node dangles; every rank >= 1-d") {
+    // ring guarantees an out-edge per node (no dangling mass loss); extras
+    // add random in-degree skew, seeded for determinism
+    val n = 30
+    val rnd = new scala.util.Random(7)
+    val ring = (0 until n).map(i => (s"v$i", s"v${(i + 1) % n}"))
+    val extra = (0 until 40).map(_ => (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+    val edges = (ring ++ extra).toDF("src", "dst")
+    val out = GraphOps.pageRank(edges, "src", "dst", iterations = 4).collect()
+    assert(out.length == n)
+    out.foreach(r => assert(r.getDouble(1) >= 0.15 - 1e-12))
+    // with zero dangling nodes the update preserves total mass: sum = n
+    assert(math.abs(out.map(_.getDouble(1)).sum - n) < 1e-9)
+    // deterministic: identical ranks on a re-run
+    val again = GraphOps.pageRank(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach(r => assert(again(r.getString(0)) == r.getDouble(1)))
+  }
+
   test("pageRank: a symmetric cycle stays uniform at rank 1.0") {
     val cycle = Seq(("x", "y"), ("y", "z"), ("z", "x")).toDF("src", "dst")
     val out = GraphOps.pageRank(cycle, "src", "dst", iterations = 5)
