@@ -162,6 +162,27 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
       .orderBy("depth", "entityName")
   }
 
+  /** Entity-importance ranking: fixed-iteration PageRank over the directed
+    * relation graph ([[graft.operators.GraphOps.pageRank]]) — heavily
+    * called / imported / contained entities accumulate rank, answering
+    * "which entities anchor this codebase". Per iteration: one equi-join +
+    * one partial-agg shuffle; the edge set is checkpointed once.
+    */
+  def rankEntities(iterations: Int = 3, limit: Int = 20): DataFrame = {
+    val edges = chunks.filter(col("chunkType") === "relation")
+      .select(col("entityName").as("src"), col("relationTarget").as("dst"))
+    graft.operators.GraphOps.pageRank(edges, "src", "dst", iterations)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(limit)
+      .select(col("node").as("entityName"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** Store maintenance: compact upsert-fragmented chunk files toward
+    * `targetBytes` (see [[graft.index.IndexStore.compact]]).
+    */
+  def compactStore(targetBytes: Long = 128L << 20): (Int, Int) =
+    IndexStore.compact(spark, storeDir, targetBytes)
+
   /** Implementation fetch (reference MCP get_implementation): `minimal` =
     * the entity's impl chunks; `logical` adds same-file siblings;
     * `dependencies` adds direct call/import targets' impls.

@@ -80,6 +80,36 @@ object IndexStore {
     overwrite(df, statePath(root))
   }
 
+  /** Small-file compaction for the chunk store — the q69 bin-packing plan
+    * EXECUTED: rewrite the table so data files approach `targetBytes`
+    * instead of mirroring upsert history (every incremental merge adds
+    * task-sized files; thousands of upserts would otherwise decay scan
+    * performance into open-file overhead). Output file count =
+    * ceil(totalBytes / targetBytes); `repartitionByRange(chunkType,
+    * chunkId)` hands each writer a contiguous slice of one partition, so
+    * files land near the target and stay clustered by the progressive-
+    * disclosure partition column. Same COW swap as every other write —
+    * readers never see a half-compacted table. Returns (filesBefore,
+    * filesAfter).
+    */
+  def compact(spark: SparkSession, root: String, targetBytes: Long = 128L << 20): (Int, Int) = {
+    recover(chunksPath(root))
+    def parquetFiles(p: Path): Seq[Path] = {
+      import scala.jdk.CollectionConverters._
+      if (!Files.exists(p)) Seq.empty
+      else Files.walk(p).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet")).toSeq
+    }
+    val dir = Paths.get(chunksPath(root))
+    val before = parquetFiles(dir)
+    val total = before.map(Files.size).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(chunksPath(root))
+      .repartitionByRange(nOut, col("chunkType"), col("chunkId"))
+    overwrite(df, chunksPath(root), Seq("chunkType"))
+    (before.size, parquetFiles(dir).size)
+  }
+
   /** Drop the incremental file_state so the NEXT index is a full pass.
     * Called by clear-collection: leaving stale state behind would make the
     * next index diff against files whose chunks were just deleted and

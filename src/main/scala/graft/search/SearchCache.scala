@@ -16,7 +16,7 @@ final class SearchCache[K, V](maxSize: Int) {
 
   private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-      size() > maxSize
+      this.size() > maxSize
   }
   private var _hits = 0L
   private var _misses = 0L

@@ -302,6 +302,36 @@ class EngineSpec extends SparkSpec {
     assert(after.contains("cache_probe"))
   }
 
+  test("rankEntities: descending ranks; the much-referenced entity places") {
+    engine.index(root)
+    val ranked = engine.rankEntities(iterations = 3, limit = 10).collect()
+    assert(ranked.nonEmpty && ranked.length <= 10)
+    val rs = ranked.map(_.getDouble(1))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a >= b })
+    // 'add' is a CALLS target from main and an IMPORTS target from bar.py —
+    // in-rank must lift it above the (1-d) floor
+    val addRank = ranked.collectFirst {
+      case r if r.getString(0) == "add" => r.getDouble(1)
+    }
+    assert(addRank.exists(_ > 0.15), s"add missing or at floor: $addRank")
+  }
+
+  test("compactStore: repacks files; rows and search results are untouched") {
+    engine.index(root)
+    def rows() = engine.chunks.select("chunkId", "contentHash").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(identity)
+    def hits() = engine.searchSimilar("format value printing", "keyword", limit = 5)
+      .select("entityName").collect().map(_.getString(0)).toSeq
+    val (beforeRows, beforeHits) = (rows(), hits())
+    // tiny target fragments the store; the default target then packs it down
+    val (_, fragmented) = engine.compactStore(targetBytes = 2048)
+    val (seen, packed) = engine.compactStore()
+    assert(seen == fragmented) // counts are real file counts, not estimates
+    assert(packed <= fragmented)
+    assert(rows().sameElements(beforeRows))
+    assert(hits() == beforeHits)
+  }
+
   test("search-result cache: LRU bound evicts the least recently used entry") {
     val c = new graft.search.SearchCache[Int, Int](3)
     (1 to 3).foreach(i => c.getOrElseUpdate(i)(i * 10))
