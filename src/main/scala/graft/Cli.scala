@@ -16,7 +16,9 @@ import graft.api.GraftEngine
   *   graft.Cli impl <storeDir> <entity> [minimal|logical|dependencies]
   *   graft.Cli file <storeDir> <path>
   *   graft.Cli info <storeDir>
+  *   graft.Cli rank <storeDir> [limit]
   *   graft.Cli cleanup <storeDir>
+  *   graft.Cli compact <storeDir> [targetBytes]
   *   graft.Cli watch <projectDir> <storeDir> [debounceMs]   (Ctrl-C to stop)
   */
 object Cli {
@@ -70,8 +72,15 @@ object Cli {
         engine(args(1)).entitiesForFile(args(2)).show(20, truncate = 100)
       case "info" =>
         engine(args(1)).collectionInfo().show()
+      case "rank" =>
+        engine(args(1)).rankEntities(
+          limit = if (args.length > 2) args(2).toInt else 20).show(50, truncate = 60)
       case "cleanup" =>
         println(s"removed=${engine(args(1)).cleanup()}")
+      case "compact" =>
+        val target = if (args.length > 2) args(2).toLong else 128L << 20
+        val (before, after) = engine(args(1)).compactStore(target)
+        println(s"files: $before -> $after (target ${target}B)")
       case "watch" =>
         // reference `claude-indexer watch start` (watcher/handler.py:478-552):
         // initial full index if needed, then stream directory events through
