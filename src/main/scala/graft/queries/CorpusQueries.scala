@@ -83,7 +83,12 @@ object CorpusQueries {
       counts.crossJoin(broadcast(z))
         .select(col("source"), col("n_docs"),
           round(pow(col("n_docs"), 0.7) / col("z"), 6).as("weight"),
-          floor(pow(col("n_docs"), 0.7) / col("z") * 10000).as("target_docs"),
+          // round, NOT floor: with equal-sized sources w*budget is exactly
+          // integral, and floor of an exact integer flips on the last-ulp
+          // jitter of the parallel normalizer sum (observed flaking 499/500
+          // at sf0.01); round() is stable a half-unit away from the edge
+          round(pow(col("n_docs"), 0.7) / col("z") * 10000, 0).cast("long")
+            .as("target_docs"),
           round(pow(col("n_docs"), 0.7) / col("z") * 10000 / col("n_docs"), 4)
             .as("epochs"))
         .orderBy(col("source"))
@@ -348,7 +353,7 @@ object CorpusQueries {
         |z AS (SELECT sum(power(n_docs, 0.7)) AS z FROM c)
         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
         |       round(power(n_docs, 0.7) / z, 6) AS weight,
-        |       CAST(floor(power(n_docs, 0.7) / z * 10000) AS BIGINT) AS target_docs,
+        |       CAST(round(power(n_docs, 0.7) / z * 10000, 0) AS BIGINT) AS target_docs,
         |       round(power(n_docs, 0.7) / z * 10000 / n_docs, 4) AS epochs
         |FROM c, z ORDER BY source""".stripMargin,
 
