@@ -74,6 +74,46 @@ object MinHashLsh {
   /** Candidate pairs sharing ≥1 band, with estimated jaccard = fraction of
     * equal signature components.
     */
+  /** Incremental near-dup probe: candidates of a NEW batch against an
+    * EXISTING corpus — the operator a production pipeline runs per ingest,
+    * where re-pairing the corpus with itself (candidatePairs) would redo
+    * quadratic work for data that hasn't changed. The corpus band table is
+    * exactly what the pipeline keeps materialized (partitioned by band_key
+    * at scale), so each batch costs: its own signatures + ONE equi-join
+    * whose left side is batch-sized. Batch docs are never paired with each
+    * other — only against the corpus.
+    *
+    * Returns per new doc (that has any candidate): the candidate count,
+    * the best match's estimated jaccard, and the best matching corpus doc
+    * (ties on est → smallest corpus id, deterministic both engines).
+    */
+  def newVsCorpus(corpus: DataFrame, batch: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val cb = bandKeys(corpus, idCol, textCol)
+      .select(col("band"), col("band_key"), col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
+    val nb = bandKeys(batch, idCol, textCol)
+      .select(col("band"), col("band_key"), col("doc_id").as("new_doc"), col("sig").as("sig_n"))
+    val cand = nb.join(cb, Seq("band", "band_key"))
+      .withColumn("est", expr(
+        s"aggregate(zip_with(sig_n, sig_c, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, e) -> acc + e) / cast($NumPerm as double)"))
+      .select(col("new_doc"), col("corpus_doc"), col("est"))
+      .distinct()
+      .persist()
+    // argmax with a deterministic tie-break: max(est) first, then the
+    // smallest corpus_doc achieving it. The est-equality join is safe:
+    // est is an exact small rational (k/12) computed identically per pair.
+    val best = cand.groupBy(col("new_doc"))
+      .agg(max(col("est")).as("best_est"), count(lit(1)).as("n_cand"))
+    val out = best.join(
+        cand.select(col("new_doc").as("_nd"), col("corpus_doc"), col("est")),
+        col("_nd") === col("new_doc") && col("est") === col("best_est"))
+      .groupBy(col("new_doc"), col("best_est"), col("n_cand"))
+      .agg(min(col("corpus_doc")).as("best_match"))
+      .localCheckpoint(true)
+    cand.unpersist()
+    out
+  }
+
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // persist: signatures are 12 longs per doc — the band self-join must
     // not recompute the shingle->md5->minhash pipeline for each side. The

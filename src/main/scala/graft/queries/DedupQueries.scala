@@ -23,6 +23,20 @@ object DedupQueries {
       MinHashLsh.candidatePairs(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
 
+    // Incremental near-dup: treat src0 as today's ingest batch and the
+    // rest as the already-indexed corpus — each new doc probes the corpus
+    // band table with one batch-sized equi-join (never re-pairing the
+    // corpus with itself, never pairing batch docs together).
+    "q73_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      MinHashLsh.newVsCorpus(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+        .select(col("new_doc"), round(col("best_est"), 6).as("best_est"),
+          col("n_cand"), col("best_match"))
+        .orderBy(col("new_doc"))
+    }),
+
     // SimHash(24-bit) near-dup pairs within source, Hamming ≤ 3.
     "q20_simhash" -> ((s, dir) =>
       SimHash.closePairs(Tables.documents(s, dir), "doc_id", "text", "source", 3)
@@ -96,6 +110,25 @@ object DedupQueries {
         |       count(DISTINCT md5(array_to_string(list_sort(list_distinct(
         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1))), ' '))) AS n_wordset
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q73_incremental_dedup" ->
+      s"""WITH $minhashCtes,
+         |src AS (SELECT doc_id, source FROM documents),
+         |nb AS (SELECT b.* FROM bands b JOIN src USING (doc_id) WHERE source = 'src0'),
+         |cb AS (SELECT b.* FROM bands b JOIN src USING (doc_id) WHERE source <> 'src0'),
+         |cand AS (
+         |  SELECT DISTINCT nb.doc_id AS new_doc, cb.doc_id AS corpus_doc,
+         |         list_sum(list_transform(generate_series(1, 12),
+         |           i -> CASE WHEN nb.sig[i] = cb.sig[i] THEN 1 ELSE 0 END)) / 12.0 AS est
+         |  FROM nb JOIN cb ON nb.band = cb.band AND nb.band_key = cb.band_key),
+         |best AS (SELECT new_doc, max(est) AS best_est, count(*) AS n_cand
+         |         FROM cand GROUP BY new_doc)
+         |SELECT b.new_doc, round(b.best_est, 6) AS best_est,
+         |       CAST(b.n_cand AS BIGINT) AS n_cand,
+         |       CAST(min(c.corpus_doc) AS BIGINT) AS best_match
+         |FROM best b JOIN cand c ON c.new_doc = b.new_doc AND c.est = b.best_est
+         |GROUP BY b.new_doc, b.best_est, b.n_cand
+         |ORDER BY b.new_doc""".stripMargin,
 
     "q19_minhash" ->
       s"""WITH $minhashCtes

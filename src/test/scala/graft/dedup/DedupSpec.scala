@@ -37,6 +37,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("incremental dedup: batch probes corpus only — no batch-batch or corpus-corpus pairs") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"), // corpus-internal dup: must NOT pair
+      (12L, "completely different tokens appear in this line here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"), // dup of 10 and 11
+      (21L, "the quick brown fox jumps over the lazy dog"), // batch-internal dup of 20: must NOT pair
+      (22L, "nothing like anything stored before at all truly novel")
+    ).toDF("doc_id", "text")
+    val out = MinHashLsh.newVsCorpus(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("new_doc") ->
+        (r.getAs[Double]("best_est"), r.getAs[Long]("n_cand"), r.getAs[Long]("best_match"))).toMap
+    // both batch dups match the corpus pair with est 1.0, tie-broken to doc 10
+    assert(out(20L) == ((1.0, 2L, 10L)))
+    assert(out(21L) == ((1.0, 2L, 10L)))
+    // the novel doc has no candidates at all
+    assert(!out.contains(22L))
+  }
+
   test("simhash: exact dups have identical fingerprints; hamming 0") {
     val pairs = SimHash.closePairs(docs, "doc_id", "text", "source", 3).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
