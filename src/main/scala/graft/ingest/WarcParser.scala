@@ -37,6 +37,41 @@ object WarcParser {
     -1
   }
 
+  /** Decompress a `.warc.gz` in Common Crawl's layout: each record is its
+    * own gzip MEMBER, concatenated — the property that makes a crawl shard
+    * streamable record-by-record without decompressing the whole file.
+    * `GZIPInputStream` consumes ALL concatenated members (it resumes on
+    * the next member header after each stream end), so one pass yields the
+    * plain-WARC byte run that [[parse]] walks. Truncated/garbage tails
+    * return the bytes decoded so far — same skip-don't-throw policy as
+    * [[parse]].
+    */
+  def gunzipMembers(gz: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(gz.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz), buf.length)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+    } catch { case _: java.io.IOException => /* truncated tail: keep prefix */ }
+    out.toByteArray
+  }
+
+  /** Gzip each record as its own member (the Common Crawl shard layout
+    * [[gunzipMembers]] expects) — the encoder twin for round-trip tests.
+    */
+  def encodeGz(records: Seq[WarcRecord]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(encode(Seq(r)))
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
   /** Parse every well-formed record in a WARC payload; malformed tails are
     * dropped silently (documented above).
     */

@@ -281,6 +281,34 @@ object CorpusQueries {
         .orderBy(col("uri"))
     }),
 
+    // Compressed crawl ingestion (.warc.gz, Common Crawl layout): each
+    // record its own gzip member, concatenated per shard. Executors build
+    // the gzipped shards, gunzip ALL members in one streaming pass, then
+    // walk the plain-WARC bytes — the oracle rebuilds every body closed
+    // form, so agreement proves the member-resuming decode fed the
+    // Content-Length walk the exact original bytes.
+    "q74_warc_gz" -> ((s, _) => {
+      import s.implicits._
+      import graft.ingest.WarcParser
+      val files = s.range(12).map { f =>
+        WarcParser.encodeGz((0 until 4).map { r =>
+          val body = s"gz body $f:$r " * (1 + (f + 2 * r) % 6).toInt
+          WarcParser.WarcRecord("response", s"https://example.org/g$f/r$r",
+            "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body)
+              .getBytes("UTF-8"))
+        })
+      }
+      files.flatMap { gz =>
+        WarcParser.parse(WarcParser.gunzipMembers(gz)).flatMap { rec =>
+          WarcParser.httpBody(rec.payload)
+            .map(b => (rec.targetUri, b.length.toLong, new String(b, "UTF-8")))
+        }
+      }.toDF("uri", "body_len", "body")
+        .select(col("uri"), col("body_len"), md5(col("body")).as("body_md5"))
+        .orderBy(col("uri"))
+    }),
+
     // Sharded-export manifest: the deterministic global shuffle's
     // per-shard row counts, payload sizes, and order-hash spans.
     "q58_shard_export" -> ((s, dir) =>
@@ -455,6 +483,16 @@ object CorpusQueries {
         |         repeat('body ' || f || ':' || r || ' ', 1 + (f * 3 + r) % 5) AS body
         |  FROM generate_series(0, 15) tf(f), generate_series(0, 2) tr(r))
         |SELECT 'https://example.com/f' || f || '/r' || r AS uri,
+        |       CAST(length(body) AS BIGINT) AS body_len,
+        |       md5(body) AS body_md5
+        |FROM g ORDER BY uri""".stripMargin,
+
+    "q74_warc_gz" ->
+      """WITH g AS (
+        |  SELECT f, r,
+        |         repeat('gz body ' || f || ':' || r || ' ', 1 + (f + 2 * r) % 6) AS body
+        |  FROM generate_series(0, 11) tf(f), generate_series(0, 3) tr(r))
+        |SELECT 'https://example.org/g' || f || '/r' || r AS uri,
         |       CAST(length(body) AS BIGINT) AS body_len,
         |       md5(body) AS body_md5
         |FROM g ORDER BY uri""".stripMargin,

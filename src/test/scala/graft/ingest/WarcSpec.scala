@@ -22,6 +22,20 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("gzip members: per-record members decode in one pass; truncation keeps the prefix") {
+    val in = Seq(rec("https://z/1", "alpha"), rec("https://z/2", "beta " * 100),
+      rec("https://z/3", "gamma"))
+    val gz = WarcParser.encodeGz(in)
+    // decoded concatenation parses to the same records
+    val out = WarcParser.parse(WarcParser.gunzipMembers(gz))
+    assert(out.map(_.targetUri) == Seq("https://z/1", "https://z/2", "https://z/3"))
+    assert(out.zip(in).forall { case (o, i) => o.payload.toSeq == i.payload.toSeq })
+    // chopping the last member mid-stream: earlier members survive
+    val cut = WarcParser.parse(WarcParser.gunzipMembers(gz.dropRight(12)))
+    assert(cut.nonEmpty && cut.length < 3)
+    assert(cut.head.targetUri == "https://z/1")
+  }
+
   test("Content-Length governs record boundaries, not delimiter scanning") {
     // a payload that CONTAINS the record separator and a fake version line:
     // a delimiter-scanning parser would split here; a length-driven one not
