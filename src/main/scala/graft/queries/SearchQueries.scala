@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.search.{Bm25, Hybrid, IvfAnn, KnnSearch, LshAnn}
+import graft.search.{Bm25, Hybrid, IvfAnn, KnnSearch, LshAnn, Snippets}
 
 /** Search-stack operators (SURVEY.md §2.3/§2.4) over the driver testdata:
   * `embeddings` stands in for the dense chunk vectors, `documents` for the
@@ -35,6 +35,20 @@ object SearchQueries {
     "q15_bm25_search" -> ((s, dir) =>
       Bm25.search(Tables.documents(s, dir), "doc_id", "text", QueryTerms, 20)
         .select(col("doc_id"), round(col("score"), 6).as("score"))),
+
+    // Result snippets: the display window between ranking and the user —
+    // BM25 top-10, each with the first query-term hit position and the
+    // fixed-width token window around it (codegen HOFs riding the same
+    // scan as scoring; ship a window, not the document).
+    "q75_snippets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bm25.search(docs, "doc_id", "text", QueryTerms, 10)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          Snippets.firstMatchPos(col("text"), QueryTerms).cast("long").as("match_pos"),
+          Snippets.extract(col("text"), QueryTerms).as("snippet"))
+        .orderBy(col("doc_id"))
+    }),
 
     // §2.4 hybrid RRF fusion of dense + sparse rankings.
     "q16_hybrid_rrf" -> ((s, dir) => {
@@ -144,6 +158,28 @@ object SearchQueries {
          |ORDER BY sum( ln((stats.n - df + 0.5) / (df + 0.5))
          |              * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl)) ) DESC, doc_id
          |LIMIT 20""".stripMargin,
+
+    "q75_snippets" ->
+      s"""WITH $bm25Cte,
+         |top AS (
+         |  SELECT doc_id,
+         |         sum( ln((stats.n - df + 0.5) / (df + 0.5))
+         |              * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl)) ) AS score
+         |  FROM dt JOIN model USING (term) CROSS JOIN stats
+         |  WHERE term IN ('spark', 'join', 'stream', 'window')
+         |  GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 10),
+         |ps AS (
+         |  SELECT t.doc_id, top.score, t.t,
+         |         least(coalesce(nullif(list_position(t.t, 'spark'), 0), 1000000),
+         |               coalesce(nullif(list_position(t.t, 'join'), 0), 1000000),
+         |               coalesce(nullif(list_position(t.t, 'stream'), 0), 1000000),
+         |               coalesce(nullif(list_position(t.t, 'window'), 0), 1000000)) AS pos
+         |  FROM toks t JOIN top USING (doc_id))
+         |SELECT doc_id, round(score, 6) AS score,
+         |       CAST(pos AS BIGINT) AS match_pos,
+         |       array_to_string(t[greatest(pos - 5, 1) : greatest(pos - 5, 1) + 10], ' ') AS snippet
+         |FROM ps ORDER BY doc_id""".stripMargin,
 
     "q16_hybrid_rrf" ->
       s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),

@@ -70,6 +70,24 @@ class SearchSpec extends SparkSpec {
     assert(toks == Seq("hello", "world", "a1", "b2"))
   }
 
+  test("snippets: first-hit window, left-edge clamp, right overrun, no-hit null") {
+    val terms = Seq("join", "spark")
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg join hh ii jj kk ll"), // pos 8 -> window 3..13
+      (2L, "spark aa bb"),                              // pos 1 -> clamp to 1..3
+      (3L, "aa bb spark cc join"),                      // spark (3) before join (5)
+      (4L, "nothing matching here at all")              // null snippet
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      Snippets.firstMatchPos(col("text"), terms).as("pos"),
+      Snippets.extract(col("text"), terms, before = 2, width = 5).as("snip"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.getString(2)))).toMap
+    assert(out(1L) == ((Some(8L), Some("ff gg join hh ii"))))
+    assert(out(2L) == ((Some(1L), Some("spark aa bb")))) // clamped + short doc
+    assert(out(3L) == ((Some(3L), Some("aa bb spark cc join"))))
+    assert(out(4L) == ((None, None)))
+  }
+
   test("rrf fuses ranks with k0=60 alpha=0.5; missing side contributes 0") {
     val dense = Seq((10L, 0.9), (20L, 0.8)).toDF("id", "score")
     val sparse = Seq((20L, 5.0), (30L, 4.0)).toDF("id", "score")
