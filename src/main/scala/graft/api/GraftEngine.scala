@@ -72,6 +72,22 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
     }
   }
 
+  /** [[searchSimilar]] plus a display snippet per hit: the first-hit token
+    * window of the query terms over the chunk content
+    * ([[graft.search.Snippets]]) — rides the result set as a codegen map,
+    * no extra shuffle. Chunks whose content matches no query term (e.g.
+    * purely dense-ranked hits) carry a null snippet.
+    */
+  def searchWithSnippets(query: String, mode: String = "semantic",
+                         entityTypes: Seq[String] = Seq.empty,
+                         limit: Int = 10): DataFrame = {
+    val terms = Bm25.tokenizeScala(query).toSeq.distinct
+    val hits = searchSimilar(query, mode, entityTypes, limit)
+    if (terms.isEmpty) hits.withColumn("snippet", lit(null).cast("string"))
+    else hits.withColumn("snippet",
+      graft.search.Snippets.extract(col("content"), terms))
+  }
+
   /** Result-memoized search (reference: `storage/base.py:249-330`
     * `CachingVectorStore`, an opt-in decorator — searchSimilar itself stays
     * pure/lazy). A repeat of the same (query, mode, filters, limit,

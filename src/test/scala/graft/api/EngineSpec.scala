@@ -302,6 +302,18 @@ class EngineSpec extends SparkSpec {
     assert(after.contains("cache_probe"))
   }
 
+  test("searchWithSnippets: hits carry the first-hit window from their own content") {
+    engine.index(root)
+    val rows = engine.searchWithSnippets("add numbers sum", "keyword", limit = 5)
+      .select("entityName", "snippet").collect()
+    assert(rows.nonEmpty)
+    val snips = rows.flatMap(r => Option(r.getString(1)))
+    assert(snips.nonEmpty)
+    // every non-null snippet contains at least one query term
+    snips.foreach(sn => assert(
+      Seq("add", "numbers", "sum").exists(sn.split(" ").contains(_)), sn))
+  }
+
   test("rankEntities: descending ranks; the much-referenced entity places") {
     engine.index(root)
     val ranked = engine.rankEntities(iterations = 3, limit = 10).collect()
@@ -320,9 +332,10 @@ class EngineSpec extends SparkSpec {
     engine.index(root)
     def rows() = engine.chunks.select("chunkId", "contentHash").collect()
       .map(r => (r.getString(0), r.getString(1))).sortBy(identity)
-    def hits() = engine.searchSimilar("format value printing", "keyword", limit = 5)
+    def hits() = engine.searchSimilar("add numbers sum", "keyword", limit = 5)
       .select("entityName").collect().map(_.getString(0)).toSeq
     val (beforeRows, beforeHits) = (rows(), hits())
+    assert(beforeHits.nonEmpty) // guard: the equality check below must not be empty-vs-empty
     // tiny target fragments the store; the default target then packs it down
     val (_, fragmented) = engine.compactStore(targetBytes = 2048)
     val (seen, packed) = engine.compactStore()
