@@ -34,6 +34,18 @@ object ShardedExport {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("ord"), col(idCol))
 
+  /** Epoch-parameterized shuffle: weave the epoch into both salts so each
+    * epoch is a DIFFERENT deterministic permutation of the identical row
+    * set — multi-epoch training order without `rand()` and without
+    * materializing N shuffled copies. Same one-shuffle scale shape as
+    * [[shuffled]].
+    */
+  def epochShuffled(df: DataFrame, idCol: String, nShards: Int, epoch: Int): DataFrame =
+    df.withColumn("shard", Splits.hashBucket(col(idCol), nShards, s":shard:e$epoch"))
+      .withColumn("ord", Splits.hashBucket(col(idCol), 1000000000, s":ord:e$epoch"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("ord"), col(idCol))
+
   /** Per-shard manifest: row count, payload size, order-hash span —
     * what an export job logs and a reader uses to plan.
     */

@@ -72,6 +72,54 @@ object CorpusQueries {
         .limit(30)
     }),
 
+    // Multi-epoch deterministic shuffle: epoch-salted shard assignment —
+    // every epoch a different permutation of the identical corpus. The
+    // gate proves (a) both epochs cover every doc (counts per shard sum
+    // to the corpus), (b) the permutations actually differ (n_moved > 0
+    // rows), and (c) everything replays closed-form from the hash.
+    "q76_epoch_shuffle" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("s0", Splits.hashBucket(col("doc_id"), 16, ":shard:e0"))
+        .withColumn("s1", Splits.hashBucket(col("doc_id"), 16, ":shard:e1"))
+      val e0 = d.groupBy(col("s0").as("shard"))
+        .agg(count(lit(1)).as("n_e0"),
+          sum(when(col("s1") =!= col("s0"), 1L).otherwise(0L)).as("n_moved"))
+      val e1 = d.groupBy(col("s1").as("shard")).agg(count(lit(1)).as("n_e1"))
+      e0.join(e1, Seq("shard"), "full")
+        .select(col("shard"),
+          coalesce(col("n_e0"), lit(0L)).as("n_e0"),
+          coalesce(col("n_e1"), lit(0L)).as("n_e1"),
+          coalesce(col("n_moved"), lit(0L)).as("n_moved"))
+        .orderBy(col("shard"))
+    }),
+
+    // Largest-remainder budget allocation: integer per-source doc targets
+    // that sum EXACTLY to the budget (q71's rounded targets need not).
+    // floor the 6dp-rounded target (rounding first kills the last-ulp
+    // normalizer jitter that made raw floor flake on exactly-integral
+    // targets), then give the leftover units to the largest remainders.
+    // The window is global but runs over the per-source planning table —
+    // metadata-sized by construction, like q69's manifest.
+    "q77_budget_alloc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 10000
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val z = counts.agg(sum(pow(col("n_docs"), 0.7)).as("z"))
+      val t = counts.crossJoin(broadcast(z))
+        .withColumn("target", round(pow(col("n_docs"), 0.7) / col("z") * B, 6))
+        .withColumn("base", floor(col("target")).cast("long"))
+        .withColumn("rem", round(col("target") - col("base"), 6))
+      val totBase = t.agg(sum(col("base")).as("tb"))
+      val w = Window.orderBy(col("rem").desc, col("source"))
+      t.crossJoin(broadcast(totBase))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("alloc",
+          col("base") + when(col("rk") <= lit(B.toLong) - col("tb"), 1L).otherwise(0L))
+        .select(col("source"), col("n_docs"), col("target"), col("alloc"))
+        .orderBy(col("source"))
+    }),
+
     // Temperature-weighted source mixing (the multilingual-corpus sampling
     // rule): w_s ∝ n_s^0.7, targets for a 10k-doc budget, effective epochs
     // per source. One partial-agg shuffle + a broadcast single-row
@@ -375,6 +423,36 @@ object CorpusQueries {
         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
+    "q76_epoch_shuffle" ->
+      """WITH d AS (
+        |  SELECT CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':shard:e0'),1,15)) AS BIGINT) % 16 AS s0,
+        |         CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':shard:e1'),1,15)) AS BIGINT) % 16 AS s1
+        |  FROM documents),
+        |e0 AS (SELECT s0 AS shard, count(*) AS n_e0,
+        |              count(*) FILTER (WHERE s1 <> s0) AS n_moved
+        |       FROM d GROUP BY s0),
+        |e1 AS (SELECT s1 AS shard, count(*) AS n_e1 FROM d GROUP BY s1)
+        |SELECT shard, CAST(coalesce(n_e0, 0) AS BIGINT) AS n_e0,
+        |       CAST(coalesce(n_e1, 0) AS BIGINT) AS n_e1,
+        |       CAST(coalesce(n_moved, 0) AS BIGINT) AS n_moved
+        |FROM e0 FULL JOIN e1 USING (shard) ORDER BY shard""".stripMargin,
+
+    "q77_budget_alloc" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |z AS (SELECT sum(power(n_docs, 0.7)) AS z FROM c),
+        |t AS (SELECT source, n_docs,
+        |             round(power(n_docs, 0.7) / z * 10000, 6) AS target
+        |      FROM c, z),
+        |b AS (SELECT source, n_docs, target,
+        |             CAST(floor(target) AS BIGINT) AS base,
+        |             round(target - floor(target), 6) AS rem
+        |      FROM t),
+        |tb AS (SELECT sum(base) AS tb FROM b),
+        |r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, target,
+        |       CAST(base + CASE WHEN rk <= 10000 - tb THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r, tb ORDER BY source""".stripMargin,
 
     "q71_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
