@@ -35,6 +35,21 @@ class ShardedExportSpec extends SparkSpec {
     assert(a != (0L until 2000L).toSeq) // and it actually shuffled
   }
 
+  test("epochShuffled: same rows every epoch, different permutation per epoch") {
+    def layout(epoch: Int) = ShardedExport.epochShuffled(docs, "id", 8, epoch)
+      .select("id", "shard", "ord").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (e0, e1, e0again) = (layout(0), layout(1), layout(0))
+    // coverage identical: every doc present in both epochs, none added
+    assert(e0.keySet == docs.select("id").collect().map(_.getLong(0)).toSet)
+    assert(e0.keySet == e1.keySet)
+    // deterministic per epoch
+    assert(e0 == e0again)
+    // and genuinely different between epochs: most docs move shard or order
+    val moved = e0.count { case (id, sl) => e1(id) != sl }
+    assert(moved > e0.size / 2, s"only $moved of ${e0.size} changed between epochs")
+  }
+
   test("shardStats: balanced shards, stats consistent with the assignment") {
     val stats = ShardedExport.shardStats(docs, "id", "sz", 8).collect()
     assert(stats.length == 8)
