@@ -56,6 +56,51 @@ object TextQueries {
         .select(col("doc_id"), TextOps.fingerprint("text").as("fp")))
     ,
 
+    // Zipf vocabulary profile: top-30 terms with rank, frequency, and
+    // cumulative corpus share — the rank-frequency curve a corpus report
+    // leads with. One explode+count shuffle; rank and running share via a
+    // window over the TOP SLICE only (30 rows), never the full vocab.
+    "q78_zipf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+      val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("n_corpus"))
+      val top = counts.orderBy(col("cnt").desc, col("w")).limit(30)
+      val rw = Window.orderBy(col("cnt").desc, col("w"))
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(rw).cast("long"))
+        .withColumn("share", round(col("cnt") / col("n_corpus"), 6))
+        .withColumn("cum_share", round(
+          sum(col("cnt")).over(rw.rowsBetween(Window.unboundedPreceding, 0)) / col("n_corpus"), 6))
+        .select(col("rank"), col("w"), col("cnt"), col("share"), col("cum_share"))
+        .orderBy(col("rank"))
+    }),
+
+    // Pearson correlation from EXACT integer moments: chars-vs-tokens r
+    // per source, assembled from integer sums (n, Σx, Σy, Σx², Σy², Σxy)
+    // so the statistic is bit-deterministic — no Welford stream order, no
+    // parallel float accumulation. The shape for ANY sufficient-statistic
+    // aggregate at scale: one partial-agg shuffle of six longs per key.
+    "q79_corr_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars").as("x"),
+          graft.functions.TextOps.wsTokenCount(col("text")).cast("long").as("y"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("source"), col("n"),
+          // sqrt(a)*sqrt(b), NOT sqrt(a*b): each variance term is ~1e10 at
+          // sf0.1 and their long product would overflow 2^63
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r"))
+        .orderBy(col("source"))
+    }),
+
     // Unigram-LM document quality score (the CCNet-style OOD filter): fit
     // corpus unigram frequencies, score each doc by its mean token
     // log-probability, surface the 20 most out-of-distribution docs.
@@ -180,6 +225,37 @@ object TextQueries {
          |                     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647)),
          |    (acc, h) -> (acc * 31 + h) % ${TextOps.FpMod}) AS fp
          |FROM documents""".stripMargin,
+
+    "q78_zipf" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            x -> len(x) > 1)) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+        |tot AS (SELECT sum(cnt) AS n_corpus FROM c),
+        |top AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 30),
+        |r AS (SELECT w, cnt,
+        |             row_number() OVER (ORDER BY cnt DESC, w) AS rank,
+        |             sum(cnt) OVER (ORDER BY cnt DESC, w
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM top)
+        |SELECT CAST(rank AS BIGINT) AS rank, w, CAST(cnt AS BIGINT) AS cnt,
+        |       round(cnt * 1.0 / n_corpus, 6) AS share,
+        |       round(cum * 1.0 / n_corpus, 6) AS cum_share
+        |FROM r, tot ORDER BY rank""".stripMargin,
+
+    "q79_corr_stats" ->
+      """WITH d AS (
+        |  SELECT source, n_chars AS x,
+        |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS y
+        |  FROM documents),
+        |a AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |      FROM d GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |       round((n*sxy - sx*sy) /
+        |             (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS r
+        |FROM a ORDER BY source""".stripMargin,
 
     "q68_lm_quality" ->
       """WITH t AS (
