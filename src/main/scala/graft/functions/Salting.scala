@@ -35,6 +35,22 @@ object Salting {
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("_partial")).as("cnt"))
 
+  /** Salted equi-join for a skewed BIG side: every big-side row gets a
+    * deterministic-per-row salt in [0, saltFactor) and the SMALL side is
+    * replicated saltFactor ways, so one hot key's rows spread across
+    * saltFactor reducers instead of pinning one. The manual counterpart of
+    * AQE's skew-join split — for when the skew is known ahead of time (or
+    * the join sits under operators AQE won't split through); results are
+    * exactly the plain join's, rows only regrouped.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+                 saltFactor: Int): DataFrame = {
+    val sb = withSalt(big, saltFactor)
+    val ss = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    sb.join(ss, keyCols :+ "_salt").drop("_salt")
+  }
+
   /** Salted long-sum per key (exact — integer addition is associative). */
   def saltedSumLong(df: DataFrame, keyCols: Seq[String], valueCol: String,
                     saltFactor: Int): DataFrame =

@@ -161,6 +161,22 @@ object RelationalQueries {
         .withColumnRenamed("sum", "sum_qty_cents")
     }),
 
+    // Skew-salted JOIN (the join-side twin of q33): events skew onto a
+    // handful of event_type keys — the canonical hot-key join. Every big-
+    // side row takes a per-row salt and the small dim replicates saltFactor
+    // ways, spreading each hot key over saltFactor reducers; the aggregate
+    // proves the row multiset is exactly the plain join's.
+    "q80_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("type_n"))
+      graft.functions.Salting.saltedJoin(ev, dim, Seq("event_type"), 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("type_n")).as("type_n"),
+          sum(col("user_id")).as("sum_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // §2.4 read_graph-style 1-hop neighborhood: entities (customers of one
     // nation) + their edge summaries (orders), one broadcast semi-side join
     // + one aggregate.
@@ -298,6 +314,14 @@ object RelationalQueries {
     "q33_salted_agg" ->
       """SELECT l_returnflag, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q80_salted_join" ->
+      """WITH dim AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(max(d.type_n) AS BIGINT) AS type_n,
+        |       CAST(sum(e.user_id) AS BIGINT) AS sum_users
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q12_graph_read" ->
       """SELECT c_custkey, c_name,

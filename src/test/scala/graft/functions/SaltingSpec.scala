@@ -27,6 +27,23 @@ class SaltingSpec extends SparkSpec {
     assert(partials > 1)
   }
 
+  test("salted join matches the plain join row multiset; hot key spreads") {
+    val big = ((1 to 5000).map(i => ("hot", i.toLong)) ++
+      (1 to 50).map(i => (s"cold$i", i.toLong))).toDF("k", "v")
+    val small = (Seq("hot") ++ (1 to 50).map(i => s"cold$i"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "w")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val plain = canon(big.join(small, Seq("k")))
+    val salted = canon(Salting.saltedJoin(big, small, Seq("k"), 8))
+    assert(salted == plain)
+    // the hot key's rows really occupy multiple salt buckets
+    val spread = Salting.withSalt(big.filter($"k" === "hot"), 8)
+      .select("_salt").distinct().count()
+    assert(spread > 1)
+  }
+
   test("remote embedder: distributed batching produces per-text vectors") {
     val transport: Seq[String] => Seq[Seq[Double]] =
       batch => batch.map(t => Seq(t.length.toDouble, 1.0))
