@@ -36,16 +36,27 @@ object Salting {
       .agg(sum(col("_partial")).as("cnt"))
 
   /** Salted equi-join for a skewed BIG side: every big-side row gets a
-    * deterministic-per-row salt in [0, saltFactor) and the SMALL side is
-    * replicated saltFactor ways, so one hot key's rows spread across
-    * saltFactor reducers instead of pinning one. The manual counterpart of
-    * AQE's skew-join split — for when the skew is known ahead of time (or
-    * the join sits under operators AQE won't split through); results are
-    * exactly the plain join's, rows only regrouped.
+    * salt in [0, saltFactor) and the SMALL side is replicated saltFactor
+    * ways, so one hot key's rows spread across saltFactor reducers instead
+    * of pinning one. The manual counterpart of AQE's skew-join split — for
+    * when the skew is known ahead of time (or the join sits under
+    * operators AQE won't split through); results are exactly the plain
+    * join's, rows only regrouped.
+    *
+    * The join salt is a pure CONTENT hash — deterministic under stage
+    * retry, unlike [[withSalt]]'s position-mixed salt. A shuffle key that
+    * changes when a lost map task recomputes can double-count or drop
+    * rows once some reducers have already fetched the old output (the
+    * round-robin-repartition failure class); aggregations tolerate the
+    * positional salt because their RESULT is salt-invariant, a join's row
+    * routing is not. Trade-off: byte-identical duplicate rows share a
+    * salt, so a hot key composed of exact duplicates spreads only as far
+    * as its distinct rows — acceptable, and the price of retry safety.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
                  saltFactor: Int): DataFrame = {
-    val sb = withSalt(big, saltFactor)
+    val sb = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor.toLong)))
     val ss = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
     sb.join(ss, keyCols :+ "_salt").drop("_salt")

@@ -97,13 +97,20 @@ object IndexStore {
     def parquetFiles(p: Path): Seq[Path] = {
       import scala.jdk.CollectionConverters._
       if (!Files.exists(p)) Seq.empty
-      else Files.walk(p).iterator().asScala
-        .filter(f => f.toString.endsWith(".parquet")).toSeq
+      else {
+        val walk = Files.walk(p) // must be closed: each walk holds open DirectoryStreams
+        try walk.iterator().asScala.filter(f => f.toString.endsWith(".parquet")).toVector
+        finally walk.close()
+      }
     }
     val dir = Paths.get(chunksPath(root))
     val before = parquetFiles(dir)
+    if (before.isEmpty) return (0, 0) // absent/empty store: nothing to rewrite
     val total = before.map(Files.size).sum
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    // steady state of scheduled maintenance: already at (or under) the
+    // target layout — skip the full-table rewrite entirely
+    if (before.size <= nOut) return (before.size, before.size)
     val df = spark.read.parquet(chunksPath(root))
       .repartitionByRange(nOut, col("chunkType"), col("chunkId"))
     overwrite(df, chunksPath(root), Seq("chunkType"))

@@ -47,7 +47,11 @@ object WarcParser {
     * [[parse]].
     */
   def gunzipMembers(gz: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(gz.length * 4)
+    // size hint only — computed in Long and capped so a GB-scale shard
+    // (Common Crawl's actual size) can't overflow Int and throw before
+    // the keep-prefix try below even starts
+    val hint = math.max(64L, math.min(gz.length.toLong * 4, 1L << 26)).toInt
+    val out = new java.io.ByteArrayOutputStream(hint)
     val buf = new Array[Byte](64 * 1024)
     try {
       val in = new java.util.zip.GZIPInputStream(
@@ -67,7 +71,10 @@ object WarcParser {
     records.foreach { r =>
       val gz = new java.util.zip.GZIPOutputStream(out)
       gz.write(encode(Seq(r)))
-      gz.finish()
+      // close(), not finish(): close ends the member AND releases the
+      // native Deflater (finish leaks one per record until finalization);
+      // the underlying ByteArrayOutputStream's close is a no-op
+      gz.close()
     }
     out.toByteArray
   }

@@ -93,11 +93,15 @@ object TextQueries {
           sum(col("y") * col("y")).as("syy"),
           sum(col("x") * col("y")).as("sxy"))
         .select(col("source"), col("n"),
-          // sqrt(a)*sqrt(b), NOT sqrt(a*b): each variance term is ~1e10 at
-          // sf0.1 and their long product would overflow 2^63
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r"))
+          // moments promote to double BEFORE any product: n*sxx on a
+          // ~3e5-doc source already grazes 2^63 as a long (silent wrap in
+          // Spark, exact HUGEINT in DuckDB — a cross-engine divergence);
+          // identical double promotion on both sides keeps the formula
+          // deterministic at any corpus size. sqrt(a)*sqrt(b) additionally
+          // keeps the variance product in range.
+          round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+            (sqrt(col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+             sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))), 6).as("r"))
         .orderBy(col("source"))
     }),
 
@@ -253,8 +257,9 @@ object TextQueries {
         |             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
         |      FROM d GROUP BY source)
         |SELECT source, CAST(n AS BIGINT) AS n,
-        |       round((n*sxy - sx*sy) /
-        |             (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS r
+        |       round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+        |             (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
+        |              sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6) AS r
         |FROM a ORDER BY source""".stripMargin,
 
     "q68_lm_quality" ->

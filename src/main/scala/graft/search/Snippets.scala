@@ -21,6 +21,7 @@ object Snippets {
     * BM25 token array of `textCol`, or null when no term occurs.
     */
   def firstMatchPos(textCol: Column, terms: Seq[String]): Column = {
+    if (terms.isEmpty) return lit(null).cast("long") // no terms -> no hit, not a 0-arg least()
     val toks = Bm25.tokens(textCol)
     val positions = terms.map(t => array_position(toks, t))
     // array_position: 0 = absent; map to null then take the minimum
