@@ -193,6 +193,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: each micro-batch joins the dim without restarting") {
+    // the standard streaming-ingest shape: events stream in, a STATIC dim
+    // (here a quality tier per source) broadcasts onto every micro-batch —
+    // no stream-stream state, no watermark needed for an inner equi-join
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq(("src0", "high"), ("src1", "low")).toDF("source", "tier")
+    val mem = MemoryStream[(Long, String)]
+    val joined = mem.toDF().toDF("doc_id", "source")
+      .join(org.apache.spark.sql.functions.broadcast(dim), "source")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    try {
+      mem.addData((1L, "src0"), (2L, "src1"), (3L, "srcX")) // srcX: no dim row -> dropped
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("tier")).toMap
+      assert(out == Map(1L -> "high", 2L -> "low"))
+      mem.addData((4L, "src0")) // second batch joins the same static dim
+      q.processAllAvailable()
+      assert(spark.table("enriched").count() == 3)
+    } finally q.stop()
+  }
+
   test("watermarked windowed event rate compiles against a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
