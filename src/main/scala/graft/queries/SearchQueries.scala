@@ -36,6 +36,31 @@ object SearchQueries {
       Bm25.search(Tables.documents(s, dir), "doc_id", "text", QueryTerms, 20)
         .select(col("doc_id"), round(col("score"), 6).as("score"))),
 
+    // Embedding-space monitoring: per-label centroid norm + cosine
+    // dispersion (mean / worst member-to-centroid similarity) — the drift
+    // report an embedding pipeline tracks per batch. Element-wise means
+    // via posexplode + partial agg (one shuffle of dim×labels partials);
+    // the tiny centroid table broadcasts back onto one scan.
+    "q81_centroid_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cent"))
+      e.join(broadcast(cents), Seq("label"))
+        .withColumn("cs", graft.functions.VectorOps.cosine(col("v"), col("cent")))
+        .withColumn("cn", sqrt(expr("aggregate(cent, 0d, (a, x) -> a + x * x)")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("cn")), 6).as("centroid_norm"),
+          round(avg(col("cs")), 6).as("avg_cos"),
+          round(min(col("cs")), 6).as("min_cos"))
+        .orderBy(col("label"))
+    }),
+
     // Result snippets: the display window between ranking and the user —
     // BM25 top-10, each with the first query-term hit position and the
     // fixed-width token window around it (codegen HOFs riding the same
@@ -158,6 +183,20 @@ object SearchQueries {
          |ORDER BY sum( ln((stats.n - df + 0.5) / (df + 0.5))
          |              * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl)) ) DESC, doc_id
          |LIMIT 20""".stripMargin,
+
+    "q81_centroid_drift" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT label, i, avg(v[i]) AS m
+        |      FROM e, generate_series(1, 64) g(i) GROUP BY label, i),
+        |c AS (SELECT label, list(m ORDER BY i) AS cent FROM m GROUP BY label),
+        |d AS (SELECT e.label, list_cosine_similarity(e.v, c.cent) AS cs,
+        |             sqrt(list_sum(list_transform(c.cent, x -> x * x))) AS cn
+        |      FROM e JOIN c USING (label))
+        |SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+        |       round(max(cn), 6) AS centroid_norm,
+        |       round(avg(cs), 6) AS avg_cos,
+        |       round(min(cs), 6) AS min_cos
+        |FROM d GROUP BY label ORDER BY label""".stripMargin,
 
     "q75_snippets" ->
       s"""WITH $bm25Cte,
