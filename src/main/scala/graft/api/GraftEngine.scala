@@ -193,6 +193,18 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
       .select(col("node").as("entityName"), round(col("rank"), 6).as("rank"))
   }
 
+  /** Entity-name autocomplete: distinct metadata entity names with the
+    * given prefix, shortest-then-lexicographic (the MCP suggestion
+    * surface). A prefix predicate is a RANGE, not a LIKE-scan: on a store
+    * sorted/bucketed by name it prunes to the matching range.
+    */
+  def suggestEntities(prefix: String, limit: Int = 10): DataFrame =
+    metadataChunks
+      .filter(col("entityName").startsWith(prefix))
+      .select(col("entityName")).distinct()
+      .orderBy(length(col("entityName")), col("entityName"))
+      .limit(limit)
+
   /** Store maintenance: compact upsert-fragmented chunk files toward
     * `targetBytes` (see [[graft.index.IndexStore.compact]]).
     */

@@ -161,6 +161,17 @@ object RelationalQueries {
         .withColumnRenamed("sum", "sum_qty_cents")
     }),
 
+    // Prefix autocomplete (the engine's suggestEntities shape over a
+    // testdata table): a prefix predicate is a sargable RANGE — shortest-
+    // then-lexicographic suggestions with per-prefix counts.
+    "q82_prefix_suggest" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      p.filter(col("p_name").startsWith("bl"))
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+        .orderBy(length(col("p_name")), col("p_name"))
+        .limit(15)
+    }),
+
     // Skew-salted JOIN (the join-side twin of q33): events skew onto a
     // handful of event_type keys — the canonical hot-key join. Every big-
     // side row takes a per-row salt and the small dim replicates saltFactor
@@ -314,6 +325,12 @@ object RelationalQueries {
     "q33_salted_agg" ->
       """SELECT l_returnflag, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q82_prefix_suggest" ->
+      """SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+        |FROM part WHERE p_name LIKE 'bl%'
+        |GROUP BY p_name
+        |ORDER BY length(p_name), p_name LIMIT 15""".stripMargin,
 
     "q80_salted_join" ->
       """WITH dim AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type)

@@ -328,6 +328,18 @@ class EngineSpec extends SparkSpec {
     assert(addRank.exists(_ > 0.15), s"add missing or at floor: $addRank")
   }
 
+  test("suggestEntities: prefix-filtered, shortest-first, bounded") {
+    engine.index(root)
+    val out = engine.suggestEntities("m", limit = 5).collect().map(_.getString(0))
+    assert(out.nonEmpty && out.length <= 5)
+    assert(out.forall(_.startsWith("m")))
+    assert(out.contains("main") || out.contains("multiply"))
+    // shortest-then-lexicographic ordering
+    val lens = out.map(n => (n.length, n))
+    assert(lens.sorted.sameElements(lens))
+    assert(engine.suggestEntities("zzz_nothing").collect().isEmpty)
+  }
+
   test("compactStore: repacks files; rows and search results are untouched") {
     engine.index(root)
     def rows() = engine.chunks.select("chunkId", "contentHash").collect()
