@@ -17,6 +17,7 @@ import graft.api.GraftEngine
   *   graft.Cli file <storeDir> <path>
   *   graft.Cli info <storeDir>
   *   graft.Cli rank <storeDir> [limit]
+  *   graft.Cli suggest <storeDir> <prefix> [limit]
   *   graft.Cli cleanup <storeDir>
   *   graft.Cli compact <storeDir> [targetBytes]
   *   graft.Cli watch <projectDir> <storeDir> [debounceMs]   (Ctrl-C to stop)
@@ -75,6 +76,10 @@ object Cli {
       case "rank" =>
         engine(args(1)).rankEntities(
           limit = if (args.length > 2) args(2).toInt else 20).show(50, truncate = 60)
+      case "suggest" =>
+        requireArgs(3, "suggest <storeDir> <prefix> [limit]")
+        engine(args(1)).suggestEntities(args(2),
+          if (args.length > 3) args(3).toInt else 10).show(20, truncate = 60)
       case "cleanup" =>
         println(s"removed=${engine(args(1)).cleanup()}")
       case "compact" =>
