@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NgramJaccard, ParagraphDedup, SimHash}
+import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NgramJaccard, NgramNovelty, ParagraphDedup, SimHash}
 
 /** Deduplication operators over the documents/embeddings corpus — the
   * LLM-training-pipeline family: exact hash, MinHash+LSH, SimHash, n-gram
@@ -73,7 +73,15 @@ object DedupQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_blocks"),
           count(when(col("kept"), 1)).as("n_kept"))
-    })
+    }),
+
+    // Per-source n-gram novelty profile: share of each doc's word
+    // 3-grams unique to it in the corpus; docs at ≤ 0.5 flagged as
+    // boilerplate-assembled. Gram-keyed df join — no doc pairing.
+    "q83_ngram_novelty" -> ((s, dir) =>
+      NgramNovelty.noveltyProfile(Tables.documents(s, dir), "doc_id", "text",
+        "source", 3, 0.5)
+        .orderBy(col("source")))
   )
 
   private val hash31 = "CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647"
@@ -194,7 +202,30 @@ object DedupQueries {
         |  FROM blocks
         |)
         |SELECT source, count(*) AS n_blocks, count(CASE WHEN rn = 1 THEN 1 END) AS n_kept
-        |FROM marked GROUP BY source""".stripMargin
+        |FROM marked GROUP BY source""".stripMargin,
+
+    "q83_ngram_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+         |  FROM documents
+         |), grams AS (
+         |  SELECT DISTINCT doc_id,
+         |         CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) % 2147483647 AS gram
+         |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+         |        i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks)
+         |), df AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+         |nov AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |         count(CASE WHEN df = 1 THEN 1 END) AS n_unique,
+         |         count(CASE WHEN df = 1 THEN 1 END) / count(*) AS novelty
+         |  FROM grams JOIN df USING (gram) GROUP BY doc_id
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |       round(avg(novelty), 6) AS avg_novelty,
+         |       round(min(novelty), 6) AS min_novelty,
+         |       count(CASE WHEN novelty <= 0.5 THEN 1 END) AS n_boilerplate
+         |FROM nov JOIN documents USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** Embedding cosine near-dup pair CTEs, shared by the q22 oracle and the

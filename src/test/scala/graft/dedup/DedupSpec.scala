@@ -104,4 +104,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(cont == Set(evalIds(0)))
   }
+
+  test("ngram novelty: exact dup scores 0, fresh doc scores 1, partial copy in between") {
+    val corpus = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s1", "alpha beta gamma delta epsilon zeta"),       // exact dup → every gram shared
+      (3L, "s1", "one two three four five six seven"),         // all grams unique
+      (4L, "s2", "alpha beta gamma omicron sigma upsilon tau") // shares 'alpha beta gamma' only
+    ).toDF("doc_id", "source", "text")
+    val nov = NgramNovelty.docNovelty(corpus, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
+    assert(nov(1L) == 0.0 && nov(2L) == 0.0)
+    assert(nov(3L) == 1.0)
+    assert(nov(4L) > 0.0 && nov(4L) < 1.0) // the one shared gram drags it under 1
+    val prof = NgramNovelty.noveltyProfile(corpus, "doc_id", "text", "source", 3, 0.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(prof("s1") == ((3L, 2L))) // docs 1,2 flagged boilerplate; doc 3 not
+    assert(prof("s2")._2 == 0L)
+  }
 }
