@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LINK-GRAPH EXTRACTION from crawled HTML — the step between WARC
+  * ingestion ([[graft.ingest.WarcParser]], q60/q74) and the graph
+  * analytics already in the engine (PageRank q67, BFS q62): pages in,
+  * `(src, dst)` edge table out, with relative hrefs resolved against the
+  * page URI. In a crawl pipeline this edge table drives frontier
+  * expansion, per-domain in-degree quality priors, and link-spam
+  * detection.
+  *
+  * Scale shape: extraction is a NARROW pass — `regexp_extract_all` +
+  * `explode` + column-only URL resolution (no UDF, no shuffle); the edge
+  * table lands already keyed for whatever comes next, and `degrees` is
+  * one partial-aggregated groupBy per side. At 100 TB the only shuffles
+  * are the degree aggregations, both map-side combined; hub pages (the
+  * in-degree skew case) collapse per partition before the exchange.
+  *
+  * Resolution rules (column expressions only):
+  *   - `http(s)://...` absolute hrefs pass through;
+  *   - `/rooted` paths resolve to `scheme://host/rooted`;
+  *   - `relative.html` resolves into the page URI's directory;
+  *   - `mailto:`/`javascript:`/`data:` schemes and fragment-only (`#...`)
+  *     hrefs are dropped, and a trailing `#fragment` is trimmed.
+  */
+object LinkGraph {
+
+  private val HrefRe = """<a[^>]*\bhref\s*=\s*["']([^"']+)["']"""
+
+  /** `(src, dst)` — distinct resolved link edges from an HTML page table. */
+  def edges(pages: DataFrame, uriCol: String, htmlCol: String): DataFrame = {
+    // all parts derive from the post-rename `src` column — the explode
+    // projection below drops the original uriCol name
+    val src = col("src")
+    val proto = lower(parse_url(src, lit("PROTOCOL")))
+    val hostPort = parse_url(src, lit("AUTHORITY"))
+    val dir = regexp_replace(parse_url(src, lit("PATH")), "/[^/]*$", "")
+    val href = regexp_replace(col("_href"), "#.*$", "") // trim fragment
+    val resolved: Column =
+      when(href.rlike("^https?://"), href)
+        .when(href.startsWith("/"), concat(proto, lit("://"), hostPort, href))
+        .otherwise(concat(proto, lit("://"), hostPort, dir, lit("/"), href))
+    pages
+      .select(col(uriCol).as("src"),
+        explode(regexp_extract_all(col(htmlCol), lit(HrefRe), lit(1))).as("_href"))
+      .filter(!col("_href").rlike("^(mailto:|javascript:|data:|#)"))
+      .filter(href =!= "") // href was ONLY a fragment + trailing junk
+      .select(col("src"), resolved.as("dst"))
+      .distinct()
+  }
+
+  /** Per-page degree table: `(page, out_deg, in_deg)` — pages appearing
+    * only as targets carry `out_deg` 0, dangling sources `in_deg` 0.
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("page")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("page")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("page"), "full_outer")
+      .select(col("page"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

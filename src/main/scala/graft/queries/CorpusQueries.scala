@@ -379,6 +379,30 @@ object CorpusQueries {
             .otherwise(0L)).as("n_sampled"),
           max(col("_wbp")).as("target_bp"))
         .orderBy(col("source"))
+    }),
+
+    // Link-graph extraction: deterministic synthetic HTML (absolute,
+    // root-relative, and directory-relative hrefs plus mailto/fragment
+    // noise) → resolved edge table → per-page degrees. The oracle states
+    // every resolved URL in closed form, so agreement proves the
+    // extraction AND the three resolution rules; the degree rollup rides
+    // the same two partial-agg shuffles it would at crawl scale.
+    "q84_link_graph" -> ((s, _) => {
+      import s.implicits._
+      val pages = (0 until 30).map { p =>
+        val uri = s"https://ex${p % 3}.com/d${p / 10}/p$p.html"
+        val q1 = (p * 7 + 1) % 30; val q2 = (p * 7 + 2) % 30; val q3 = (p * 7 + 3) % 30
+        val html =
+          s"""<html><body>
+             |<a class="x" href="https://ex${q1 % 3}.com/d${q1 / 10}/p$q1.html">abs</a>
+             |<a href='/d${q2 / 10}/p$q2.html'>rooted</a>
+             |<a href="p$q3.html#sec">rel</a>
+             |<a href="mailto:x@y.z">m</a><a href="#top">top</a>
+             |</body></html>""".stripMargin
+        (uri, html)
+      }
+      val edges = graft.operators.LinkGraph.edges(pages.toDF("uri", "html"), "uri", "html")
+      graft.operators.LinkGraph.degrees(edges).orderBy(col("page"))
     })
   )
 
@@ -590,6 +614,26 @@ object CorpusQueries {
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_total,
          |       CAST(count(*) FILTER (WHERE $mixHashSql < $mixBpSql) AS BIGINT) AS n_sampled,
          |       CAST($mixBpSql AS BIGINT) AS target_bp
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q84_link_graph" ->
+      """WITH pg AS (
+        |  SELECT p, (p*7+1)%30 AS q1, (p*7+2)%30 AS q2, (p*7+3)%30 AS q3,
+        |         'https://ex' || (p%3) || '.com/d' || (p//10) || '/p' || p || '.html' AS src
+        |  FROM (SELECT unnest(generate_series(0, 29)) AS p)),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, 'https://ex' || (q1%3) || '.com/d' || (q1//10) || '/p' || q1 || '.html' AS dst FROM pg
+        |    UNION ALL
+        |    SELECT src, 'https://ex' || (p%3) || '.com/d' || (q2//10) || '/p' || q2 || '.html' FROM pg
+        |    UNION ALL
+        |    SELECT src, 'https://ex' || (p%3) || '.com/d' || (p//10) || '/p' || q3 || '.html' FROM pg)),
+        |o AS (SELECT src AS page, count(*) AS out_deg FROM edges GROUP BY src),
+        |i AS (SELECT dst AS page, count(*) AS in_deg FROM edges GROUP BY dst)
+        |SELECT coalesce(o.page, i.page) AS page,
+        |       CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+        |       CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
+        |FROM o FULL OUTER JOIN i ON o.page = i.page
+        |ORDER BY page""".stripMargin
   )
 }
