@@ -61,6 +61,14 @@ object SearchQueries {
         .orderBy(col("label"))
     }),
 
+    // Embedding outlier quarantine: points anti-correlated (cos < 0) with
+    // their own label centroid — q81's point-level companion. Broadcast
+    // centroid join; the only big-table shuffle is the dim-keyed mean.
+    "q85_embed_outlier" -> ((s, dir) =>
+      graft.search.EmbedOutliers.outliers(
+        Tables.embeddings(s, dir), "vec_id", "label", "embedding", 0.0)
+        .orderBy(col("id"))),
+
     // Result snippets: the display window between ranking and the user —
     // BM25 top-10, each with the first query-term hit position and the
     // fixed-width token window around it (codegen HOFs riding the same
@@ -197,6 +205,17 @@ object SearchQueries {
         |       round(avg(cs), 6) AS avg_cos,
         |       round(min(cs), 6) AS min_cos
         |FROM d GROUP BY label ORDER BY label""".stripMargin,
+
+    "q85_embed_outlier" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT label, i, avg(v[i]) AS m
+        |      FROM e, generate_series(1, 64) g(i) GROUP BY label, i),
+        |c AS (SELECT label, list(m ORDER BY i) AS cent FROM m GROUP BY label),
+        |d AS (SELECT e.vec_id, e.label, list_cosine_similarity(e.v, c.cent) AS cs
+        |      FROM e JOIN c USING (label))
+        |SELECT vec_id AS id, CAST(label AS BIGINT) AS grp,
+        |       round(cs, 6) AS cos_centroid
+        |FROM d WHERE cs < 0.0 ORDER BY id""".stripMargin,
 
     "q75_snippets" ->
       s"""WITH $bm25Cte,
