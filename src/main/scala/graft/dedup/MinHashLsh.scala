@@ -132,4 +132,46 @@ object MinHashLsh {
     bk.unpersist()
     pairs
   }
+
+  /** CALIBRATION REPORT — estimated vs EXACT jaccard for every LSH
+    * candidate pair, bucketed by signature agreement count. This is how
+    * the NumPerm/RowsPerBand knobs get tuned with evidence instead of
+    * folklore: per agreement level it reports the pair count, the mean
+    * estimate, the mean true jaccard over the word-3-shingle sets, and
+    * the estimator's signed bias.
+    *
+    * Scale shape: true jaccard is computed ONLY for the (sparse) LSH
+    * candidate set and via GRAM-KEYED equi-joins — pair × gram fan-out
+    * bounded by candidate shingle counts, never a text re-read or a
+    * doc×doc scan. Gram sets dedup on the 31-bit hash value on BOTH
+    * engines, so a (vanishingly rare) in-doc hash collision cannot skew
+    * the set sizes differently per engine.
+    */
+  def calibration(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = candidatePairs(docs, idCol, textCol)
+    val grams = Decontamination.docGrams(docs, idCol, textCol, 3)
+      .distinct() // set semantics on the HASH value (see scaladoc)
+      .persist()
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs.select(col("doc_a"), col("doc_b"))
+      .join(grams.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val scored = pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left") // band-collision pairs can share 0 grams
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("_sa")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("_sb")), Seq("doc_b"))
+      .withColumn("_ni", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("_exact", col("_ni") / (col("_sa") + col("_sb") - col("_ni")))
+    val out = scored
+      .withColumn("n_agree", round(col("est_jaccard") * NumPerm, 0).cast("long"))
+      .groupBy(col("n_agree"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("est_jaccard")), 6).as("avg_est"),
+        round(avg(col("_exact")), 6).as("avg_exact"),
+        round(avg(col("est_jaccard") - col("_exact")), 6).as("bias"))
+      .localCheckpoint(true)
+    grams.unpersist()
+    out
+  }
 }

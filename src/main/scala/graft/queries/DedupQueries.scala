@@ -81,7 +81,15 @@ object DedupQueries {
     "q83_ngram_novelty" -> ((s, dir) =>
       NgramNovelty.noveltyProfile(Tables.documents(s, dir), "doc_id", "text",
         "source", 3, 0.5)
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // MinHash estimator calibration: per signature-agreement level, the
+    // candidate count and mean estimated vs TRUE shingle-set jaccard —
+    // exact jaccard computed only for the sparse LSH candidate set via
+    // gram-keyed joins.
+    "q86_minhash_calibration" -> ((s, dir) =>
+      MinHashLsh.calibration(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("n_agree")))
   )
 
   private val hash31 = "CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647"
@@ -225,7 +233,32 @@ object DedupQueries {
          |       round(min(novelty), 6) AS min_novelty,
          |       count(CASE WHEN novelty <= 0.5 THEN 1 END) AS n_boilerplate
          |FROM nov JOIN documents USING (doc_id)
-         |GROUP BY source ORDER BY source""".stripMargin
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q86_minhash_calibration" ->
+      s"""WITH $minhashCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT doc_a, doc_b,
+         |         list_sum(list_transform(generate_series(1, 12),
+         |           i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS n_agree
+         |  FROM pairs),
+         |hs2 AS (SELECT doc_id, list_distinct(hs) AS hs FROM hashes),
+         |ex AS (
+         |  SELECT e.doc_a, e.doc_b, e.n_agree, e.n_agree / 12.0 AS est,
+         |         len(list_intersect(ha.hs, hb.hs))
+         |           / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS exact
+         |  FROM est e JOIN hs2 ha ON ha.doc_id = e.doc_a
+         |              JOIN hs2 hb ON hb.doc_id = e.doc_b)
+         |SELECT CAST(n_agree AS BIGINT) AS n_agree,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       round(avg(est), 6) AS avg_est,
+         |       round(avg(exact), 6) AS avg_exact,
+         |       round(avg(est - exact), 6) AS bias
+         |FROM ex GROUP BY n_agree ORDER BY n_agree""".stripMargin
   )
 
   /** Embedding cosine near-dup pair CTEs, shared by the q22 oracle and the

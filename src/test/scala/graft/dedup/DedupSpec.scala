@@ -105,6 +105,18 @@ class DedupSpec extends SparkSpec {
     assert(cont == Set(evalIds(0)))
   }
 
+  test("minhash calibration: exact dups land in the 12-agree bucket with zero bias") {
+    val cal = MinHashLsh.calibration(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // docs 1 and 2 are exact duplicates: full signature agreement, true
+    // jaccard 1.0, and therefore zero estimator bias in that bucket
+    val (nPairs, avgEst, avgExact, bias) = cal(12L)
+    assert(nPairs >= 1L && avgEst == 1.0 && avgExact == 1.0 && bias == 0.0)
+    // every bucket's exact jaccard stays in [0, 1]
+    cal.values.foreach { case (_, _, ex, _) => assert(ex >= 0.0 && ex <= 1.0) }
+  }
+
   test("ngram novelty: exact dup scores 0, fresh doc scores 1, partial copy in between") {
     val corpus = Seq(
       (1L, "s1", "alpha beta gamma delta epsilon zeta"),
