@@ -154,6 +154,14 @@ object PipelineQueries {
     // per-rule failure breakdown (length / mean-word-length / symbol ratio
     // / stopword evidence). Each rule is a pure column expression shared
     // with the q24 metrics, so the filter is a single codegen map pass.
+    // End-to-end curation funnel: lang → quality → exact dedup → novelty,
+    // each stage feeding the next, with survivor counts and input share —
+    // the LLM-data analog of q32's code-memory e2e.
+    "q87_curation_funnel" -> ((s, dir) =>
+      graft.operators.CurationFunnel.report(Tables.documents(s, dir),
+        "doc_id", "text", "en", TextQueries.Stopwords, 0.5)
+        .orderBy(col("stage"))),
+
     "q41_quality" -> ((s, dir) => {
       import graft.functions.TextOps
       val w = TextOps.words(col("text"))
@@ -342,6 +350,45 @@ object PipelineQueries {
          |)
          |SELECT vec_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS csize
          |FROM lab""".stripMargin,
+
+    "q87_curation_funnel" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS w
+         |  FROM documents),
+         |s1 AS (SELECT * FROM d WHERE ${TextQueries.langGuessSql} = 'en'),
+         |s2 AS (SELECT doc_id, text FROM s1 WHERE
+         |         len(w) BETWEEN 20 AND 100000
+         |         AND (CASE WHEN len(w) = 0 THEN 0.0
+         |              ELSE list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w) END) BETWEEN 3.0 AND 10.0
+         |         AND (CASE WHEN len(text) = 0 THEN 0.0
+         |              ELSE (len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) * 1.0 / len(text) END) < 0.1
+         |         AND len(list_intersect(list_distinct(w),
+         |             [${TextQueries.Stopwords.map(s => s"'$s'").mkString(", ")}])) >= 2),
+         |s3 AS (SELECT s2.doc_id, s2.text FROM s2
+         |       JOIN (SELECT md5(text) AS h, min(doc_id) AS k FROM s2 GROUP BY 1) f
+         |         ON md5(s2.text) = f.h AND s2.doc_id = f.k),
+         |t3 AS (SELECT doc_id,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+         |       FROM s3),
+         |g3 AS (SELECT DISTINCT doc_id,
+         |         CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) % 2147483647 AS gram
+         |       FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+         |             i -> array_to_string(t[i:i+2], ' '))) AS g FROM t3)),
+         |df3 AS (SELECT gram, count(*) AS df FROM g3 GROUP BY gram),
+         |nov AS (SELECT doc_id, count(CASE WHEN df = 1 THEN 1 END) / count(*) AS novelty
+         |        FROM g3 JOIN df3 USING (gram) GROUP BY doc_id),
+         |s4 AS (SELECT s3.doc_id FROM s3 JOIN nov USING (doc_id) WHERE novelty > 0.5),
+         |funnel AS (
+         |  SELECT 0 AS stage, 'all' AS filter, count(*) AS n_docs FROM d
+         |  UNION ALL SELECT 1, 'lang', count(*) FROM s1
+         |  UNION ALL SELECT 2, 'quality', count(*) FROM s2
+         |  UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3
+         |  UNION ALL SELECT 4, 'novelty', count(*) FROM s4)
+         |SELECT CAST(stage AS BIGINT) AS stage, filter,
+         |       CAST(n_docs AS BIGINT) AS n_docs,
+         |       n_docs / (SELECT count(*) FROM d) AS share
+         |FROM funnel ORDER BY stage""".stripMargin,
 
     "q41_quality" ->
       s"""WITH m AS (

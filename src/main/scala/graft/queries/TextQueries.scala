@@ -164,7 +164,7 @@ object TextQueries {
     if (profile.isEmpty) "0"
     else s"len(list_filter(w, t -> t IN (${profile.map(p => s"'$p'").mkString(", ")})))"
 
-  private val langGuessSql: String = {
+  private[queries] val langGuessSql: String = {
     val ordered = TextOps.LangProfiles.sortBy(_._1)
     val scores = ordered.map { case (l, p) => l -> langScoreSql(p) }
     // same fold as TextOps.langGuess: first lang (sorted) whose score >= all
