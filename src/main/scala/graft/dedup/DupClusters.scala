@@ -80,4 +80,29 @@ object DupClusters {
     sym.unpersist()
     out
   }
+
+  /** REPRESENTATIVE ELECTION — per duplicate cluster, keep the member
+    * with the highest score (ties → smallest node id). This is the
+    * end-step a curation pipeline actually runs after clustering: "keep
+    * the most complete copy", not "keep whichever came first".
+    *
+    * Scale shape: ONE partial-aggregated groupBy on cluster_id taking
+    * `max(struct(score, -node))` — a giant boilerplate family collapses
+    * map-side; never a window over the cluster (the ParagraphDedup skew
+    * lesson applied).
+    *
+    * `scores` maps `scoreNodeCol` → `scoreCol` (e.g. doc_id → n_chars).
+    */
+  def representatives(clusters: DataFrame, nodeCol: String, clusterCol: String,
+                      scores: DataFrame, scoreNodeCol: String, scoreCol: String): DataFrame =
+    clusters
+      .join(scores.select(col(scoreNodeCol).cast("long").as(nodeCol),
+        col(scoreCol).cast("long").as("_score")), Seq(nodeCol))
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("_score").as("s"), (-col(nodeCol)).as("negId"))).as("_best"))
+      .select(col(clusterCol),
+        (-col("_best.negId")).as("rep"),
+        col("_best.s").as("rep_score"),
+        col("n_members"))
 }

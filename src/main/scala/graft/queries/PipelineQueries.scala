@@ -70,6 +70,19 @@ object PipelineQueries {
         .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
     }),
 
+    // Keep-best dedup: elect each duplicate cluster's most complete
+    // member (max n_chars, tie → min doc_id) via one partial-agg
+    // max(struct) — the curation end-step after q36's clustering.
+    "q89_cluster_rep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val edges = MinHashLsh.candidatePairs(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val clusters = DupClusters.components(edges, "doc_a", "doc_b")
+      DupClusters.representatives(clusters, "node", "cluster_id",
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+        .orderBy(col("cluster_id"))
+    }),
+
     // Deterministic Lloyd k-means (k=8, 2 iterations) over the embedding
     // corpus; output = cluster populations + first centroid component as a
     // fit witness. The same recipe unrolls into the DuckDB oracle.
@@ -260,6 +273,34 @@ object PipelineQueries {
          |)
          |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS csize
          |FROM lab""".stripMargin,
+
+    "q89_cluster_rep" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  WHERE list_sum(list_transform(generate_series(1, 12),
+         |          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) >= 6
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), reach(node, m) AS (
+         |  SELECT DISTINCT src AS node, src AS m FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst AS m FROM reach r JOIN edges e ON r.m = e.src
+         |), lab AS (
+         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+         |), r AS (
+         |  SELECT l.cluster_id, l.doc_id, d.n_chars,
+         |         row_number() OVER (PARTITION BY l.cluster_id
+         |                            ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+         |  FROM lab l JOIN documents d USING (doc_id))
+         |SELECT cluster_id, doc_id AS rep, CAST(n_chars AS BIGINT) AS rep_score,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "q37_kmeans" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

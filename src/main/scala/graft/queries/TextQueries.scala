@@ -56,6 +56,13 @@ object TextQueries {
         .select(col("doc_id"), TextOps.fingerprint("text").as("fp")))
     ,
 
+    // Winnowed (MOSS) sketch summary: window-min selection over the
+    // word-3-gram hash sequence (w=4, rightmost tie), per-doc sketch
+    // size + exact hash-sum digest. One JIT'd map pass, no shuffle.
+    "q88_winnowing" -> ((s, dir) =>
+      graft.functions.Winnowing.sketches(Tables.documents(s, dir),
+        "doc_id", "text", 3, 4)),
+
     // Zipf vocabulary profile: top-30 terms with rank, frequency, and
     // cumulative corpus share — the rank-frequency curve a corpus report
     // leads with. One explode+count shuffle; rank and running share via a
@@ -229,6 +236,28 @@ object TextQueries {
          |                     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647)),
          |    (acc, h) -> (acc * 31 + h) % ${TextOps.FpMod}) AS fp
          |FROM documents""".stripMargin,
+
+    "q88_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id, list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> CAST(('0x'||substr(md5(array_to_string(t[i:i+2], ' ')),1,15)) AS BIGINT) % 2147483647) AS h
+        |  FROM toks
+        |), sel AS (
+        |  SELECT doc_id, len(h) AS n_grams, h,
+        |    CASE WHEN len(h) = 0 THEN []
+        |         WHEN len(h) < 4 THEN [len(h) - list_position(list_reverse(h), list_min(h)) + 1]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(h) - 3),
+        |           i -> i + 4 - list_position(list_reverse(h[i:i+3]), list_min(h[i:i+3]))))
+        |    END AS pos
+        |  FROM hs)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |       CAST(len(pos) AS BIGINT) AS n_sel,
+        |       CAST(coalesce(list_sum(list_transform(pos, p -> h[p])), 0) AS BIGINT) AS fp_sum
+        |FROM sel""".stripMargin,
 
     "q78_zipf" ->
       """WITH t AS (

@@ -71,4 +71,17 @@ class PipelineSpec extends SparkSpec {
     // centroid components carry the 6dp rounding contract
     assert(a.forall(_._2.forall(x => (math.round(x * 1e6) / 1e6) == x)))
   }
+
+  test("cluster representatives: max score wins, ties break to the smallest id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L), (10L, 9L))
+      .toDF("node", "cluster_id")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (9L, 4L), (10L, 4L))
+      .toDF("doc_id", "n_chars")
+    val reps = DupClusters.representatives(clusters, "node", "cluster_id",
+      scores, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(reps(1L) == ((2L, 9L, 3L)))  // 2 and 3 tie at 9 -> smaller id 2
+    assert(reps(9L) == ((9L, 4L, 2L)))  // tie at 4 -> id 9
+  }
 }
