@@ -69,6 +69,18 @@ object SearchQueries {
         Tables.embeddings(s, dir), "vec_id", "label", "embedding", 0.0)
         .orderBy(col("id"))),
 
+    // Johnson–Lindenstrauss sign projection 64→16 (hash-derived matrix,
+    // no RNG); first 4 output components as the per-row witness.
+    "q90_random_projection" -> ((s, dir) =>
+      graft.functions.RandomProjection.project(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 64, 16)
+        .select(col("id").as("vec_id"),
+          round(element_at(col("y"), 1), 6).as("y1"),
+          round(element_at(col("y"), 2), 6).as("y2"),
+          round(element_at(col("y"), 3), 6).as("y3"),
+          round(element_at(col("y"), 4), 6).as("y4"))
+        .orderBy(col("vec_id"))),
+
     // Result snippets: the display window between ranking and the user —
     // BM25 top-10, each with the first query-term hit position and the
     // fixed-width token window around it (codegen HOFs riding the same
@@ -216,6 +228,17 @@ object SearchQueries {
         |SELECT vec_id AS id, CAST(label AS BIGINT) AS grp,
         |       round(cs, 6) AS cos_centroid
         |FROM d WHERE cs < 0.0 ORDER BY id""".stripMargin,
+
+    "q90_random_projection" -> {
+      def comp(j: Int): String =
+        s"""round(list_sum(list_transform(generate_series(1, 64), i -> v[i] *
+           |  (CASE WHEN (CAST(('0x'||substr(md5('rp:'||i||':'||$j),1,15)) AS BIGINT)
+           |              % 2147483647) % 2 = 0 THEN 1 ELSE -1 END))) * 0.25, 6) AS y$j""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id,
+         |${(1 to 4).map(comp).mkString(",\n")}
+         |FROM e ORDER BY vec_id""".stripMargin
+    },
 
     "q75_snippets" ->
       s"""WITH $bm25Cte,
