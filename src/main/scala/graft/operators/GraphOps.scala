@@ -78,4 +78,55 @@ object GraphOps {
     }
     visited
   }
+
+  /** SYNCHRONOUS LABEL PROPAGATION (fixed rounds): seeds keep their
+    * label; every other node takes each round the MAJORITY label among
+    * its labeled neighbors (ties → lexicographically smallest label),
+    * keeping its previous label when no neighbor is labeled yet. The
+    * semi-supervised companion to [[pageRank]]/[[bfs]]: spread sparse
+    * trusted annotations (licenses, topics, source classes) across a
+    * similarity graph.
+    *
+    * Shape: per round, ONE edge×labels equi-join, a partial-aggregated
+    * (node, label) vote count, then a max-count argmax resolved with a
+    * second tiny agg — no window over a node's whole neighborhood, so a
+    * hub node's votes collapse map-side. One checkpoint per round keeps
+    * the plan constant-size (the [[graft.dedup.DupClusters]] lineage
+    * discipline). Fixed `rounds` (not convergence) keeps cost bounded and
+    * the result replayable in any engine.
+    *
+    * Returns `(node, lbl, is_seed)` for every node of the edge set;
+    * `lbl` is null for nodes no label ever reached.
+    */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, nodeCol: String, labelCol: String,
+                     rounds: Int): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst")).distinct().localCheckpoint(true)
+    val sym = e0.unionByName(
+      e0.select(col("_dst").as("_src"), col("_src").as("_dst"))).distinct()
+      .localCheckpoint(true)
+    val nodes = sym.select(col("_src").as("node")).distinct()
+    var labels = nodes
+      .join(seeds.select(col(nodeCol).cast("long").as("node"),
+        col(labelCol).cast("string").as("lbl")), Seq("node"), "left")
+      .withColumn("is_seed", col("lbl").isNotNull)
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.filter(col("lbl").isNotNull)
+          .select(col("node").as("_dst"), col("lbl")), Seq("_dst"))
+        .groupBy(col("_src"), col("lbl")).agg(count(lit(1)).as("_c"))
+      val top = votes.groupBy(col("_src")).agg(max(col("_c")).as("_c"))
+      val best = votes.join(top, Seq("_src", "_c"))
+        .groupBy(col("_src").as("node")).agg(min(col("lbl")).as("_vote"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed"), col("lbl"))
+            .otherwise(coalesce(col("_vote"), col("lbl"))).as("lbl"),
+          col("is_seed"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

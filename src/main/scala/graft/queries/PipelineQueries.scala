@@ -70,6 +70,23 @@ object PipelineQueries {
         .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
     }),
 
+    // Semi-supervised label propagation: every 5th doc seeds its source
+    // label; 2 synchronous majority rounds over the minhash similarity
+    // graph (ties → smallest label). Vote counts partial-agg per
+    // (node, label) — no neighborhood window.
+    "q91_label_prop" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val edges = MinHashLsh.candidatePairs(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val seeds = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("source"))
+      graft.operators.GraphOps.labelPropagate(edges, "doc_a", "doc_b",
+        seeds, "doc_id", "source", 2)
+        .select(col("node"), coalesce(col("lbl"), lit("unlabeled")).as("lbl"),
+          col("is_seed").cast("long").as("is_seed"))
+        .orderBy(col("node"))
+    }),
+
     // Keep-best dedup: elect each duplicate cluster's most complete
     // member (max n_chars, tie → min doc_id) via one partial-agg
     // max(struct) — the curation end-step after q36's clustering.
@@ -273,6 +290,47 @@ object PipelineQueries {
          |)
          |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS csize
          |FROM lab""".stripMargin,
+
+    "q91_label_prop" ->
+      s"""WITH ${DedupQueries.minhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  WHERE list_sum(list_transform(generate_series(1, 12),
+         |          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) >= 6
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), n AS (SELECT DISTINCT src AS node FROM edges),
+         |l0 AS (
+         |  SELECT n.node, CASE WHEN n.node % 5 = 0 THEN d.source END AS lbl,
+         |         n.node % 5 = 0 AS is_seed
+         |  FROM n JOIN documents d ON d.doc_id = n.node),
+         |v1 AS (SELECT e.src, l.lbl, count(*) AS c FROM edges e
+         |       JOIN l0 l ON l.node = e.dst WHERE l.lbl IS NOT NULL
+         |       GROUP BY e.src, l.lbl),
+         |b1 AS (SELECT src, lbl FROM (
+         |         SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+         |         FROM v1) WHERE rn = 1),
+         |l1 AS (SELECT l0.node,
+         |              CASE WHEN l0.is_seed THEN l0.lbl ELSE coalesce(b1.lbl, l0.lbl) END AS lbl,
+         |              l0.is_seed
+         |       FROM l0 LEFT JOIN b1 ON b1.src = l0.node),
+         |v2 AS (SELECT e.src, l.lbl, count(*) AS c FROM edges e
+         |       JOIN l1 l ON l.node = e.dst WHERE l.lbl IS NOT NULL
+         |       GROUP BY e.src, l.lbl),
+         |b2 AS (SELECT src, lbl FROM (
+         |         SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+         |         FROM v2) WHERE rn = 1),
+         |l2 AS (SELECT l1.node,
+         |              CASE WHEN l1.is_seed THEN l1.lbl ELSE coalesce(b2.lbl, l1.lbl) END AS lbl,
+         |              l1.is_seed
+         |       FROM l1 LEFT JOIN b2 ON b2.src = l1.node)
+         |SELECT node, coalesce(lbl, 'unlabeled') AS lbl,
+         |       CAST(is_seed AS BIGINT) AS is_seed
+         |FROM l2 ORDER BY node""".stripMargin,
 
     "q89_cluster_rep" ->
       s"""WITH RECURSIVE ${DedupQueries.minhashCtes},

@@ -61,4 +61,24 @@ class GraphOpsSpec extends SparkSpec {
     // n3 is 2 hops from n1 but 1 from n5 -> depth 1; n4 at depth 2 via n5
     assert(out == Map("n1" -> 0L, "n5" -> 0L, "n2" -> 1L, "n3" -> 1L, "n4" -> 2L))
   }
+
+  test("label propagation: majority wins, ties break to the smaller label, seeds stay fixed") {
+    // node 3 neighbors two 'a' seeds (1, 2) and one 'b' seed (4) -> 'a';
+    // node 5 reaches a label only via node 3's round-1 result (round 2);
+    // node 6 neighbors one 'a' (1) and one 'b' (4) seed -> tie -> 'a';
+    // seed 4 keeps 'b' even though its neighbors vote 'a'
+    val edges = Seq((1L, 3L), (2L, 3L), (4L, 3L), (3L, 5L), (1L, 6L), (4L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, "a"), (2L, "a"), (4L, "b")).toDF("node", "lbl")
+    val out = GraphOps.labelPropagate(edges, "src", "dst", seeds, "node", "lbl", 2)
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), r.getBoolean(2))).toMap
+    assert(out(3L) == ((Some("a"), false)))
+    assert(out(5L) == ((Some("a"), false))) // reached only in round 2
+    assert(out(6L) == ((Some("a"), false))) // 1-1 tie -> lexicographically smaller
+    assert(out(4L) == ((Some("b"), true)))  // seed immutable
+    // one round only: node 5 still unlabeled
+    val r1 = GraphOps.labelPropagate(edges, "src", "dst", seeds, "node", "lbl", 1)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(r1(5L).isEmpty)
+  }
 }
