@@ -63,6 +63,23 @@ object TextQueries {
       graft.functions.Winnowing.sketches(Tables.documents(s, dir),
         "doc_id", "text", 3, 4)),
 
+    // Learned-BPE token counting: fit 8 merges on the corpus (one word
+    // frequency pass, then vocab-table-only iterations), encode every
+    // doc, roll up per source. The fit's data-dependent iterative argmax
+    // has no SQL replay → deliberately absent from oracleSql (driver
+    // records the rows-only check, like q32).
+    "q92_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.functions.BpeTokenizer.fit(docs, "text", 8)
+      graft.functions.BpeTokenizer.tokenCounts(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pretok")).as("sum_pretok"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Zipf vocabulary profile: top-30 terms with rank, frequency, and
     // cumulative corpus share — the rank-frequency curve a corpus report
     // leads with. One explode+count shuffle; rank and running share via a
