@@ -403,6 +403,32 @@ object CorpusQueries {
       }
       val edges = graft.operators.LinkGraph.edges(pages.toDF("uri", "html"), "uri", "html")
       graft.operators.LinkGraph.degrees(edges).orderBy(col("page"))
+    }),
+
+    // Per-source vocabulary KL divergence vs the corpus unigram
+    // distribution — the domain-shift diagnostic a mixing plan reads
+    // before weighting sources. Term-keyed partial-agg counts + one
+    // broadcast 1-row corpus total; KL sums per source with map-side
+    // combine (no windows, no doc pairs).
+    "q93_kl_divergence" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.TextOps.words(col("text"))).as("t"))
+        .filter(length(col("t")) > 1)
+      val st = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      val ct = toks.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+      val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val n = toks.agg(count(lit(1)).as("n_corpus"))
+      st.join(ct, Seq("t"))
+        .join(ns, Seq("source"))
+        .crossJoin(broadcast(n)) // 1 row
+        .withColumn("_kl", (col("c") / col("n_s")) *
+          log((col("c") / col("n_s")) / (col("ct") / col("n_corpus"))))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          round(sum(col("_kl")), 6).as("kl"))
+        .orderBy(col("source"))
     })
   )
 
@@ -634,6 +660,22 @@ object CorpusQueries {
         |       CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
         |       CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
         |FROM o FULL OUTER JOIN i ON o.page = i.page
-        |ORDER BY page""".stripMargin
+        |ORDER BY page""".stripMargin,
+
+    "q93_kl_divergence" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            x -> len(x) > 1)) AS t
+        |  FROM documents),
+        |st AS (SELECT source, t, count(*) AS c FROM t GROUP BY source, t),
+        |ct AS (SELECT t, count(*) AS ct FROM t GROUP BY t),
+        |ns AS (SELECT source, sum(c) AS n_s FROM st GROUP BY source),
+        |n AS (SELECT count(*) AS n_corpus FROM t)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS vocab,
+        |       round(sum((c / n_s) * ln((c / n_s) / (ct / (SELECT n_corpus FROM n)))), 6) AS kl
+        |FROM st JOIN ct USING (t) JOIN ns USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -69,6 +69,31 @@ object SearchQueries {
         Tables.embeddings(s, dir), "vec_id", "label", "embedding", 0.0)
         .orderBy(col("id"))),
 
+    // Retrieval-quality eval: MRR and precision@10 of the exact kNN path
+    // against same-label relevance, per probe — the regression metric a
+    // search engine publishes. Reuses the q13 ranking contract
+    // (score desc, id asc), self-hit excluded.
+    "q94_search_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      Seq(0L, 100L, 300L).map { pid =>
+        val q = graft.search.KnnSearch.vectorOf(emb, "vec_id", "embedding", pid)
+        val pLabel = emb.filter(col("vec_id") === pid)
+          .select(col("label").cast("long")).head().getLong(0)
+        val w = Window.orderBy(col("score").desc, col("vec_id").asc)
+        graft.search.KnnSearch.topK(
+            emb.filter(col("vec_id") =!= pid), "vec_id", "embedding", q, 10)
+          .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .withColumn("rank", row_number().over(w)) // 10 rows — window is fine
+          .agg(
+            max(when(col("label") === pLabel, round(lit(1.0) / col("rank"), 6)))
+              .as("_rr"),
+            (count(when(col("label") === pLabel, 1)) / 10.0).as("p_at_10"))
+          .select(lit(pid).as("probe"),
+            coalesce(col("_rr"), lit(0.0)).as("rr"), col("p_at_10"))
+      }.reduce(_ unionByName _).orderBy(col("probe"))
+    }),
+
     // Johnson–Lindenstrauss sign projection 64→16 (hash-derived matrix,
     // no RNG); first 4 output components as the per-row witness.
     "q90_random_projection" -> ((s, dir) =>
@@ -228,6 +253,26 @@ object SearchQueries {
         |SELECT vec_id AS id, CAST(label AS BIGINT) AS grp,
         |       round(cs, 6) AS cos_centroid
         |FROM d WHERE cs < 0.0 ORDER BY id""".stripMargin,
+
+    "q94_search_eval" -> {
+      def block(pid: Long): String =
+        s"""SELECT CAST($pid AS BIGINT) AS probe,
+           |       round(coalesce(max(CASE WHEN label = (SELECT label FROM e WHERE vec_id = $pid)
+           |                                THEN 1.0 / rank END), 0), 6) AS rr,
+           |       count(CASE WHEN label = (SELECT label FROM e WHERE vec_id = $pid)
+           |                  THEN 1 END) / 10.0 AS p_at_10
+           |FROM (
+           |  SELECT e.vec_id, e.label,
+           |         row_number() OVER (
+           |           ORDER BY list_cosine_similarity(e.v, (SELECT v FROM e WHERE vec_id = $pid)) DESC,
+           |                    e.vec_id) AS rank
+           |  FROM e WHERE e.vec_id <> $pid
+           |  ORDER BY list_cosine_similarity(e.v, (SELECT v FROM e WHERE vec_id = $pid)) DESC, e.vec_id
+           |  LIMIT 10)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |${Seq(0L, 100L, 300L).map(block).mkString("\nUNION ALL\n")}
+         |ORDER BY probe""".stripMargin
+    },
 
     "q90_random_projection" -> {
       def comp(j: Int): String =
