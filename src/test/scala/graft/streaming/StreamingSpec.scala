@@ -231,4 +231,40 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("rates").count() >= 1)
     } finally q.stop()
   }
+
+  test("streaming near-dup: each micro-batch probes the indexed corpus bands") {
+    // the production ingest shape: a static already-indexed corpus, a
+    // stream of new docs, and per-batch MinHashLsh.newVsCorpus inside
+    // foreachBatch (stream-static; no stream state — the corpus band
+    // table is the state, exactly as it would be at 100 TB)
+    import graft.dedup.MinHashLsh
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "completely unrelated corpus document with other words entirely")
+    ).toDF("doc_id", "text")
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val res = MinHashLsh.newVsCorpus(corpus, batch, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(3)))
+        hits.synchronized { hits ++= res }
+        ()
+      }.start()
+    try {
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog today"))
+      q.processAllAvailable()
+      // one changed trailing word: 3 of 4 bands still collide (verified
+      // against the same md5/affine math the oracle replays)
+      mem.addData((2L, "the quick brown fox jumps over the lazy dog soon"),
+        (3L, "nothing like anything indexed before appears in this text"))
+      q.processAllAvailable()
+      val byDoc = hits.toMap
+      assert(byDoc(1L) == 100L)          // exact dup found across batch 1
+      assert(byDoc.get(2L).contains(100L)) // near-dup found across batch 2
+      assert(!byDoc.contains(3L))        // novel doc produces no candidate
+    } finally q.stop()
+  }
 }
