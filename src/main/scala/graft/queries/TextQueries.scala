@@ -151,6 +151,32 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Bigram LM quality score with add-one smoothing — the sharper OOD
+    // filter over q68's unigram model: score(d) = avg ln((c(a,b)+1) /
+    // (c(a)+V)). Bigram/unigram tables are term-keyed partial aggs; V
+    // and nothing else broadcasts as 1 row. Bottom-20 most-OOD docs.
+    "q95_bigram_lm" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.search.Bm25.tokens(col("text")).as("t"))
+      val bg = docs
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(t, 1, greatest(size(t) - 1, 0)), slice(t, 2, greatest(size(t) - 1, 0)), (x, y) -> struct(x AS a, y AS b))"))
+          .as("u"))
+        .select(col("doc_id"), col("u.a").as("a"), col("u.b").as("b"))
+      val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      val ca = docs.select(explode(col("t")).as("a"))
+        .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      val v = ca.agg(count(lit(1)).as("v"))
+      bg.join(cab, Seq("a", "b"))
+        .join(ca, Seq("a"))
+        .crossJoin(broadcast(v)) // 1 row
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_big"),
+          round(avg(log((col("cab") + lit(1.0)) / (col("ca") + col("v")))), 6).as("lm2"))
+        .orderBy(col("lm2"), col("doc_id"))
+        .limit(20)
+    }),
+
     // PII/URL detection + redaction (graft.functions.PiiScrub). The corpus
     // has no natural contact strings, so the gate derives one per customer
     // row IN-QUERY (identically in both engines) and then verifies the
@@ -253,6 +279,24 @@ object TextQueries {
          |                     s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647)),
          |    (acc, h) -> (acc * 31 + h) % ${TextOps.FpMod}) AS fp
          |FROM documents""".stripMargin,
+
+    "q95_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, u['a'] AS a, u['b'] AS b FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |           i -> {'a': t[i], 'b': t[i+1]})) AS u
+        |    FROM toks)
+        |), cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+        |ca AS (SELECT a, count(*) AS ca FROM (SELECT unnest(t) AS a FROM toks) GROUP BY a),
+        |v AS (SELECT count(*) AS v FROM ca)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big,
+        |       round(avg(ln((cab + 1.0) / (ca + (SELECT v FROM v)))), 6) AS lm2
+        |FROM bg JOIN cab USING (a, b) JOIN ca USING (a)
+        |GROUP BY doc_id ORDER BY lm2, doc_id LIMIT 20""".stripMargin,
 
     "q88_winnowing" ->
       """WITH toks AS (
