@@ -429,6 +429,19 @@ object CorpusQueries {
           count(lit(1)).as("vocab"),
           round(sum(col("_kl")), 6).as("kl"))
         .orderBy(col("source"))
+    }),
+
+    // Portable HLL distinct-count sketch (m=16, md5-31 derived — no RNG,
+    // replayed register-exact by the oracle) vs the exact distinct count
+    // per source. The mergeable-cardinality structure for 100 TB rollups.
+    "q96_hll_distinct" -> ((s, dir) => {
+      import graft.functions.HllSketch
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+      val est = HllSketch.estimate(HllSketch.registers(toks, "source", "w"))
+        .withColumnRenamed("grp", "source")
+      val exact = toks.groupBy(col("source")).agg(countDistinct(col("w")).as("n_exact"))
+      exact.join(est, Seq("source")).orderBy(col("source"))
     })
   )
 
@@ -676,6 +689,32 @@ object CorpusQueries {
         |       CAST(count(*) AS BIGINT) AS vocab,
         |       round(sum((c / n_s) * ln((c / n_s) / (ct / (SELECT n_corpus FROM n)))), 6) AS kl
         |FROM st JOIN ct USING (t) JOIN ns USING (source)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q96_hll_distinct" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1)) AS w
+        |  FROM documents),
+        |d AS (SELECT DISTINCT source, w FROM t),
+        |h AS (SELECT source, CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) % 2147483647 AS h FROM d),
+        |r AS (SELECT source, h % 16 AS j,
+        |             CASE WHEN h // 16 = 0 THEN 28
+        |                  ELSE 27 - (length(bin(h // 16)) - 1) END AS r
+        |      FROM h),
+        |reg AS (SELECT source, j, max(r) AS reg FROM r GROUP BY source, j),
+        |grid AS (SELECT DISTINCT source, g.j FROM reg,
+        |         (SELECT unnest(generate_series(0, 15)) AS j) g),
+        |f AS (SELECT grid.source, grid.j, coalesce(reg.reg, 0) AS reg
+        |      FROM grid LEFT JOIN reg USING (source, j)),
+        |e AS (SELECT source, count(CASE WHEN reg = 0 THEN 1 END) AS n_zero_regs,
+        |             0.673 * 256 / sum(power(2.0, -reg)) AS raw
+        |      FROM f GROUP BY source),
+        |x AS (SELECT source, count(DISTINCT w) AS n_exact FROM t GROUP BY source)
+        |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+        |       CAST(n_zero_regs AS BIGINT) AS n_zero_regs,
+        |       round(CASE WHEN raw <= 40 AND n_zero_regs > 0
+        |                  THEN 16 * ln(16.0 / n_zero_regs) ELSE raw END, 6) AS est
+        |FROM e JOIN x USING (source) ORDER BY source""".stripMargin
   )
 }
