@@ -38,33 +38,46 @@ object CurationFunnel {
   /** Funnel report: `(stage, filter, n_docs, share)` — share is of the
     * unfiltered input (an exact integer ratio; identical doubles in any
     * engine).
+    *
+    * Cost shape: rather than materializing five DataFrames and counting
+    * each (which would re-evaluate the shared filter chain once per
+    * stage), ONE pass tags every doc with its stage-1/2 verdicts and the
+    * dedup election, is checkpointed, and a single aggregate sums the
+    * cumulative survivor flags; only the novelty stage (which must see
+    * exactly the stage-3 survivor corpus) adds its gram-keyed pass on
+    * top.
     */
   def report(docs: DataFrame, idCol: String, textCol: String,
              keepLang: String, stopwords: Seq[String],
              noveltyFloor: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
-    val s1 = base.filter(TextOps.langGuess(col("text")) === keepLang)
-    val s2 = s1.filter(qualityKeep(col("text"), stopwords))
-    val firsts = s2.groupBy(md5(col("text")).as("_h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val s3 = s2.join(firsts, Seq("doc_id"), "left_semi")
-    val s4 = s3.join(
-      NgramNovelty.docNovelty(s3, "doc_id", "text", 3)
-        .filter(col("novelty") > noveltyFloor)
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val stages = Seq(
-      (0, "all", base), (1, "lang", s1), (2, "quality", s2),
-      (3, "exact_dedup", s3), (4, "novelty", s4))
-    val counts = stages.map { case (i, nm, df) =>
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(i.toLong).as("stage"), lit(nm).as("filter"), col("n_docs"))
-    }.reduce(_ unionByName _)
-    counts
-      .crossJoin(broadcast(base.agg(count(lit(1)).as("_n0")))) // 1 row
-      .withColumn("share", col("n_docs") / col("_n0"))
-      .drop("_n0")
+      .withColumn("_ok1", TextOps.langGuess(col("text")) === keepLang)
+      .withColumn("_ok2", col("_ok1") && qualityKeep(col("text"), stopwords))
+    // keep-first election among stage-2 survivors only (same semantics as
+    // filtering first): groupBy(hash).min — partial-agged, no window
+    val firsts = base.filter(col("_ok2"))
+      .groupBy(md5(col("text")).as("_h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).withColumn("_elected", lit(true))
+    val tagged = base.join(firsts, Seq("doc_id"), "left")
+      .withColumn("_ok3", col("_ok2") && coalesce(col("_elected"), lit(false)))
+      .localCheckpoint(true) // one corpus evaluation feeds every count below
+    val s3 = tagged.filter(col("_ok3")).select(col("doc_id"), col("text"))
+    val n4 = NgramNovelty.docNovelty(s3, "doc_id", "text", 3)
+      .filter(col("novelty") > noveltyFloor)
+      .agg(count(lit(1)).as("n")).as[Long].head()
+    val c = tagged.agg(
+      count(lit(1)).as("n0"),
+      count(when(col("_ok1"), 1)).as("n1"),
+      count(when(col("_ok2"), 1)).as("n2"),
+      count(when(col("_ok3"), 1)).as("n3")).head()
+    val rows = Seq(
+      (0L, "all", c.getLong(0)), (1L, "lang", c.getLong(1)),
+      (2L, "quality", c.getLong(2)), (3L, "exact_dedup", c.getLong(3)),
+      (4L, "novelty", n4))
+    rows.toDF("stage", "filter", "n_docs")
+      .withColumn("share", col("n_docs") / lit(c.getLong(0)))
   }
 }
