@@ -70,6 +70,30 @@ object Winnowing {
       }.toDF("doc_id", "pos", "hash")
   }
 
+  /** SHARED-FRAGMENT PAIRS (the MOSS report): documents whose winnowed
+    * sketches share at least `minShared` distinct hashes — evidence of a
+    * copied span, even inside otherwise-unrelated documents.
+    *
+    * Scale shape: a HASH-KEYED self-join (the LSH-banding discipline —
+    * no doc×doc scan); `maxDf` drops hashes present in more than that
+    * many documents BEFORE the join, so one ubiquitous boilerplate
+    * fragment cannot quadratically explode a bucket (ubiquitous text is
+    * [[graft.dedup.NgramNovelty]]'s department, not this operator's).
+    */
+  def sharedFragments(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, w: Int, minShared: Int, maxDf: Int): DataFrame = {
+    val sk = sketchHashes(docs, idCol, textCol, n, w)
+      .select(col("doc_id"), col("hash")).distinct()
+    val rare = sk.groupBy(col("hash")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("hash"))
+    val kept = sk.join(rare, Seq("hash"), "left_semi")
+    kept.select(col("hash"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("hash"), col("doc_id").as("doc_b")), Seq("hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-doc sketch summary `(doc_id, n_grams, n_sel, fp_sum)`:
     * gram-sequence length, selected-position count, and the sum of
     * selected hashes (an order-free exact digest of the sketch; all

@@ -63,6 +63,14 @@ object TextQueries {
       graft.functions.Winnowing.sketches(Tables.documents(s, dir),
         "doc_id", "text", 3, 4)),
 
+    // MOSS shared-fragment pairs: winnowed sketches self-joined on the
+    // hash (df-capped at 50 so boilerplate can't explode a bucket),
+    // pairs sharing ≥ 3 sketch hashes reported.
+    "q97_shared_fragments" -> ((s, dir) =>
+      graft.functions.Winnowing.sharedFragments(Tables.documents(s, dir),
+        "doc_id", "text", 3, 4, 3, 50)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // Learned-BPE token counting: fit 8 merges on the corpus (one word
     // frequency pass, then vocab-table-only iterations), encode every
     // doc, roll up per source. The fit's data-dependent iterative argmax
@@ -297,6 +305,35 @@ object TextQueries {
         |       round(avg(ln((cab + 1.0) / (ca + (SELECT v FROM v)))), 6) AS lm2
         |FROM bg JOIN cab USING (a, b) JOIN ca USING (a)
         |GROUP BY doc_id ORDER BY lm2, doc_id LIMIT 20""".stripMargin,
+
+    "q97_shared_fragments" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id, list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> CAST(('0x'||substr(md5(array_to_string(t[i:i+2], ' ')),1,15)) AS BIGINT) % 2147483647) AS h
+        |  FROM toks
+        |), sel AS (
+        |  SELECT doc_id, h,
+        |    CASE WHEN len(h) = 0 THEN []
+        |         WHEN len(h) < 4 THEN [len(h) - list_position(list_reverse(h), list_min(h)) + 1]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(h) - 3),
+        |           i -> i + 4 - list_position(list_reverse(h[i:i+3]), list_min(h[i:i+3]))))
+        |    END AS pos
+        |  FROM hs
+        |), sk AS (
+        |  SELECT DISTINCT doc_id, h[p] AS hash
+        |  FROM (SELECT doc_id, h, unnest(pos) AS p FROM sel)
+        |), rare AS (
+        |  SELECT hash FROM (SELECT hash, count(*) AS df FROM sk GROUP BY hash) WHERE df <= 50
+        |), k AS (SELECT sk.doc_id, sk.hash FROM sk JOIN rare USING (hash))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM k a JOIN k b ON a.hash = b.hash AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q88_winnowing" ->
       """WITH toks AS (

@@ -29,6 +29,21 @@ class WinnowingSpec extends SparkSpec {
     assert(m(3L) == ((0L, 0L, 0L)))
   }
 
+  test("shared fragments: a copied span pairs the docs; the df cap silences boilerplate") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"first document begins here $span and then trails off elsewhere"),
+      (2L, s"$span opens the second document before unrelated content continues after"),
+      (3L, "third document shares nothing with any of the others at all today")
+    ).toDF("doc_id", "text")
+    val pairs = Winnowing.sharedFragments(docs, "doc_id", "text", 3, 4, 2, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // with maxDf = 1 every shared hash is "boilerplate" and no pair survives
+    val capped = Winnowing.sharedFragments(docs, "doc_id", "text", 3, 4, 1, 1)
+    assert(capped.count() == 0)
+  }
+
   test("guarantee: docs sharing a >= n+w-1 token run share a sketch hash") {
     val shared = "one two three four five six" // 6 tokens = n + w - 1
     val docs = Seq(
