@@ -94,6 +94,20 @@ object SearchQueries {
       }.reduce(_ unionByName _).orderBy(col("probe"))
     }),
 
+    // Product quantization: 8 subspaces × k=4 L2-Lloyd codebooks (2
+    // iterations, 6dp centroid contract). Output = per-subspace code
+    // histogram + first centroid component as the fit witness.
+    "q98_product_quant" -> ((s, dir) => {
+      val (codes, cents) = graft.search.ProductQuant.fit(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 8, 4, 2)
+      codes.groupBy(col("s"), col("cluster")).agg(count(lit(1)).as("n_points"))
+        .join(cents.select(col("s"), col("cluster"),
+          element_at(col("cent"), 1).as("c0")), Seq("s", "cluster"))
+        .select(col("s").cast("long").as("s"), col("cluster"),
+          col("n_points"), col("c0"))
+        .orderBy(col("s"), col("cluster"))
+    }),
+
     // Johnson–Lindenstrauss sign projection 64→16 (hash-derived matrix,
     // no RNG); first 4 output components as the per-row witness.
     "q90_random_projection" -> ((s, dir) =>
@@ -272,6 +286,35 @@ object SearchQueries {
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |${Seq(0L, 100L, 300L).map(block).mkString("\nUNION ALL\n")}
          |ORDER BY probe""".stripMargin
+    },
+
+    "q98_product_quant" -> {
+      def dist(sv: String, cent: String): String =
+        s"list_sum(list_transform(generate_series(1, 8), i -> ($sv[i] - $cent[i]) * ($sv[i] - $cent[i])))"
+      def assignCte(name: String, centsCte: String, keepSv: Boolean): String =
+        s"""$name AS (SELECT vid, s, ${if (keepSv) "sv, " else ""}cluster FROM (
+           |  SELECT sub.vec_id AS vid, sub.s, sub.sv, c.cluster,
+           |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+           |           ORDER BY ${dist("sub.sv", "c.cent")} ASC, c.cluster ASC) AS rn
+           |  FROM sub JOIN $centsCte c ON c.s = sub.s) WHERE rn = 1)""".stripMargin
+      def meanCte(name: String, assignCteName: String): String =
+        s"""$name AS (SELECT s, cluster, list(m ORDER BY i) AS cent FROM (
+           |  SELECT s, cluster, i, round(avg(sv[i]), 6) AS m
+           |  FROM $assignCteName, (SELECT unnest(generate_series(1, 8)) AS i) dims
+           |  GROUP BY s, cluster, i) GROUP BY s, cluster)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sub AS (SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv
+         |        FROM e, (SELECT unnest(generate_series(0, 7)) AS s) ss),
+         |c0 AS (SELECT s, vec_id AS cluster, sv AS cent FROM sub WHERE vec_id < 4),
+         |${assignCte("a1", "c0", keepSv = true)},
+         |${meanCte("c1", "a1")},
+         |${assignCte("a2", "c1", keepSv = true)},
+         |${meanCte("c2", "a2")},
+         |${assignCte("a3", "c2", keepSv = false)}
+         |SELECT CAST(a.s AS BIGINT) AS s, CAST(a.cluster AS BIGINT) AS cluster,
+         |       CAST(count(*) AS BIGINT) AS n_points, max(c.cent[1]) AS c0
+         |FROM a3 a JOIN c2 c ON c.s = a.s AND c.cluster = a.cluster
+         |GROUP BY a.s, a.cluster ORDER BY s, cluster""".stripMargin
     },
 
     "q90_random_projection" -> {
