@@ -442,6 +442,24 @@ object CorpusQueries {
         .withColumnRenamed("grp", "source")
       val exact = toks.groupBy(col("source")).agg(countDistinct(col("w")).as("n_exact"))
       exact.join(est, Seq("source")).orderBy(col("source"))
+    }),
+
+    // Portable count-min sketch (d=4 × w=64, md5-31 derived) probed with
+    // the exact top-20 tokens: est ≥ exact always, equal absent
+    // collisions. The mergeable FREQUENCY companion to q96's HLL — the
+    // pair a 100 TB pipeline keeps per shard for cardinality + heavy
+    // hitters without a term dictionary.
+    "q99_cms_freq" -> ((s, dir) => {
+      import graft.functions.CmsSketch
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+      val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+      val probes = exact.orderBy(col("n_exact").desc, col("w")).limit(20)
+      CmsSketch.estimate(CmsSketch.counters(toks, "w"), probes, "w")
+        .withColumnRenamed("v", "w")
+        .join(broadcast(probes), Seq("w"))
+        .select(col("w"), col("n_exact"), col("est"))
+        .orderBy(col("n_exact").desc, col("w"))
     })
   )
 
@@ -715,6 +733,26 @@ object CorpusQueries {
         |       CAST(n_zero_regs AS BIGINT) AS n_zero_regs,
         |       round(CASE WHEN raw <= 40 AND n_zero_regs > 0
         |                  THEN 16 * ln(16.0 / n_zero_regs) ELSE raw END, 6) AS est
-        |FROM e JOIN x USING (source) ORDER BY source""".stripMargin
+        |FROM e JOIN x USING (source) ORDER BY source""".stripMargin,
+
+    "q99_cms_freq" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1)) AS w
+        |  FROM documents),
+        |x AS (SELECT w, count(*) AS n_exact FROM t GROUP BY w),
+        |p AS (SELECT w, n_exact FROM x ORDER BY n_exact DESC, w LIMIT 20),
+        |rows_ AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |hb AS (SELECT i, CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||'|'||w),1,15)) AS BIGINT)
+        |                 % 2147483647 % 64 AS b
+        |       FROM t, rows_),
+        |c AS (SELECT i, b, count(*) AS cnt FROM hb GROUP BY i, b),
+        |pb AS (SELECT w, n_exact, i,
+        |              CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||'|'||w),1,15)) AS BIGINT)
+        |              % 2147483647 % 64 AS b
+        |       FROM p, rows_),
+        |e AS (SELECT w, n_exact, min(coalesce(c.cnt, 0)) AS est
+        |      FROM pb LEFT JOIN c USING (i, b) GROUP BY w, n_exact)
+        |SELECT w, CAST(n_exact AS BIGINT) AS n_exact, CAST(est AS BIGINT) AS est
+        |FROM e ORDER BY n_exact DESC, w""".stripMargin
   )
 }

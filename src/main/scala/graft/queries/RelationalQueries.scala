@@ -200,6 +200,53 @@ object RelationalQueries {
           count(col("o_orderkey")).as("n_orders"),
           round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"),
           max(col("o_orderdate")).as("last_order"))
+    }),
+
+    // Z-order layout audit: bucket (user_id, ts_micros) to 8 bits each,
+    // interleave to the Morton key, and report the (x, y) rectangle each
+    // 1024-z-value "file" covers. Top 6 z-bits fixed per file → every
+    // file spans ≤ 32 of 256 buckets in EACH dimension, which is exactly
+    // the min/max-stats tightness that lets a 100 TB scan prune on
+    // either column. One agg for min/max + one codegen map + one agg.
+    "q100_zorder" -> ((s, dir) => {
+      import graft.functions.ZOrder
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("x"), unix_micros(col("ts")).as("y"))
+      val m = ev.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+      val b = ev.crossJoin(broadcast(m))
+        .select(
+          ZOrder.bucket(col("x"), col("xmin"), col("xmax")).as("xb"),
+          ZOrder.bucket(col("y"), col("ymin"), col("ymax")).as("yb"))
+      b.withColumn("z", ZOrder.zvalue(col("xb"), col("yb")))
+        .groupBy(shiftright(col("z"), 10).as("zfile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+          min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+        .orderBy(col("zfile"))
+    }),
+
+    // Bloom-filter semi-join pruning: high-value buyers' custkeys →
+    // 1024-bit filter (the only driver materialization, bounded by m);
+    // every customer probed by a pure codegen predicate — the runtime-
+    // filter shape that skips probe rows inside the scan at 100 TB. The
+    // gate counts bloom passes vs exact members per nation: n_pass ≥
+    // n_true always (no false negatives), n_fp = the collision cost.
+    "q101_bloom_prune" -> ((s, dir) => {
+      import graft.functions.BloomFilter
+      val hot = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 495000).select(col("o_custkey"))
+      val probed = BloomFilter.filterColumn(
+        hot, "o_custkey", Tables.customer(s, dir), "c_custkey")
+      val truth = hot.distinct().withColumn("is_true", lit(1L))
+      probed.join(broadcast(truth),
+          probed("c_custkey") === truth("o_custkey"), "left")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_pass"),
+          sum(coalesce(col("is_true"), lit(0L))).as("n_true"))
+        .withColumn("n_fp", col("n_pass") - col("n_true"))
+        .orderBy(col("c_nationkey"))
     })
   )
 
@@ -347,6 +394,39 @@ object RelationalQueries {
         |       max(o_orderdate) AS last_order
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |WHERE c_nationkey = 1
-        |GROUP BY c_custkey, c_name""".stripMargin
+        |GROUP BY c_custkey, c_name""".stripMargin,
+
+    "q100_zorder" ->
+      s"""WITH e AS (SELECT user_id AS x, epoch_us(ts) AS y FROM events),
+         |m AS (SELECT min(x) AS xmin, max(x) AS xmax,
+         |             min(y) AS ymin, max(y) AS ymax FROM e),
+         |b AS (SELECT ((x - xmin) * 256) // (xmax - xmin + 1) AS xb,
+         |             ((y - ymin) * 256) // (ymax - ymin + 1) AS yb
+         |      FROM e, m),
+         |z AS (SELECT xb, yb, ${graft.functions.ZOrder.zvalueSql} AS z FROM b)
+         |SELECT z // 1024 AS zfile, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(xb) AS BIGINT) AS x_min, CAST(max(xb) AS BIGINT) AS x_max,
+         |       CAST(min(yb) AS BIGINT) AS y_min, CAST(max(yb) AS BIGINT) AS y_max
+         |FROM z GROUP BY zfile ORDER BY zfile""".stripMargin,
+
+    "q101_bloom_prune" ->
+      """WITH hv AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 495000),
+        |i AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |bits AS (SELECT DISTINCT
+        |           CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||'|'||CAST(o_custkey AS VARCHAR)),1,15)) AS BIGINT)
+        |           % 2147483647 % 1024 AS pos
+        |         FROM hv, i),
+        |pp AS (SELECT c_custkey, c_nationkey,
+        |           CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||'|'||CAST(c_custkey AS VARCHAR)),1,15)) AS BIGINT)
+        |           % 2147483647 % 1024 AS pos
+        |        FROM customer, i),
+        |pv AS (SELECT c_custkey, max(c_nationkey) AS c_nationkey,
+        |              min(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 ELSE 0 END) AS mc
+        |       FROM pp GROUP BY c_custkey)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(mc) AS BIGINT) AS n_pass,
+        |       CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM hv) THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |       CAST(sum(mc) - sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM hv) THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+        |FROM pv GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   )
 }
