@@ -50,4 +50,42 @@ object Decontamination {
       .select(col("doc_id"), col("split"))
       .distinct()
   }
+
+  /** Containment-scored (eval, train) pairs — the GRADED form of
+    * [[contaminated]]: instead of a binary any-gram flag, score each
+    * candidate pair by |grams(eval) ∩ grams(train)| / |grams(eval)|
+    * (Broder's containment coefficient), the measure benchmark-overlap
+    * audits report so reviewers can separate verbatim inclusions
+    * (≈1.0) from idiom-level overlap.
+    *
+    * Scale shape: still NO doc×doc enumeration — pairs materialize only
+    * through shared gram keys, and train grams shared by more than
+    * `maxDf` train docs are dropped first (one partial-agg count), so a
+    * boilerplate gram fans out at most maxDf× (same recall caveat as the
+    * q97 fragment-pair df cap: ubiquitous grams stop distinguishing
+    * sources anyway). The denominator counts the eval doc's FULL distinct
+    * gram set, so the cap can only lower a score, never inflate it.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, trainPct: Int, valPct: Int,
+                       maxDf: Int, minContainment: Double): DataFrame = {
+    val labels = docs.select(col(idCol).cast("long").as("doc_id"),
+      Splits.splitLabel(col(idCol), trainPct, valPct).as("split"))
+    val grams = docGrams(docs, idCol, textCol, n).join(labels, Seq("doc_id"))
+    val trainG = grams.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("gram"))
+    val keep = trainG.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("gram"))
+    val evalG = grams.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val evalSize = evalG.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval_grams"))
+    evalG.join(keep, Seq("gram"), "left_semi")
+      .join(trainG, Seq("gram"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(evalSize, Seq("eval_id"))
+      .filter(col("n_shared") * lit(1.0) / col("n_eval_grams") >= minContainment)
+      .withColumn("containment",
+        round(col("n_shared") * lit(1.0) / col("n_eval_grams"), 6))
+  }
 }

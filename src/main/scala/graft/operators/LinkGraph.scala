@@ -28,27 +28,55 @@ import org.apache.spark.sql.functions._
 object LinkGraph {
 
   private val HrefRe = """<a[^>]*\bhref\s*=\s*["']([^"']+)["']"""
+  private val AnchorRe = """<a[^>]*\bhref\s*=\s*["']([^"']+)["'][^>]*>([^<]*)</a>"""
+
+  /** Fragment-trimmed href resolved against the page URI in `src`. */
+  private def resolved(href: Column): Column = {
+    val src = col("src")
+    val proto = lower(parse_url(src, lit("PROTOCOL")))
+    val hostPort = parse_url(src, lit("AUTHORITY"))
+    val dir = regexp_replace(parse_url(src, lit("PATH")), "/[^/]*$", "")
+    when(href.rlike("^https?://"), href)
+      .when(href.startsWith("/"), concat(proto, lit("://"), hostPort, href))
+      .otherwise(concat(proto, lit("://"), hostPort, dir, lit("/"), href))
+  }
 
   /** `(src, dst)` — distinct resolved link edges from an HTML page table. */
   def edges(pages: DataFrame, uriCol: String, htmlCol: String): DataFrame = {
     // all parts derive from the post-rename `src` column — the explode
     // projection below drops the original uriCol name
-    val src = col("src")
-    val proto = lower(parse_url(src, lit("PROTOCOL")))
-    val hostPort = parse_url(src, lit("AUTHORITY"))
-    val dir = regexp_replace(parse_url(src, lit("PATH")), "/[^/]*$", "")
     val href = regexp_replace(col("_href"), "#.*$", "") // trim fragment
-    val resolved: Column =
-      when(href.rlike("^https?://"), href)
-        .when(href.startsWith("/"), concat(proto, lit("://"), hostPort, href))
-        .otherwise(concat(proto, lit("://"), hostPort, dir, lit("/"), href))
     pages
       .select(col(uriCol).as("src"),
         explode(regexp_extract_all(col(htmlCol), lit(HrefRe), lit(1))).as("_href"))
       .filter(!col("_href").rlike("^(mailto:|javascript:|data:|#)"))
       .filter(href =!= "") // href was ONLY a fragment + trailing junk
-      .select(col("src"), resolved.as("dst"))
+      .select(col("src"), resolved(href).as("dst"))
       .distinct()
+  }
+
+  /** `(src, dst, anchor)` — one row per link occurrence with its
+    * trimmed inner text: the web-corpus signal that describes a TARGET
+    * page in the words of the pages linking to it (the anchor-text
+    * aggregation behind classic retrieval features and alt document
+    * titles in crawl curation). Href and text come from ONE pattern via
+    * two `regexp_extract_all` group pulls — position-aligned by
+    * construction, paired with `posexplode` + `element_at` (narrow
+    * codegen, no UDF). Duplicates are kept: the same link said twice is
+    * twice the signal, and downstream aggs want occurrence counts.
+    */
+  def anchors(pages: DataFrame, uriCol: String, htmlCol: String): DataFrame = {
+    val href = regexp_replace(col("_href"), "#.*$", "")
+    pages
+      .select(col(uriCol).as("src"),
+        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(1)).as("_hrefs"),
+        regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(2)).as("_texts"))
+      .select(col("src"), col("_texts"),
+        posexplode(col("_hrefs")).as(Seq("_i", "_href")))
+      .filter(!col("_href").rlike("^(mailto:|javascript:|data:|#)"))
+      .filter(href =!= "")
+      .select(col("src"), resolved(href).as("dst"),
+        trim(element_at(col("_texts"), col("_i") + 1)).as("anchor"))
   }
 
   /** Per-page degree table: `(page, out_deg, in_deg)` — pages appearing

@@ -405,6 +405,34 @@ object CorpusQueries {
       graft.operators.LinkGraph.degrees(edges).orderBy(col("page"))
     }),
 
+    // Anchor-text aggregation: q84's synthetic site, now with link inner
+    // text — per TARGET page, how many links point at it and what they
+    // call it (the crawl-curation signal that titles a page in its
+    // neighbors' words). The oracle states every resolved (dst, anchor)
+    // in closed form, so extraction, trimming, alignment of href↔text,
+    // and the noise filters all check.
+    "q103_anchor_text" -> ((s, _) => {
+      import s.implicits._
+      val pages = (0 until 30).map { p =>
+        val uri = s"https://ex${p % 3}.com/d${p / 10}/p$p.html"
+        val q1 = (p * 7 + 1) % 30; val q2 = (p * 7 + 2) % 30; val q3 = (p * 7 + 3) % 30
+        val html =
+          s"""<html><body>
+             |<a class="x" href="https://ex${q1 % 3}.com/d${q1 / 10}/p$q1.html"> page $q1 guide </a>
+             |<a href='/d${q2 / 10}/p$q2.html'>doc $q2</a>
+             |<a href="p$q3.html#sec">ref $q3</a>
+             |<a href="mailto:x@y.z">mail</a><a href="#top">top</a>
+             |</body></html>""".stripMargin
+        (uri, html)
+      }
+      graft.operators.LinkGraph.anchors(pages.toDF("uri", "html"), "uri", "html")
+        .groupBy(col("dst"))
+        .agg(count(lit(1)).as("n_anchors"),
+          countDistinct(col("anchor")).as("n_texts"),
+          min(col("anchor")).as("first_text"))
+        .orderBy(col("dst"))
+    }),
+
     // Per-source vocabulary KL divergence vs the corpus unigram
     // distribution — the domain-shift diagnostic a mixing plan reads
     // before weighting sources. Term-keyed partial-agg counts + one
@@ -692,6 +720,24 @@ object CorpusQueries {
         |       CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
         |FROM o FULL OUTER JOIN i ON o.page = i.page
         |ORDER BY page""".stripMargin,
+
+    "q103_anchor_text" ->
+      """WITH pg AS (
+        |  SELECT p, (p*7+1)%30 AS q1, (p*7+2)%30 AS q2, (p*7+3)%30 AS q3
+        |  FROM (SELECT unnest(generate_series(0, 29)) AS p)),
+        |an AS (
+        |  SELECT 'https://ex' || (q1%3) || '.com/d' || (q1//10) || '/p' || q1 || '.html' AS dst,
+        |         'page ' || q1 || ' guide' AS anchor FROM pg
+        |  UNION ALL
+        |  SELECT 'https://ex' || (p%3) || '.com/d' || (q2//10) || '/p' || q2 || '.html',
+        |         'doc ' || q2 FROM pg
+        |  UNION ALL
+        |  SELECT 'https://ex' || (p%3) || '.com/d' || (p//10) || '/p' || q3 || '.html',
+        |         'ref ' || q3 FROM pg)
+        |SELECT dst, CAST(count(*) AS BIGINT) AS n_anchors,
+        |       CAST(count(DISTINCT anchor) AS BIGINT) AS n_texts,
+        |       min(anchor) AS first_text
+        |FROM an GROUP BY dst ORDER BY dst""".stripMargin,
 
     "q93_kl_divergence" ->
       """WITH t AS (

@@ -58,6 +58,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), count(col("cid")).as("n_contaminated"))
     }),
 
+    // Graded decontamination: containment-scored (eval, train) pairs over
+    // 5-grams (shared / eval-total, Broder), train-df-capped at 50 so no
+    // boilerplate gram can fan out unboundedly. Still gram-keyed joins
+    // end-to-end — the pair table EXISTS only where overlap does.
+    "q104_containment" -> ((s, dir) => {
+      graft.dedup.Decontamination
+        .containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 5, trainPct = 80, valPct = 10, maxDf = 50, minContainment = 0.2)
+        .select(col("eval_id"), col("train_id"), col("n_shared"),
+          col("n_eval_grams"), col("containment"))
+        .orderBy(col("eval_id"), col("train_id"))
+    }),
+
     // Duplicate families: connected components (min-label fixpoint) over
     // the minhash candidate pairs with estimated jaccard ≥ 0.5 (≥ 6 of 12
     // signature components equal — an exact integer predicate, no float
@@ -268,6 +281,35 @@ object PipelineQueries {
          |SELECT split, count(*) AS n_docs, count(c.doc_id) AS n_contaminated
          |FROM labeled l LEFT JOIN cont c ON l.doc_id = c.doc_id
          |WHERE split <> 'train' GROUP BY split""".stripMargin,
+
+    "q104_containment" ->
+      s"""WITH labeled AS (
+         |  SELECT doc_id, text,
+         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text, $bucketSql AS b FROM documents)
+         |), toks AS (
+         |  SELECT doc_id, split,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+         |  FROM labeled
+         |), grams AS (
+         |  SELECT DISTINCT doc_id, split,
+         |         CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) % 2147483647 AS gram
+         |  FROM (SELECT doc_id, split, unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+         |        i -> array_to_string(t[i:i+4], ' '))) AS g FROM toks)
+         |), tr AS (SELECT doc_id AS train_id, gram FROM grams WHERE split = 'train'),
+         |keep AS (SELECT gram FROM tr GROUP BY gram HAVING count(*) <= 50),
+         |ev AS (SELECT doc_id AS eval_id, gram FROM grams WHERE split <> 'train'),
+         |sz AS (SELECT eval_id, count(*) AS n_eval_grams FROM ev GROUP BY eval_id),
+         |pairs AS (
+         |  SELECT eval_id, train_id, count(*) AS n_shared
+         |  FROM ev JOIN keep USING (gram) JOIN tr USING (gram)
+         |  GROUP BY eval_id, train_id)
+         |SELECT eval_id, train_id, CAST(n_shared AS BIGINT) AS n_shared,
+         |       CAST(n_eval_grams AS BIGINT) AS n_eval_grams,
+         |       round(n_shared * 1.0 / n_eval_grams, 6) AS containment
+         |FROM pairs JOIN sz USING (eval_id)
+         |WHERE n_shared * 1.0 / n_eval_grams >= 0.2
+         |ORDER BY eval_id, train_id""".stripMargin,
 
     "q36_dup_clusters" ->
       s"""WITH RECURSIVE ${DedupQueries.minhashCtes},

@@ -186,6 +186,17 @@ object SearchQueries {
           size(filter(col("_q"), x => abs(x) === 127)).cast("long").as("n_sat"),
           round(col("_scale").cast("double"), 6).as("scale"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Inverted-index posting lists over trigram phrases, df-banded
+    // [5, 50] BEFORE the collect (no list can exceed 50 entries — the
+    // stopword-straggler guard, proven by the band itself). The oracle
+    // rebuilds every posting string, so order and membership both check.
+    "q102_inverted_index" -> ((s, dir) => {
+      import graft.search.InvertedIndex
+      val terms = InvertedIndex.phraseTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+      InvertedIndex.postings(terms, "doc_id", "w", 5, 50)
+        .orderBy(col("w"))
     })
   )
 
@@ -474,6 +485,19 @@ object SearchQueries {
         |       CAST(list_sum(qv) AS BIGINT) AS sum_q,
         |       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
         |       round(CAST(scale AS DOUBLE), 6) AS scale
-        |FROM q ORDER BY vec_id""".stripMargin
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q102_inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS toks
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS w
+        |      FROM t, (SELECT unnest(generate_series(1, 2000)) AS i) s
+        |      WHERE i <= len(toks) - 2),
+        |f AS (SELECT w, count(*) AS df FROM g GROUP BY w)
+        |SELECT w, CAST(f.df AS BIGINT) AS df,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM g JOIN f USING (w) WHERE f.df BETWEEN 5 AND 50
+        |GROUP BY w, f.df ORDER BY w""".stripMargin
   )
 }

@@ -45,4 +45,21 @@ class LinkGraphSpec extends SparkSpec {
       .collect().map(_.getString(1)).sorted
     assert(dsts.toSeq == Seq("http://host.io:8080/a/c.html", "http://host.io:8080/d.html"))
   }
+
+  test("anchors: href/text stay aligned through noise filters, text is trimmed, dups kept") {
+    val p = ("https://ex.com/dir/page.html",
+      """<a href="https://other.org/x.html"> First Link </a>
+        |<a href="mailto:a@b.c">skip me</a>
+        |<a href='z.html'>second</a>
+        |<a href="#top">skip too</a>
+        |<a href="z.html">second</a>""".stripMargin)
+    val rows = LinkGraph.anchors(Seq(p).toDF("uri", "html"), "uri", "html")
+      .collect().map(r => (r.getString(1), r.getString(2))).sorted
+    // mailto/fragment dropped WITHOUT shifting which text goes with which
+    // href; the duplicate z.html link is two rows
+    assert(rows.toSeq == Seq(
+      ("https://ex.com/dir/z.html", "second"),
+      ("https://ex.com/dir/z.html", "second"),
+      ("https://other.org/x.html", "First Link")))
+  }
 }
