@@ -488,6 +488,21 @@ object CorpusQueries {
         .join(broadcast(probes), Seq("w"))
         .select(col("w"), col("n_exact"), col("est"))
         .orderBy(col("n_exact").desc, col("w"))
+    }),
+
+    // Histogram quantile sketch (64 bins, integer arithmetic) vs the
+    // exact discrete quantile, per language: the O(b) mergeable
+    // distribution sketch a rollup keeps where exact quantiles would
+    // need the full value distribution. Estimates land within one bin
+    // width — the gate shows both so the error is visible and replayed.
+    "q106_hist_quantile" -> ((s, dir) => {
+      import graft.functions.{HistSketch, Quantiles}
+      val docs = Tables.documents(s, dir)
+      val sk = HistSketch.estimate(HistSketch.bins(docs, "lang", "n_chars"),
+        "lang", Seq("e50" -> 0.5, "e90" -> 0.9))
+      val ex = Quantiles.exactQuantiles(docs, "lang", "n_chars",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      ex.join(sk, Seq("lang")).orderBy(col("lang"))
     })
   )
 
@@ -799,6 +814,27 @@ object CorpusQueries {
         |e AS (SELECT w, n_exact, min(coalesce(c.cnt, 0)) AS est
         |      FROM pb LEFT JOIN c USING (i, b) GROUP BY w, n_exact)
         |SELECT w, CAST(n_exact AS BIGINT) AS n_exact, CAST(est AS BIGINT) AS est
-        |FROM e ORDER BY n_exact DESC, w""".stripMargin
+        |FROM e ORDER BY n_exact DESC, w""".stripMargin,
+
+    "q106_hist_quantile" ->
+      """WITH r AS (SELECT lang, min(n_chars) AS xmin, max(n_chars) AS xmax
+        |           FROM documents GROUP BY lang),
+        |b AS (SELECT d.lang, xmin, xmax,
+        |             ((n_chars - xmin) * 64) // (xmax - xmin + 1) AS bin
+        |      FROM documents d JOIN r USING (lang)),
+        |c AS (SELECT lang, xmin, xmax, bin, count(*) AS cnt
+        |      FROM b GROUP BY lang, xmin, xmax, bin),
+        |cum AS (SELECT lang, xmin, xmax, bin, cnt,
+        |               sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |               sum(cnt) OVER (PARTITION BY lang) AS n FROM c),
+        |est AS (SELECT lang,
+        |          min(CASE WHEN cum >= ceil(0.5 * n) THEN xmin + (bin * (xmax - xmin + 1)) // 64 END) AS e50,
+        |          min(CASE WHEN cum >= ceil(0.9 * n) THEN xmin + (bin * (xmax - xmin + 1)) // 64 END) AS e90
+        |        FROM cum GROUP BY lang),
+        |ex AS (SELECT lang, quantile_disc(n_chars, 0.5) AS p50, quantile_disc(n_chars, 0.9) AS p90
+        |       FROM documents GROUP BY lang)
+        |SELECT lang, CAST(p50 AS BIGINT) AS p50, CAST(p90 AS BIGINT) AS p90,
+        |       CAST(e50 AS BIGINT) AS e50, CAST(e90 AS BIGINT) AS e90
+        |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin
   )
 }

@@ -185,6 +185,47 @@ object TextQueries {
         .limit(20)
     }),
 
+    // CCNet-style LM-score bucketing: every doc gets the q95 bigram
+    // score, scores quantize to an INTEGER micro-score grid (round(x*1e6)
+    // — the cross-engine-safe form: all downstream compares are exact
+    // integers), and each language splits into head/middle/tail at its
+    // own terciles (the CCNet quality-bucket move, perplexity replaced by
+    // our portable bigram LM). Tercile cutoffs ride the distinct-value
+    // exact-quantile operator (q56's); the only new shuffle is the final
+    // (lang, bucket) rollup.
+    "q105_lm_buckets" -> ((s, dir) => {
+      import graft.functions.Quantiles
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), graft.search.Bm25.tokens(col("text")).as("t"))
+      val bg = docs
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(t, 1, greatest(size(t) - 1, 0)), slice(t, 2, greatest(size(t) - 1, 0)), (x, y) -> struct(x AS a, y AS b))"))
+          .as("u"))
+        .select(col("doc_id"), col("u.a").as("a"), col("u.b").as("b"))
+      val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      val ca = docs.select(explode(col("t")).as("a"))
+        .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      val v = ca.agg(count(lit(1)).as("v"))
+      val scored = bg.join(cab, Seq("a", "b"))
+        .join(ca, Seq("a"))
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log((col("cab") + lit(1.0)) / (col("ca") + col("v")))) * 1e6, 0)
+          .cast("long").as("si"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val cuts = Quantiles.exactQuantiles(scored, "lang", "si",
+        Seq("t1" -> 0.34, "t2" -> 0.67))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("si") <= col("t1"), "tail")       // lowest scores = most OOD
+            .when(col("si") <= col("t2"), "middle")
+            .otherwise("head"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("si")).as("min_si"), max(col("si")).as("max_si"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // PII/URL detection + redaction (graft.functions.PiiScrub). The corpus
     // has no natural contact strings, so the gate derives one per customer
     // row IN-QUERY (identically in both engines) and then verifies the
@@ -305,6 +346,34 @@ object TextQueries {
         |       round(avg(ln((cab + 1.0) / (ca + (SELECT v FROM v)))), 6) AS lm2
         |FROM bg JOIN cab USING (a, b) JOIN ca USING (a)
         |GROUP BY doc_id ORDER BY lm2, doc_id LIMIT 20""".stripMargin,
+
+    "q105_lm_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, u['a'] AS a, u['b'] AS b FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |           i -> {'a': t[i], 'b': t[i+1]})) AS u
+        |    FROM toks)
+        |), cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+        |ca AS (SELECT a, count(*) AS ca FROM (SELECT unnest(t) AS a FROM toks) GROUP BY a),
+        |v AS (SELECT count(*) AS v FROM ca),
+        |scored AS (
+        |  SELECT doc_id,
+        |         CAST(round(avg(ln((cab + 1.0) / (ca + (SELECT v FROM v)))) * 1e6, 0) AS BIGINT) AS si
+        |  FROM bg JOIN cab USING (a, b) JOIN ca USING (a)
+        |  GROUP BY doc_id
+        |), sl AS (SELECT s.doc_id, t.lang, s.si FROM scored s JOIN toks t USING (doc_id)),
+        |cuts AS (SELECT lang, quantile_disc(si, 0.34) AS t1, quantile_disc(si, 0.67) AS t2
+        |         FROM sl GROUP BY lang)
+        |SELECT lang,
+        |       CASE WHEN si <= t1 THEN 'tail' WHEN si <= t2 THEN 'middle' ELSE 'head' END AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(si) AS BIGINT) AS min_si, CAST(max(si) AS BIGINT) AS max_si
+        |FROM sl JOIN cuts USING (lang)
+        |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     "q97_shared_fragments" ->
       """WITH toks AS (
