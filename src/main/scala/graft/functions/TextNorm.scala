@@ -38,4 +38,23 @@ object TextNorm {
 
   /** The full pass: NFC then whitespace cleanup. */
   def clean(text: Column): Column = cleanWhitespace(nfc(text))
+
+  /** Intra-document duplicate-line removal (the Gopher/C4-style repetition
+    * scrub): keep each line's FIRST occurrence, preserve order, drop the
+    * rest. Repeated nav chrome, cookie banners, and boilerplate footers
+    * inside one page are the target — CROSS-document repetition belongs to
+    * [[graft.dedup.ParagraphDedup]].
+    *
+    * Pure higher-order-function expression — `filter` keeps position i iff
+    * no earlier element equals it (`exists` over the length-i prefix) — so
+    * the whole scrub stays a codegen map over the scan: no explode, no
+    * shuffle, no UDF. Quadratic in the line count of ONE document, which
+    * is bounded and local; never in rows.
+    */
+  def dedupLines(text: Column, sep: String = "\n"): Column = {
+    val arr = split(text, java.util.regex.Pattern.quote(sep))
+    array_join(
+      filter(arr, (x, i) => !exists(slice(arr, lit(1), i), y => y === x)),
+      sep)
+  }
 }

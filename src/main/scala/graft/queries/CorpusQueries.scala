@@ -503,6 +503,37 @@ object CorpusQueries {
       val ex = Quantiles.exactQuantiles(docs, "lang", "n_chars",
         Seq("p50" -> 0.5, "p90" -> 0.9))
       ex.join(sk, Seq("lang")).orderBy(col("lang"))
+    }),
+
+    // Sketch ROLLUP — the production shape sketches exist for: ONE corpus
+    // pass builds (source, lang) HLL registers; per-source and global
+    // estimates derive from the 16-row-per-group register tables by
+    // register max alone, never rescanning the corpus. The exact-distinct
+    // column (a 3-level rollup recompute) is gate-only validation — at
+    // 100 TB you'd HAVE only the sketch path, which is the point.
+    "q108_hll_rollup" -> ((s, dir) => {
+      import graft.functions.HllSketch
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+      val fine = HllSketch.registers(
+        toks.withColumn("grp", concat_ws("|", col("source"), col("lang"))), "grp", "w")
+      val bySrc = HllSketch.merge(fine.withColumn("grp", substring_index(col("grp"), "|", 1)))
+      val global = HllSketch.merge(fine.withColumn("grp", lit("ALL")))
+      val est = HllSketch.estimate(fine).withColumn("level", lit("1_source_lang"))
+        .unionByName(HllSketch.estimate(bySrc).withColumn("level", lit("2_source")))
+        .unionByName(HllSketch.estimate(global).withColumn("level", lit("3_global")))
+      val exact = toks.rollup(col("source"), col("lang"))
+        .agg(countDistinct(col("w")).as("n_exact"))
+        .select(
+          when(col("lang").isNotNull, lit("1_source_lang"))
+            .when(col("source").isNotNull, lit("2_source"))
+            .otherwise(lit("3_global")).as("level"),
+          when(col("lang").isNotNull, concat_ws("|", col("source"), col("lang")))
+            .when(col("source").isNotNull, col("source"))
+            .otherwise(lit("ALL")).as("grp"),
+          col("n_exact"))
+      exact.join(est, Seq("level", "grp")).orderBy(col("level"), col("grp"))
     })
   )
 
@@ -835,6 +866,39 @@ object CorpusQueries {
         |       FROM documents GROUP BY lang)
         |SELECT lang, CAST(p50 AS BIGINT) AS p50, CAST(p90 AS BIGINT) AS p90,
         |       CAST(e50 AS BIGINT) AS e50, CAST(e90 AS BIGINT) AS e90
-        |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin
+        |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin,
+
+    "q108_hll_rollup" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1)) AS w
+        |  FROM documents),
+        |d AS (SELECT DISTINCT source, lang, w FROM t),
+        |h AS (SELECT source, lang,
+        |             CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) % 2147483647 AS h FROM d),
+        |r AS (SELECT source, lang, h % 16 AS j,
+        |             CASE WHEN h // 16 = 0 THEN 28
+        |                  ELSE 27 - (length(bin(h // 16)) - 1) END AS r
+        |      FROM h),
+        |reg AS (
+        |  SELECT '1_source_lang' AS level, source || '|' || lang AS grp, j, max(r) AS reg FROM r GROUP BY 2, 3
+        |  UNION ALL SELECT '2_source', source, j, max(r) FROM r GROUP BY 2, 3
+        |  UNION ALL SELECT '3_global', 'ALL', j, max(r) FROM r GROUP BY 2, 3),
+        |grid AS (SELECT DISTINCT level, grp, g.j FROM reg,
+        |         (SELECT unnest(generate_series(0, 15)) AS j) g),
+        |f AS (SELECT grid.level, grid.grp, grid.j, coalesce(reg.reg, 0) AS reg
+        |      FROM grid LEFT JOIN reg ON grid.level = reg.level AND grid.grp = reg.grp AND grid.j = reg.j),
+        |e AS (SELECT level, grp, count(CASE WHEN reg = 0 THEN 1 END) AS n_zero_regs,
+        |             0.673 * 256 / sum(power(2.0, -reg)) AS raw
+        |      FROM f GROUP BY 1, 2),
+        |x AS (
+        |  SELECT '1_source_lang' AS level, source || '|' || lang AS grp, count(DISTINCT w) AS n_exact FROM t GROUP BY 2
+        |  UNION ALL SELECT '2_source', source, count(DISTINCT w) FROM t GROUP BY 2
+        |  UNION ALL SELECT '3_global', 'ALL', count(DISTINCT w) FROM t)
+        |SELECT level, grp, CAST(n_exact AS BIGINT) AS n_exact,
+        |       CAST(n_zero_regs AS BIGINT) AS n_zero_regs,
+        |       round(CASE WHEN raw <= 40 AND n_zero_regs > 0
+        |                  THEN 16 * ln(16.0 / n_zero_regs) ELSE raw END, 6) AS est
+        |FROM e JOIN x USING (level, grp) ORDER BY level, grp""".stripMargin
   )
 }

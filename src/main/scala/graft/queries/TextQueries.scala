@@ -256,6 +256,28 @@ object TextQueries {
           PiiScrub.phoneCount(col("contact")).cast("long").as("n_phones"),
           PiiScrub.redact(col("contact")).as("redacted"))
         .orderBy(col("c_custkey")).limit(31)
+    }),
+
+    // Intra-document duplicate-line scrub (Gopher/C4 repetition removal):
+    // page-shaped inputs derive from real doc text in-query (lines A B A
+    // C B — repeated "nav chrome"), the operator keeps first occurrences
+    // in order, and the md5 of the cleaned text proves exact equality.
+    // The whole scrub is ONE codegen map (HOFs, no explode/shuffle/UDF);
+    // the oracle replays the keep-first walk with list_position = i.
+    "q107_line_dedup" -> ((s, dir) => {
+      import graft.functions.TextNorm
+      val a = substring(col("text"), 1, 40)
+      val b = substring(col("text"), 41, 40)
+      val c = substring(col("text"), 81, 40)
+      val page = concat_ws("\n", a, b, a, c, b)
+      Tables.documents(s, dir)
+        .filter(col("n_chars") >= 120 && col("doc_id") % 25 === 0)
+        .select(col("doc_id"), TextNorm.dedupLines(page).as("cleaned"))
+        .select(col("doc_id"),
+          size(split(col("cleaned"), "\n")).cast("long").as("n_lines_out"),
+          length(col("cleaned")).cast("long").as("len_out"),
+          md5(col("cleaned")).as("h"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -494,6 +516,22 @@ object TextQueries {
         |         'https?://[^\s]+', '<URL>', 'g'),
         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |         '\+?[0-9][0-9()\-\s]{5,}[0-9]', '<PHONE>', 'g') AS redacted
-        |FROM c ORDER BY c_custkey LIMIT 31""".stripMargin
+        |FROM c ORDER BY c_custkey LIMIT 31""".stripMargin,
+
+    "q107_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS a, substr(text, 41, 40) AS b,
+        |         substr(text, 81, 40) AS c
+        |  FROM documents WHERE n_chars >= 120 AND doc_id % 25 = 0),
+        |l AS (SELECT doc_id, [a, b, a, c, b] AS ls FROM d),
+        |k AS (SELECT doc_id,
+        |        list_filter(list_transform(generate_series(1, len(ls)),
+        |          i -> CASE WHEN list_position(ls, ls[i]) = i THEN ls[i] END),
+        |          x -> x IS NOT NULL) AS kept
+        |      FROM l)
+        |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_out,
+        |       CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS len_out,
+        |       md5(array_to_string(kept, chr(10))) AS h
+        |FROM k ORDER BY doc_id""".stripMargin
   )
 }

@@ -55,6 +55,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(twice == out)
   }
 
+  test("dedupLines keeps first occurrences in order; custom separator; idempotent") {
+    val page = "nav\nbody one\nnav\nbody two\nnav\nfooter\nfooter"
+    val out = Seq(page).toDF("t").select(TextNorm.dedupLines(col("t"))).as[String].head()
+    assert(out == "nav\nbody one\nbody two\nfooter")
+    val again = Seq(out).toDF("t").select(TextNorm.dedupLines(col("t"))).as[String].head()
+    assert(again == out)
+    // separator is quoted literally (a '.' separator must not go regex-wild)
+    val dotted = Seq("a.b.a.c").toDF("t")
+      .select(TextNorm.dedupLines(col("t"), ".")).as[String].head()
+    assert(dotted == "a.b.c")
+    // single line, no separator: unchanged
+    val one = Seq("solo").toDF("t").select(TextNorm.dedupLines(col("t"))).as[String].head()
+    assert(one == "solo")
+  }
+
   test("rollup stats: one pass yields leaf, per-source and grand-total rows") {
     val docs = Seq(("s0", "en", 10L), ("s0", "en", 20L), ("s0", "de", 5L), ("s1", "en", 7L))
       .toDF("source", "lang", "n_chars")
