@@ -516,8 +516,12 @@ object CorpusQueries {
       val toks = Tables.documents(s, dir)
         .select(col("source"), col("lang"),
           explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+      // localCheckpoint: the register table (16 rows/group) materializes
+      // ONCE; every coarser level re-aggregates it — without this, each
+      // level would re-run the corpus tokenize scan (q19/q73 discipline)
       val fine = HllSketch.registers(
         toks.withColumn("grp", concat_ws("|", col("source"), col("lang"))), "grp", "w")
+        .localCheckpoint(eager = true)
       val bySrc = HllSketch.merge(fine.withColumn("grp", substring_index(col("grp"), "|", 1)))
       val global = HllSketch.merge(fine.withColumn("grp", lit("ALL")))
       val est = HllSketch.estimate(fine).withColumn("level", lit("1_source_lang"))
