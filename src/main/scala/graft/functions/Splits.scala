@@ -48,4 +48,22 @@ object Splits {
     */
   def weightedKeep(c: Column, weightBp: Column, salt: String = ":mix"): Column =
     hashBucket(c, 10000, salt) < weightBp
+
+  /** Efraimidis–Spirakis A-Res key for weighted sampling WITHOUT
+    * replacement: key = u^(1/w) with u deterministic in (0, 1] — the
+    * top-k keys per group ARE a weighted sample of size k (VLDB 2006
+    * one-pass reservoir result), replayable on any engine because u =
+    * (hash31(id·salt) + 1) / 2^31 is an exact dyadic rational (numerator
+    * < 2^31, power-of-two denominator — bit-identical as a double
+    * everywhere; only `pow` itself is libm territory, shared with every
+    * float score rank in the gate suite).
+    *
+    * Scale shape: a pure codegen map; selection is a per-group top-k
+    * (rank window ≤ k ⇒ Spark's WindowGroupLimit pushes the cut below
+    * the exchange, so each partition ships at most k rows per group).
+    */
+  def aresKey(c: Column, w: Column, salt: String = ":wrs"): Column = {
+    val u = (hashBucket(c, 2147483647, salt) + 1L).cast("double") / lit(2147483648.0)
+    pow(u, lit(1.0) / w)
+  }
 }

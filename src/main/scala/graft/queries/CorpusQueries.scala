@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Quantiles, Splits, UrlOps}
@@ -538,7 +539,35 @@ object CorpusQueries {
             .otherwise(lit("ALL")).as("grp"),
           col("n_exact"))
       exact.join(est, Seq("level", "grp")).orderBy(col("level"), col("grp"))
-    })
+    }),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    // top-3 per source by the deterministic u^(1/n_chars) key — longer
+    // docs proportionally likelier, no RNG, identical sample on re-run /
+    // another cluster / the oracle. The rank-≤-k window compiles to
+    // WindowGroupLimit (per-partition cut BEFORE the exchange).
+    "q109_weighted_sample" -> ((s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          Splits.aresKey(col("doc_id"), col("n_chars")).as("k"))
+      val w = Window.partitionBy(col("source")).orderBy(col("k").desc, col("doc_id"))
+      keyed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("rn").cast("long").as("rn"),
+          col("doc_id"), col("n_chars"), round(col("k"), 6).as("key6"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
+    // Source × language pivot matrix: the reshape every corpus report
+    // ends with. Spark pivot with EXPLICIT values (no discovery job);
+    // one partial-agg shuffle total — each cell a conditional count.
+    "q110_pivot" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("source")))
   )
 
   private val mixBpSql =
@@ -903,6 +932,29 @@ object CorpusQueries {
         |       CAST(n_zero_regs AS BIGINT) AS n_zero_regs,
         |       round(CASE WHEN raw <= 40 AND n_zero_regs > 0
         |                  THEN 16 * ln(16.0 / n_zero_regs) ELSE raw END, 6) AS est
-        |FROM e JOIN x USING (level, grp) ORDER BY level, grp""".stripMargin
+        |FROM e JOIN x USING (level, grp) ORDER BY level, grp""".stripMargin,
+
+    "q109_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT source, doc_id, n_chars,
+        |         pow((CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':wrs'),1,15)) AS BIGINT)
+        |              % 2147483647 + 1) / 2147483648.0,
+        |             1.0 / n_chars) AS k
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_chars, k,
+        |             row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+        |      FROM k)
+        |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id,
+        |       CAST(n_chars AS BIGINT) AS n_chars, round(k, 6) AS key6
+        |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+
+    "q110_pivot" ->
+      """SELECT source,
+        |       CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+        |       CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+        |       CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+        |       CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+        |       CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

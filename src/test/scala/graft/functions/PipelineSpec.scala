@@ -27,6 +27,23 @@ class PipelineSpec extends SparkSpec {
     assert(s > 50 && s < 150)
   }
 
+  test("aresKey: weight-proportional selection, deterministic, keys in (0, 1)") {
+    // 200 unit-weight items vs one 10000-weight item: across 25 salts the
+    // heavy item must win the top spot nearly always (p_miss < 2% per salt)
+    val df = ((1 to 200).map(i => (i.toLong, 1L)) :+ (999L, 10000L)).toDF("id", "w")
+    val wins = (0 until 25).count { s =>
+      val top = df.select(col("id"), Splits.aresKey(col("id"), col("w"), s":s$s").as("k"))
+        .orderBy(col("k").desc).limit(1).collect().head.getLong(0)
+      top == 999L
+    }
+    assert(wins >= 22, s"heavy item won only $wins/25")
+    // deterministic + bounded
+    val keys = df.select(Splits.aresKey(col("id"), col("w")).as("k")).collect().map(_.getDouble(0))
+    assert(keys.forall(k => k > 0.0 && k < 1.0))
+    val again = df.select(Splits.aresKey(col("id"), col("w")).as("k")).collect().map(_.getDouble(0))
+    assert(keys.toSeq == again.toSeq)
+  }
+
   test("trigram repetition: repeated text scores high, varied text low, short text zero") {
     val docs = Seq(
       (1L, "alpha beta gamma " * 20),                          // one trigram family repeated
