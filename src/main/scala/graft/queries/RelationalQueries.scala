@@ -247,6 +247,34 @@ object RelationalQueries {
           sum(coalesce(col("is_true"), lit(0L))).as("n_true"))
         .withColumn("n_fp", col("n_pass") - col("n_true"))
         .orderBy(col("c_nationkey"))
+    }),
+
+    // Per-type OLS trend of event value over time — the q79 discipline
+    // (EXACT integer sufficient statistics, double formula only at the
+    // end): x = whole seconds since the corpus start (integer division,
+    // never float-truncated), y = milli-quantized value, so the five
+    // sums are partition-order-independent longs and slope/intercept are
+    // bit-deterministic. One partial-agg shuffle of five longs per key.
+    "q111_ols_trend" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      val t0 = ev.agg(min(col("us")).as("t0"))
+      val d = ev.crossJoin(broadcast(t0))
+        .withColumn("_d", col("us") - col("t0"))
+        .select(col("event_type"),
+          ((col("_d") - col("_d") % 1000000L) / 1000000L).cast("long").as("x"),
+          round(col("value") * 1000, 0).cast("long").as("y"))
+      d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n"),
+          round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+            (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 6).as("slope"),
+          round((col("sy").cast("double") * col("sxx") - col("sx").cast("double") * col("sxy")) /
+            (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 6).as("intercept"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -427,6 +455,21 @@ object RelationalQueries {
         |       CAST(sum(mc) AS BIGINT) AS n_pass,
         |       CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM hv) THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
         |       CAST(sum(mc) - sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM hv) THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
-        |FROM pv GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+        |FROM pv GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q111_ols_trend" ->
+      """WITH m AS (SELECT min(epoch_us(ts)) AS t0 FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT event_type, (epoch_us(ts) - t0) // 1000000 AS x,
+        |             CAST(round(value * 1000, 0) AS BIGINT) AS y
+        |      FROM events, m WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*x) AS sxx, sum(x*y) AS sxy
+        |      FROM d GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |             / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6) AS slope,
+        |       round((CAST(sy AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sxy)
+        |             / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6) AS intercept
+        |FROM s ORDER BY event_type""".stripMargin
   )
 }

@@ -267,4 +267,35 @@ class StreamingSpec extends SparkSpec {
       assert(!byDoc.contains(3L))        // novel doc produces no candidate
     } finally q.stop()
   }
+
+  test("streaming sketch maintenance: HLL registers merged across micro-batches equal the batch sketch") {
+    // the sketch production shape: each micro-batch builds its own tiny
+    // register table and MERGES into the running one (register max) —
+    // stream state is 16 rows per group forever, and the final registers
+    // are bit-identical to a single batch pass over everything
+    import graft.functions.HllSketch
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    var state: org.apache.spark.sql.DataFrame =
+      Seq.empty[(String, Int, Int)].toDF("grp", "j", "reg")
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDF().toDF("grp", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val br = HllSketch.registers(batch, "grp", "v")
+        state = HllSketch.merge(state, br).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      val b1 = (1 to 300).map(i => ("g", s"item_$i"))
+      val b2 = (200 to 500).map(i => ("g", s"item_$i")) // overlaps b1
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = state.orderBy("grp", "j").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+      val whole = HllSketch.registers((b1 ++ b2).toDF("grp", "v"), "grp", "v")
+        .orderBy("grp", "j").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+      assert(streamed == whole)
+    } finally q.stop()
+  }
 }
