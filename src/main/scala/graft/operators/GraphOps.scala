@@ -129,4 +129,43 @@ object GraphOps {
     }
     labels
   }
+
+  /** Exact triangle count by DEGREE-ORDERED orientation (the
+    * Chiba–Nishizeki / Schank–Wagner forward discipline): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the higher,
+    * enumerate wedges at each apex over its OUT-neighbors only, and
+    * probe the oriented edge set for the closing edge. Every triangle is
+    * counted exactly once (its (deg, id)-minimal vertex is the apex),
+    * and — the scale point — out-degrees are bounded by O(√m) on any
+    * graph, so the wedge self-join never explodes at a hub vertex the
+    * way a naive neighbor×neighbor join does: the billion-follower node
+    * contributes only the wedges where it is the LARGER endpoint.
+    *
+    * Returns one row: `(n_nodes, n_edges, n_triangles)`.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+      least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+      greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val keyed = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+    val fwd = (col("du") < col("dv")) || (col("du") === col("dv") && col("u") < col("v"))
+    val o = keyed.select(
+      when(fwd, col("u")).otherwise(col("v")).as("a"),
+      when(fwd, col("v")).otherwise(col("u")).as("b"),
+      when(fwd, col("dv")).otherwise(col("du")).as("db"))
+      .localCheckpoint(true)
+    val x = o.select(col("a"), col("b").as("p"), col("db").as("dp"))
+    val y = o.select(col("a"), col("b").as("q"), col("db").as("dq"))
+    val wedges = x.join(y, Seq("a"))
+      .filter((col("dp") < col("dq")) || (col("dp") === col("dq") && col("p") < col("q")))
+    val tri = wedges.join(o.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+  }
 }

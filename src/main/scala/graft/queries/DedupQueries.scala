@@ -89,7 +89,17 @@ object DedupQueries {
     // gram-keyed joins.
     "q86_minhash_calibration" -> ((s, dir) =>
       MinHashLsh.calibration(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy(col("n_agree")))
+        .orderBy(col("n_agree"))),
+
+    // Prefix-filtered EXACT set-similarity join (PPJoin candidates over
+    // word 3-shingles): the oracle brute-forces ALL pairs sharing any
+    // gram, so a hash-match PROVES the prefix filter's no-false-negative
+    // guarantee on real data — the candidate join only ever touches each
+    // doc's rarest tokens.
+    "q112_prefix_join" -> ((s, dir) =>
+      graft.dedup.PrefixJoin.similarPairs(
+        Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
+        .orderBy(col("doc_a"), col("doc_b")))
   )
 
   private val hash31 = "CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647"
@@ -258,7 +268,26 @@ object DedupQueries {
          |       round(avg(est), 6) AS avg_est,
          |       round(avg(exact), 6) AS avg_exact,
          |       round(avg(est - exact), 6) AS bias
-         |FROM ex GROUP BY n_agree ORDER BY n_agree""".stripMargin
+         |FROM ex GROUP BY n_agree ORDER BY n_agree""".stripMargin,
+
+    // brute force over ALL gram-sharing pairs: agreement proves the
+    // prefix filter dropped nothing
+    "q112_prefix_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sl FROM toks),
+        |g AS (SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647 AS gram
+        |      FROM (SELECT doc_id, unnest(sl) AS s FROM sh)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_int AS BIGINT) AS n_int,
+        |       round(n_int * 1.0 / (sa.n + sb.n - n_int), 6) AS jacc
+        |FROM i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id
+        |WHERE n_int * 1.0 / (sa.n + sb.n - n_int) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 
   /** Embedding cosine near-dup pair CTEs, shared by the q22 oracle and the

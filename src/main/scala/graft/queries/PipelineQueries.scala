@@ -83,6 +83,17 @@ object PipelineQueries {
         .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
     }),
 
+    // Exact triangle count over the near-dup similarity graph by
+    // degree-ordered orientation — wedges enumerate only at each
+    // triangle's (deg, id)-minimal vertex, so hub nodes never explode
+    // the self-join. Triangle density is the transitivity check on an
+    // LSH graph: near-dup clusters should close their triangles.
+    "q113_triangles" -> ((s, dir) => {
+      val edges = MinHashLsh.candidatePairs(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      graft.operators.GraphOps.triangles(edges, "doc_a", "doc_b")
+    }),
+
     // Semi-supervised label propagation: every 5th doc seeds its source
     // label; 2 synchronous majority rounds over the minhash similarity
     // graph (ties → smallest label). Vote counts partial-agg per
@@ -332,6 +343,28 @@ object PipelineQueries {
          |)
          |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS csize
          |FROM lab""".stripMargin,
+
+    "q113_triangles" ->
+      s"""WITH ${DedupQueries.minhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  WHERE list_sum(list_transform(generate_series(1, 12),
+         |          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) >= 6),
+         |e AS (SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v FROM pairs),
+         |deg AS (SELECT x, count(*) AS d
+         |        FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x),
+         |o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+         |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b,
+         |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS db
+         |      FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+         |w AS (SELECT x.b AS p, y.b AS q FROM o x JOIN o y ON x.a = y.a
+         |      WHERE x.db < y.db OR (x.db = y.db AND x.b < y.b)),
+         |t AS (SELECT count(*) AS n_triangles FROM w JOIN o z ON w.p = z.a AND w.q = z.b)
+         |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+         |       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+         |       CAST((SELECT n_triangles FROM t) AS BIGINT) AS n_triangles""".stripMargin,
 
     "q91_label_prop" ->
       s"""WITH ${DedupQueries.minhashCtes},

@@ -81,4 +81,20 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(r1(5L).isEmpty)
   }
+
+  test("triangles: K4 has 4, a square has 0, duplicate/reversed edges don't double-count") {
+    import spark.implicits._
+    def count(es: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = GraphOps.triangles(es.toDF("src", "dst"), "src", "dst").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // complete graph on 4 nodes: C(4,3) = 4 triangles
+    val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)
+    assert(count(k4) == ((4L, 6L, 4L)))
+    // 4-cycle: no triangles
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == ((4L, 4L, 0L)))
+    // one triangle given messily: dup edge, reversed edge, self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L), (2L, 2L))
+    assert(count(messy) == ((3L, 3L, 1L)))
+  }
 }
