@@ -567,7 +567,32 @@ object CorpusQueries {
         .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // Budget-constrained corpus resample: per source, greedily keep docs
+    // in A-Res priority order (q109's weighted keys — longer docs
+    // likelier) until a 2000-token budget fills. The mixture-CONSTRUCTION
+    // step after q71 decides weights: deterministic, replayable, no RNG.
+    // The cumulative-sum window partitions by source (the q9 sessionize
+    // skew class — bounded by source size, and a 100 TB run would
+    // pre-prune with q77's integer allocation before this exact pass).
+    "q114_budget_resample" -> ((s, dir) => {
+      import graft.functions.{Splits, TextOps}
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("toks"))
+        .withColumn("k", Splits.aresKey(col("doc_id"), col("toks")))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum(col("toks")).over(w))
+        .filter(col("cum") <= 2000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("toks")).as("tokens_kept"),
+          max(col("cum")).as("budget_used"))
+        .orderBy(col("source"))
+    })
   )
 
   private val mixBpSql =
@@ -955,6 +980,26 @@ object CorpusQueries {
         |       CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
         |       CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
         |       CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q114_budget_resample" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS toks
+        |  FROM documents),
+        |k AS (SELECT source, doc_id, toks,
+        |             pow((CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':wrs'),1,15)) AS BIGINT)
+        |                  % 2147483647 + 1) / 2147483648.0,
+        |                 1.0 / toks) AS k
+        |      FROM d),
+        |c AS (SELECT source, doc_id, toks,
+        |             sum(toks) OVER (PARTITION BY source ORDER BY k DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM k)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(toks) AS BIGINT) AS tokens_kept,
+        |       CAST(max(cum) AS BIGINT) AS budget_used
+        |FROM c WHERE cum <= 2000
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

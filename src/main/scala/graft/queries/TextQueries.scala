@@ -185,6 +185,36 @@ object TextQueries {
         .limit(20)
     }),
 
+    // PMI collocation mining over adjacent word pairs: the classic
+    // phrase-detection statistic (Church & Hanks 1990; word2vec's phrase
+    // pass) from EXACT integer counts — bigram and unigram tables are
+    // term-keyed partial aggs, the two corpus totals broadcast as 1 row,
+    // and ln only touches ratios of exact longs. Min count 5 guards the
+    // low-frequency PMI blowup; top-20 by PMI via TakeOrderedAndProject.
+    "q115_pmi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(graft.search.Bm25.tokens(col("text")).as("t"))
+      val bg = docs.select(explode(expr(
+        "zip_with(slice(t, 1, greatest(size(t) - 1, 0)), slice(t, 2, greatest(size(t) - 1, 0)), (x, y) -> struct(x AS a, y AS b))"))
+        .as("u"))
+        .select(col("u.a").as("a"), col("u.b").as("b"))
+      val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      val uni = docs.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val totals = cab.agg(sum(col("cab")).as("nb"))
+        .crossJoin(uni.agg(sum(col("cw")).as("nu")))
+      cab.filter(col("cab") >= 5)
+        .join(uni.select(col("w").as("a"), col("cw").as("ca")), Seq("a"))
+        .join(uni.select(col("w").as("b"), col("cw").as("cb")), Seq("b"))
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi",
+          log((col("cab").cast("double") / col("nb")) /
+            ((col("ca").cast("double") / col("nu")) * (col("cb").cast("double") / col("nu")))))
+        .select(col("a"), col("b"), col("cab"), round(col("pmi"), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // CCNet-style LM-score bucketing: every doc gets the q95 bigram
     // score, scores quantize to an INTEGER micro-score grid (round(x*1e6)
     // — the cross-engine-safe form: all downstream compares are exact
@@ -368,6 +398,25 @@ object TextQueries {
         |       round(avg(ln((cab + 1.0) / (ca + (SELECT v FROM v)))), 6) AS lm2
         |FROM bg JOIN cab USING (a, b) JOIN ca USING (a)
         |GROUP BY doc_id ORDER BY lm2, doc_id LIMIT 20""".stripMargin,
+
+    "q115_pmi" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT u['a'] AS a, u['b'] AS b FROM (
+        |    SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |           i -> {'a': t[i], 'b': t[i+1]})) AS u
+        |    FROM toks)
+        |), cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+        |uni AS (SELECT w, count(*) AS cw FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |tot AS (SELECT (SELECT sum(cab) FROM cab) AS nb, (SELECT sum(cw) FROM uni) AS nu)
+        |SELECT a, b, CAST(cab AS BIGINT) AS cab,
+        |       round(ln((CAST(cab AS DOUBLE) / nb)
+        |                / ((CAST(ua.cw AS DOUBLE) / nu) * (CAST(ub.cw AS DOUBLE) / nu))), 6) AS pmi
+        |FROM cab JOIN uni ua ON cab.a = ua.w JOIN uni ub ON cab.b = ub.w, tot
+        |WHERE cab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
 
     "q105_lm_buckets" ->
       """WITH toks AS (
