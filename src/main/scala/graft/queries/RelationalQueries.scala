@@ -275,6 +275,36 @@ object RelationalQueries {
           round((col("sy").cast("double") * col("sxx") - col("sx").cast("double") * col("sxy")) /
             (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 6).as("intercept"))
         .orderBy(col("event_type"))
+    }),
+
+    // Rate-anomaly detection: per-type 6-hour event counts z-scored
+    // against the 4 preceding buckets' trailing mean/std (the monitoring
+    // primitive over any event stream). Counts are exact longs; the
+    // trailing moments ride ONE bounded window per type (a time series
+    // has one row per bucket — no skew surface); z only goes float in
+    // the final projection. Flagged rows only (|z| ≥ 2, std > 0).
+    "q116_rate_anomaly" -> ((s, dir) => {
+      val bucketUs = 6L * 3600 * 1000000
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("bucket", ((col("us") - col("us") % bucketUs) / bucketUs).cast("long"))
+      val counts = ev.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(-4, -1)
+      counts
+        .withColumn("k", count(col("n")).over(w))
+        .withColumn("sx", sum(col("n")).over(w))
+        .withColumn("sxx", sum(col("n") * col("n")).over(w))
+        .filter(col("k") === 4)
+        .withColumn("mean", col("sx").cast("double") / col("k"))
+        .withColumn("var",
+          (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("k")) / col("k"))
+        .filter(col("var") > 0)
+        .withColumn("z", (col("n").cast("double") - col("mean")) / sqrt(col("var")))
+        .filter(abs(col("z")) >= 2)
+        .select(col("event_type"), col("bucket"), col("n"), round(col("z"), 6).as("z"))
+        .orderBy(col("event_type"), col("bucket"))
     })
   )
 
@@ -470,6 +500,23 @@ object RelationalQueries {
         |             / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6) AS slope,
         |       round((CAST(sy AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sxy)
         |             / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6) AS intercept
-        |FROM s ORDER BY event_type""".stripMargin
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q116_rate_anomaly" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT event_type, (us - us % 21600000000) // 21600000000 AS bucket FROM e),
+        |c AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        |wd AS (SELECT event_type, bucket, n,
+        |              count(n) OVER w AS k, sum(n) OVER w AS sx, sum(n*n) OVER w AS sxx
+        |       FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |                           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, bucket, n,
+        |             (CAST(n AS DOUBLE) - CAST(sx AS DOUBLE)/k)
+        |             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/k)/k) AS z
+        |      FROM wd
+        |      WHERE k = 4 AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/k)/k > 0)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+        |       round(z, 6) AS z
+        |FROM z WHERE abs(z) >= 2 ORDER BY event_type, bucket""".stripMargin
   )
 }
