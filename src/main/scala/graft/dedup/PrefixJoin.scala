@@ -30,35 +30,52 @@ import org.apache.spark.sql.functions._
 object PrefixJoin {
 
   /** `(doc_a, doc_b, n_int, jacc)` for all pairs with word-`n`-gram
-    * Jaccard ≥ `minJaccard`; ids from `idCol`, grams via the engine's
-    * portable md5-31 hashing ([[Decontamination.docGrams]]).
+    * Jaccard ≥ `minJaccard`; ids from `idCol`, distinct gram hashes via
+    * the engine's portable md5-31 ([[Decontamination.docGrams]]).
+    *
+    * Verification is per-PAIR, not per-gram: candidates join the two
+    * docs' SORTED hash arrays and run the q21 early-abort merge walk
+    * ([[org.apache.spark.sql.graftx.SortedIntersectAtLeast]]) with the
+    * jaccard-derived bound — a candidate costs O(|a|+|b|) codegen with
+    * instant abort for true negatives, instead of an exploded
+    * |a|-row join per pair. A size-ratio prefilter (jaccard ≤ min/max
+    * of set sizes) runs inside the candidate join, before the distinct.
     */
   def similarPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minJaccard: Double): DataFrame = {
     val grams = Decontamination.docGrams(docs, idCol, textCol, n)
-      .localCheckpoint(true) // reused 4x: df, prefix, both verify sides
-    val sz = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .distinct() // per-doc distinct HASHES: merge-walk ∩ == join-count ∩
+      .localCheckpoint(true) // reused: df, prefix, per-doc arrays
+    val docArr = grams.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("gram"))).as("g"), count(lit(1)).as("sz"))
+      .localCheckpoint(true)
     val dfT = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
     // ceil slack mirrors NgramJaccard's: float error may only LENGTHEN
     // the prefix (extra candidates the exact verify rejects), never
     // shorten it (which would drop true pairs)
-    val prefix = grams.join(dfT, Seq("gram")).join(sz, Seq("doc_id"))
+    val prefix = grams.join(dfT, Seq("gram"))
+      .join(docArr.select(col("doc_id"), col("sz")), Seq("doc_id"))
       .withColumn("_rn", row_number().over(byRarity))
       .filter(col("_rn") <=
         col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + lit(1))
-      .select(col("gram"), col("doc_id"))
-    val cand = prefix.select(col("gram"), col("doc_id").as("doc_a"))
-      .join(prefix.select(col("gram"), col("doc_id").as("doc_b")), Seq("gram"))
+      .select(col("gram"), col("doc_id"), col("sz"))
+    val cand = prefix.select(col("gram"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("gram"), col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("gram"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    val inter = cand
-      .join(grams.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_int"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+        greatest(col("sz_a"), col("sz_b")) >= minJaccard) // size-ratio cut
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b")).distinct()
+    cand
+      .join(docArr.select(col("doc_id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
+      .join(docArr.select(col("doc_id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
+      .withColumn("need", greatest(lit(0),
+        ceil(lit(minJaccard / (1.0 + minJaccard)) * (col("sz_a") + col("sz_b")) - lit(1e-9))).cast("int"))
+      .withColumn("n_int",
+        org.apache.spark.sql.graftx.SortedIntersectAtLeast.asColumn(
+          col("g_a"), col("g_b"), col("need")).cast("long"))
+      .filter(col("n_int") >= 0) // negative = early abort, below threshold
       .withColumn("jacc",
         col("n_int") / (col("sz_a") + col("sz_b") - col("n_int")))
       .filter(col("jacc") >= minJaccard)

@@ -278,7 +278,7 @@ object DedupQueries {
         |  FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
         |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sl FROM toks),
-        |g AS (SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647 AS gram
+        |g AS (SELECT DISTINCT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647 AS gram
         |      FROM (SELECT doc_id, unnest(sl) AS s FROM sh)),
         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
