@@ -305,6 +305,52 @@ object RelationalQueries {
         .filter(abs(col("z")) >= 2)
         .select(col("event_type"), col("bucket"), col("n"), round(col("z"), 6).as("z"))
         .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // TPC-H Q5 shape: the canonical star-schema revenue rollup — fact
+    // table joins region-filtered snowflake dims, with the co-located
+    // supplier-nation = customer-nation condition. All dims broadcast
+    // (nation/region trivially, supplier/customer under the threshold at
+    // gate scale; at 100 TB customer shuffles and everything else still
+    // broadcasts); ONE shuffle for the rollup.
+    "q117_star_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir); val r = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey") &&
+          su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          n("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Scale-safe CDF deciles: per-language length percentile WITHOUT a
+    // per-row window — the cumulative count lives on the DISTINCT value
+    // distribution (the q56 quantile discipline), docs join it back by
+    // value. decile = min(9, cum·10 div n), all integer. A naive
+    // cume_dist() would sort every row of a language in one task.
+    "q118_cdf_decile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dist = docs.groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+      val cum = dist.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("n_chars"))))
+      val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      val d = col("cum") * 10
+      docs.select(col("lang"), col("n_chars"))
+        .join(cum, Seq("lang", "n_chars"))
+        .join(broadcast(totals), Seq("lang"))
+        .withColumn("decile",
+          least(lit(9L), ((d - d % col("nl")) / col("nl")).cast("long")))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("decile"))
     })
   )
 
@@ -517,6 +563,33 @@ object RelationalQueries {
         |      WHERE k = 4 AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/k)/k > 0)
         |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
         |       round(z, 6) AS z
-        |FROM z WHERE abs(z) >= 2 ORDER BY event_type, bucket""".stripMargin
+        |FROM z WHERE abs(z) >= 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "q117_star_join" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q118_cdf_decile" ->
+      """WITH dist AS (SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY lang, n_chars),
+        |cum AS (SELECT lang, n_chars,
+        |               sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+        |        FROM dist),
+        |tot AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+        |d AS (SELECT doc.lang, doc.n_chars,
+        |             least(9, (cum * 10) // nl) AS decile
+        |      FROM documents doc JOIN cum ON doc.lang = cum.lang AND doc.n_chars = cum.n_chars
+        |      JOIN tot ON doc.lang = tot.lang)
+        |SELECT lang, CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
   )
 }
