@@ -351,6 +351,39 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
         .orderBy(col("lang"), col("decile"))
+    }),
+
+    // k-anonymity audit over quasi-identifiers — the privacy gate a
+    // training-data export runs AFTER PII scrubbing (q49): any
+    // (segment, nation) combination shared by fewer than k=10 people
+    // re-identifies them by join. Two partial-agg rollups, nothing else;
+    // at 100 TB the quasi-id group table is tiny by construction.
+    "q119_k_anonymity" -> ((s, dir) => {
+      val groups = Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("gn"))
+      groups.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("gn")).as("min_group"),
+          sum(when(col("gn") < 10, 1L).otherwise(0L)).as("n_risky_groups"),
+          sum(when(col("gn") < 10, col("gn")).otherwise(0L)).as("n_rows_at_risk"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Event-transition matrix: per user (time-ordered, event_id
+    // tie-break), count consecutive event_type bigrams — the Markov
+    // transition statistic behind behavior modeling and bot detection.
+    // One lag window per user (q9 sessionize class — bounded by a
+    // user's history) + one partial-agg rollup.
+    "q120_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev"), col("next"))
     })
   )
 
@@ -590,6 +623,24 @@ object RelationalQueries {
         |      JOIN tot ON doc.lang = tot.lang)
         |SELECT lang, CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars
-        |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
+        |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+
+    "q119_k_anonymity" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS gn
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(min(gn) AS BIGINT) AS min_group,
+        |       CAST(sum(CASE WHEN gn < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+        |       CAST(sum(CASE WHEN gn < 10 THEN gn ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+        |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q120_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE prev IS NOT NULL
+        |GROUP BY prev, next ORDER BY prev, next""".stripMargin
   )
 }
