@@ -541,6 +541,55 @@ object CorpusQueries {
       exact.join(est, Seq("level", "grp")).orderBy(col("level"), col("grp"))
     }),
 
+    // Export integrity manifest: per shard (q58's deterministic hash
+    // assignment), ORDER-COMMUTATIVE content digests — sum and bit_xor
+    // of each doc's 60-bit md5. Commutative means partial-aggregable
+    // (map-side combine, no per-shard sort or list), so the manifest of
+    // a petabyte shard costs one agg; any added / dropped / altered doc
+    // flips both digests. The reproducibility artifact a data card pins.
+    "q121_manifest" -> ((s, dir) => {
+      // 31-bit per-doc hash: a 60-bit sum would overflow Long mid-agg
+      // (silent wrap in Spark, HUGEINT in DuckDB — a cross-engine
+      // divergence); 31-bit sums stay exact to ~4e9 docs per shard
+      val h = (conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast("long") % 2147483647L)
+      Tables.documents(s, dir)
+        .withColumn("shard", Splits.hashBucket(col("doc_id"), 16, ":shard"))
+        .withColumn("h", h)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("h")).as("sum_h"),
+          expr("bit_xor(h)").as("xor_h"))
+        .orderBy(col("shard"))
+    }),
+
+    // Corpus snapshot diff: v2 derives deterministically in-query (every
+    // 11th doc dropped, every 7th edited, every 13th spawning a new id)
+    // and the diff is ONE full-outer join on doc_id comparing content
+    // hashes — added/removed/changed/unchanged counts, the Delta-style
+    // versioning report between crawls. No content ships through the
+    // join; only ids and digests.
+    "q122_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2base = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h2"))
+      val v2new = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(concat(col("text"), lit(" new"))).as("h2"))
+      val v2 = v2base.unionByName(v2new)
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "unchanged")
+            .otherwise("changed"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
     // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
     // top-3 per source by the deterministic u^(1/n_chars) key — longer
     // docs proportionally likelier, no RNG, identical sample on re-run /
@@ -981,6 +1030,31 @@ object CorpusQueries {
         |       CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
         |       CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q121_manifest" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':shard'),1,15)) AS BIGINT) % 16 AS shard,
+        |         CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) % 2147483647 AS h
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(h) AS BIGINT) AS sum_h,
+        |       CAST(bit_xor(h) AS BIGINT) AS xor_h
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q122_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text || ' new') FROM documents WHERE doc_id % 13 = 0)
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |            WHEN h2 IS NULL THEN 'removed'
+        |            WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     "q114_budget_resample" ->
       """WITH d AS (
