@@ -197,6 +197,43 @@ object SearchQueries {
       val terms = InvertedIndex.phraseTerms(Tables.documents(s, dir), "doc_id", "text", 3)
       InvertedIndex.postings(terms, "doc_id", "w", 5, 50)
         .orderBy(col("w"))
+    }),
+
+    // Vector-column QA before indexing: per label, zero-norm / NaN /
+    // out-of-range / dimension-drift counts and the norm envelope. The
+    // per-row norm folds the array IN ORDER (Spark `aggregate` and
+    // DuckDB `list_sum` are both sequential left folds — bit-identical),
+    // so even the float norms replay exactly. One codegen map + one
+    // partial-agg rollup; the validation every embedding ingest should
+    // run and almost none do.
+    "q123_vector_qa" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("_d", col("embedding").cast("array<double>"))
+        .withColumn("_n2", expr("aggregate(_d, 0D, (acc, x) -> acc + x * x)"))
+        .withColumn("_bad", expr("exists(_d, x -> isnan(x) OR abs(x) > 1e6)"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(col("_bad"), 1L).otherwise(0L)).as("n_bad"),
+          countDistinct(size(col("embedding"))).as("n_dims"),
+          round(min(sqrt(col("_n2"))), 6).as("min_norm"),
+          round(max(sqrt(col("_n2"))), 6).as("max_norm"))
+        .orderBy(col("label"))),
+
+    // Referential integrity between the doc corpus and its vector index:
+    // matched / unvectored / orphaned counts from ONE full-outer join on
+    // the id. The audit that catches a half-finished embedding backfill
+    // before search quality quietly degrades.
+    "q124_ref_integrity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val v = Tables.embeddings(s, dir).select(col("vec_id"))
+      d.join(v, d("doc_id") === v("vec_id"), "full_outer")
+        .agg(count(col("doc_id")).as("n_docs"),
+          count(col("vec_id")).as("n_vecs"),
+          sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+            .otherwise(0L)).as("n_matched"),
+          sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("n_unvectored"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_orphan_vecs"))
     })
   )
 
@@ -498,6 +535,29 @@ object SearchQueries {
         |SELECT w, CAST(f.df AS BIGINT) AS df,
         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM g JOIN f USING (w) WHERE f.df BETWEEN 5 AND 50
-        |GROUP BY w, f.df ORDER BY w""".stripMargin
+        |GROUP BY w, f.df ORDER BY w""".stripMargin,
+
+    "q123_vector_qa" ->
+      """WITH e AS (
+        |  SELECT label,
+        |         len(embedding) AS dims,
+        |         list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2,
+        |         len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(x) > 1e6)) > 0 AS bad
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (WHERE n2 = 0) AS BIGINT) AS n_zero,
+        |       CAST(count(*) FILTER (WHERE bad) AS BIGINT) AS n_bad,
+        |       CAST(count(DISTINCT dims) AS BIGINT) AS n_dims,
+        |       round(min(sqrt(n2)), 6) AS min_norm,
+        |       round(max(sqrt(n2)), 6) AS max_norm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    "q124_ref_integrity" ->
+      """SELECT CAST(count(d.doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(e.vec_id) AS BIGINT) AS n_vecs,
+        |       CAST(count(*) FILTER (WHERE d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL) AS BIGINT) AS n_matched,
+        |       CAST(count(*) FILTER (WHERE e.vec_id IS NULL) AS BIGINT) AS n_unvectored,
+        |       CAST(count(*) FILTER (WHERE d.doc_id IS NULL) AS BIGINT) AS n_orphan_vecs
+        |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin
   )
 }
