@@ -37,7 +37,9 @@ object HistSketch {
     val d = (x - col("xmin")) * lit(B.toLong)
     val s = col("xmax") - col("xmin") + lit(1L)
     df.join(broadcast(ranges), col(keyCol) === col("_k"))
-      .withColumn("bin", ((d - d % s) / s).cast("long"))
+      // SQL `div` = pure long division: exact for any span (a double
+      // quotient would truncate once the dividend passes 2^53)
+      .withColumn("bin", call_function("div", d, s))
       .groupBy(col(keyCol), col("xmin"), col("xmax"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -66,7 +68,7 @@ object HistSketch {
     // integer arithmetic mirroring the bin assignment's division
     val s = col("xmax") - col("xmin") + lit(1L)
     val e = col("bin") * s
-    val edge = col("xmin") + ((e - e % lit(B.toLong)) / lit(B.toLong)).cast("long")
+    val edge = col("xmin") + call_function("div", e, lit(B.toLong))
     val aggs = qs.map { case (name, q) =>
       min(when(col("_cum") >= ceil(lit(q) * col("_n")), edge)).as(name)
     }

@@ -28,14 +28,16 @@ object ZOrder {
   val Bits = 8 // buckets per dimension = 256
 
   /** Range-bucket a non-negative long column into [0, 2^Bits) given its
-    * min/max — integer division (x - min) * 2^Bits div (span + 1),
-    * expressed as (d - d % s) / s so the quotient (≤ 2^Bits, exact in
-    * double) never sees float truncation error.
+    * min/max — integer division (x - min) * 2^Bits div (span + 1) via
+    * SQL `div`, which stays in LONG arithmetic end to end. (The earlier
+    * (d - d % s) / s form went through double division, whose ≤ 2^53
+    * mantissa truncates the dividend for spans above 2^45 — e.g. a year
+    * of epoch-micros — and could disagree with an exact integer replay.)
     */
   def bucket(x: Column, minV: Column, maxV: Column): Column = {
     val d = (x - minV) * lit(1L << Bits)
     val s = maxV - minV + lit(1L)
-    ((d - d % s) / s).cast("long")
+    call_function("div", d, s)
   }
 
   /** Interleave two bucketed columns' bits: x in even positions, y in

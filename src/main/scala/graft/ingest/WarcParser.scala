@@ -37,6 +37,28 @@ object WarcParser {
     -1
   }
 
+  private val Marker = "WARC/".getBytes("US-ASCII")
+
+  /** Index of the next `WARC/` at the start of a line (file start or
+    * right after a CRLF), at/after `from`; -1 when none. The resync
+    * point after a malformed record: best-effort — a payload that itself
+    * contains a line starting `WARC/` can false-trigger, but the header
+    * walk then rejects it and the scan moves on.
+    */
+  private def nextRecordStart(bytes: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + Marker.length <= bytes.length) {
+      if (bytes(i) == Marker(0) &&
+        (i == 0 || (i >= 2 && bytes(i - 2) == Crlf(0) && bytes(i - 1) == Crlf(1)))) {
+        var j = 1
+        while (j < Marker.length && bytes(i + j) == Marker(j)) j += 1
+        if (j == Marker.length) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** Decompress a `.warc.gz` in Common Crawl's layout: each record is its
     * own gzip MEMBER, concatenated — the property that makes a crawl shard
     * streamable record-by-record without decompressing the whole file.
@@ -79,23 +101,30 @@ object WarcParser {
     out.toByteArray
   }
 
-  /** Parse every well-formed record in a WARC payload; malformed tails are
-    * dropped silently (documented above).
+  /** Parse every well-formed record in a WARC payload. A malformed record
+    * (bad version line, unterminated headers, missing/oversized
+    * Content-Length) is SKIPPED by resyncing to the next line that starts
+    * `WARC/` — well-formed records after garbage still parse, so one bad
+    * record costs one record, not the partition's whole file tail. Only a
+    * truncated final record (declared length past EOF, no later marker)
+    * ends the scan.
     */
   def parse(bytes: Array[Byte]): Seq[WarcRecord] = {
     val out = ArrayBuffer[WarcRecord]()
     var pos = 0
-    var ok = true
-    while (ok && pos < bytes.length) {
+    // resync after a malformed record: jump past the bad marker, find the
+    // next line-start `WARC/`; -1 (no further marker) ends the scan
+    def resync(after: Int): Int = nextRecordStart(bytes, after)
+    while (pos >= 0 && pos < bytes.length) {
       // skip inter-record blank lines
       while (pos + 1 < bytes.length && bytes(pos) == Crlf(0) && bytes(pos + 1) == Crlf(1))
         pos += 2
-      if (pos >= bytes.length) ok = false
+      if (pos >= bytes.length) pos = -1
       else {
         val verEnd = crlfAt(bytes, pos)
         val version =
           if (verEnd < 0) "" else new String(bytes, pos, verEnd - pos, "US-ASCII")
-        if (!version.startsWith("WARC/")) ok = false
+        if (!version.startsWith("WARC/")) pos = resync(pos + 1)
         else {
           // named headers until the blank line
           var hPos = verEnd + 2
@@ -116,7 +145,8 @@ object WarcParser {
             }
           }
           val len = headers.get("content-length").flatMap(_.toLongOption)
-          if (!wellFormed || len.isEmpty || hPos + len.get > bytes.length) ok = false
+          if (!wellFormed || len.isEmpty || hPos + len.get > bytes.length)
+            pos = resync(pos + 1)
           else {
             out += WarcRecord(
               headers.getOrElse("warc-type", ""),

@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
   * in-degree skew case) collapse per partition before the exchange.
   *
   * Resolution rules (column expressions only):
-  *   - `http(s)://...` absolute hrefs pass through;
+  *   - `http(s)://...` absolute hrefs pass through verbatim (a server
+  *     emitting `../` inside an absolute URL is its own canonicalization
+  *     problem — documented limitation);
   *   - `/rooted` paths resolve to `scheme://host/rooted`;
   *   - `relative.html` resolves into the page URI's directory;
+  *   - `./` and `seg/../` runs in the resolved path are collapsed (so
+  *     `../a.html` lands on the SAME node as the canonical URL — without
+  *     this one page fragments into several graph nodes), with leading
+  *     `/../` clamped to root; nesting beyond depth 4 is left as-is;
   *   - `mailto:`/`javascript:`/`data:` schemes and fragment-only (`#...`)
   *     hrefs are dropped, and a trailing `#fragment` is trimmed.
   */
@@ -30,6 +36,20 @@ object LinkGraph {
   private val HrefRe = """<a[^>]*\bhref\s*=\s*["']([^"']+)["']"""
   private val AnchorRe = """<a[^>]*\bhref\s*=\s*["']([^"']+)["'][^>]*>([^<]*)</a>"""
 
+  /** Collapse `/./` and `seg/../` in a path (RFC 3986 §5.2.4's common
+    * cases) with a FIXED number of regexp passes — column-only, no UDF.
+    * Java regex replaceAll resumes after each match, so one pass clears
+    * non-overlapping runs and repetition handles nesting: 2 passes for
+    * `/./` chains, 4 for `a/b/../../`-style unwinding (crawl hrefs
+    * deeper than that are vanishingly rare and stay un-normalized).
+    * Leading `/../` runs clamp to root, mirroring browser behavior.
+    */
+  private def normPath(p: Column): Column = {
+    val noDot = (1 to 2).foldLeft(p)((c, _) => regexp_replace(c, "/\\.(/|$)", "$1"))
+    val noUp = (1 to 4).foldLeft(noDot)((c, _) => regexp_replace(c, "/[^/]+/\\.\\.(/|$)", "$1"))
+    regexp_replace(noUp, "^(/\\.\\.)+(/|$)", "/")
+  }
+
   /** Fragment-trimmed href resolved against the page URI in `src`. */
   private def resolved(href: Column): Column = {
     val src = col("src")
@@ -37,8 +57,9 @@ object LinkGraph {
     val hostPort = parse_url(src, lit("AUTHORITY"))
     val dir = regexp_replace(parse_url(src, lit("PATH")), "/[^/]*$", "")
     when(href.rlike("^https?://"), href)
-      .when(href.startsWith("/"), concat(proto, lit("://"), hostPort, href))
-      .otherwise(concat(proto, lit("://"), hostPort, dir, lit("/"), href))
+      .when(href.startsWith("/"), concat(proto, lit("://"), hostPort, normPath(href)))
+      .otherwise(concat(proto, lit("://"), hostPort,
+        normPath(concat(dir, lit("/"), href))))
   }
 
   /** `(src, dst)` — distinct resolved link edges from an HTML page table. */

@@ -383,21 +383,27 @@ object CorpusQueries {
     }),
 
     // Link-graph extraction: deterministic synthetic HTML (absolute,
-    // root-relative, and directory-relative hrefs plus mailto/fragment
-    // noise) → resolved edge table → per-page degrees. The oracle states
-    // every resolved URL in closed form, so agreement proves the
-    // extraction AND the three resolution rules; the degree rollup rides
-    // the same two partial-agg shuffles it would at crawl scale.
+    // root-relative, directory-relative, `./`-relative, and `../`-upward
+    // hrefs plus mailto/fragment noise) → resolved edge table → per-page
+    // degrees. The oracle states every resolved URL in closed form, so
+    // agreement proves the extraction AND every resolution rule
+    // including dot-segment collapsing (without which `../a.html` and
+    // the canonical URL would fragment one page into two graph nodes);
+    // the degree rollup rides the same two partial-agg shuffles it
+    // would at crawl scale.
     "q84_link_graph" -> ((s, _) => {
       import s.implicits._
       val pages = (0 until 30).map { p =>
         val uri = s"https://ex${p % 3}.com/d${p / 10}/p$p.html"
         val q1 = (p * 7 + 1) % 30; val q2 = (p * 7 + 2) % 30; val q3 = (p * 7 + 3) % 30
+        val q4 = (p * 7 + 4) % 30; val q5 = (p * 7 + 5) % 30
         val html =
           s"""<html><body>
              |<a class="x" href="https://ex${q1 % 3}.com/d${q1 / 10}/p$q1.html">abs</a>
              |<a href='/d${q2 / 10}/p$q2.html'>rooted</a>
              |<a href="p$q3.html#sec">rel</a>
+             |<a href="./p$q4.html">dot</a>
+             |<a href="../d${q5 / 10}/p$q5.html">up</a>
              |<a href="mailto:x@y.z">m</a><a href="#top">top</a>
              |</body></html>""".stripMargin
         (uri, html)
@@ -857,6 +863,7 @@ object CorpusQueries {
     "q84_link_graph" ->
       """WITH pg AS (
         |  SELECT p, (p*7+1)%30 AS q1, (p*7+2)%30 AS q2, (p*7+3)%30 AS q3,
+        |         (p*7+4)%30 AS q4, (p*7+5)%30 AS q5,
         |         'https://ex' || (p%3) || '.com/d' || (p//10) || '/p' || p || '.html' AS src
         |  FROM (SELECT unnest(generate_series(0, 29)) AS p)),
         |edges AS (
@@ -865,7 +872,11 @@ object CorpusQueries {
         |    UNION ALL
         |    SELECT src, 'https://ex' || (p%3) || '.com/d' || (q2//10) || '/p' || q2 || '.html' FROM pg
         |    UNION ALL
-        |    SELECT src, 'https://ex' || (p%3) || '.com/d' || (p//10) || '/p' || q3 || '.html' FROM pg)),
+        |    SELECT src, 'https://ex' || (p%3) || '.com/d' || (p//10) || '/p' || q3 || '.html' FROM pg
+        |    UNION ALL
+        |    SELECT src, 'https://ex' || (p%3) || '.com/d' || (p//10) || '/p' || q4 || '.html' FROM pg
+        |    UNION ALL
+        |    SELECT src, 'https://ex' || (p%3) || '.com/d' || (q5//10) || '/p' || q5 || '.html' FROM pg)),
         |o AS (SELECT src AS page, count(*) AS out_deg FROM edges GROUP BY src),
         |i AS (SELECT dst AS page, count(*) AS in_deg FROM edges GROUP BY dst)
         |SELECT coalesce(o.page, i.page) AS page,

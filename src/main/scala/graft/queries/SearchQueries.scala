@@ -353,7 +353,9 @@ object SearchQueries {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |sub AS (SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv
          |        FROM e, (SELECT unnest(generate_series(0, 7)) AS s) ss),
-         |c0 AS (SELECT s, vec_id AS cluster, sv AS cent FROM sub WHERE vec_id < 4),
+         |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+         |         FROM (SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT 4)),
+         |c0 AS (SELECT s, cluster, sv AS cent FROM sub JOIN seed USING (vec_id)),
          |${assignCte("a1", "c0", keepSv = true)},
          |${meanCte("c1", "a1")},
          |${assignCte("a2", "c1", keepSv = true)},

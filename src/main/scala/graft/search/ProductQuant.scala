@@ -1,6 +1,7 @@
 package graft.search
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PRODUCT QUANTIZATION (Jégou 2011) — split each d-dim vector into
@@ -56,8 +57,15 @@ object ProductQuant {
   def fit(emb: DataFrame, idCol: String, vecCol: String,
           numSub: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val sub = subvectors(emb, idCol, vecCol, numSub).localCheckpoint(true)
-    var cents = sub.filter(col("vid") < k)
-      .select(col("s"), col("vid").as("cluster"), col("sv").as("cent"))
+    // Seed = the k SMALLEST vector ids, renumbered 0..k-1 — exactly k
+    // centroids per subspace whatever the id space looks like (a
+    // `vid < k` filter would silently under-seed sparse or non-zero-based
+    // ids). orderBy+limit is a TakeOrdered (no full sort); the global
+    // row_number window runs over those k rows only.
+    val seeds = sub.select(col("vid")).distinct().orderBy(col("vid")).limit(k)
+      .withColumn("cluster", row_number().over(Window.orderBy(col("vid"))) - 1)
+    var cents = sub.join(broadcast(seeds), Seq("vid"))
+      .select(col("s"), col("cluster").cast("long").as("cluster"), col("sv").as("cent"))
     (1 to iters).foreach { _ =>
       val assigned = assign(sub, cents)
       cents = assigned

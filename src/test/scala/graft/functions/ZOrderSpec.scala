@@ -23,6 +23,24 @@ class ZOrderSpec extends SparkSpec {
     assert(got.values.toSeq.distinct.size == pts.size)
   }
 
+  test("bucket is exact long division even when the dividend passes 2^53") {
+    // span ~2^50 (e.g. 35 years of epoch-micros): the dividend
+    // (x - min) * 256 reaches 2^58, far past double's 2^53 mantissa — a
+    // double-division quotient truncates here; SQL `div` must not
+    val minV = 0L
+    val maxV = (1L << 50) - 1L
+    val xs = (0 until 1000).map(i => (maxV.toDouble * i / 999).toLong) ++
+      Seq(minV, maxV, maxV - 1, maxV / 2, maxV / 2 + 1)
+    val got = xs.toDF("x")
+      .select(col("x"), ZOrder.bucket(col("x"), lit(minV), lit(maxV)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val expected = ((BigInt(x - minV) * 256) / BigInt(maxV - minV + 1)).toLong
+      assert(got(x) == expected, s"x=$x")
+    }
+    assert(got(minV) == 0L && got(maxV) == 255L)
+  }
+
   test("every 1024-z-value file covers a rectangle of at most 32x32 buckets") {
     val grid = (for (x <- 0 until 256 by 3; y <- 0 until 256 by 5) yield (x.toLong, y.toLong))
       .toDF("xb", "yb")

@@ -66,4 +66,22 @@ class WarcSpec extends AnyFunSuite {
     val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\npayload".getBytes
     assert(WarcParser.parse(noLen).isEmpty)
   }
+
+  test("resync: a malformed record costs itself, not the file tail") {
+    val good1 = WarcParser.encode(Seq(rec("https://r/1", "before")))
+    val good2 = WarcParser.encode(Seq(rec("https://r/2", "after")))
+    // CRLF-terminated garbage between two valid records
+    val garbage = "GARBAGE LINE\r\nmore junk\r\n\r\n".getBytes("US-ASCII")
+    val out1 = WarcParser.parse(good1 ++ garbage ++ good2)
+    assert(out1.map(_.targetUri) == Seq("https://r/1", "https://r/2"))
+    // a version-tagged record with NO Content-Length, then a valid one:
+    // the header walk rejects the first, resync recovers the second
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes("US-ASCII")
+    val out2 = WarcParser.parse(noLen ++ good2)
+    assert(out2.map(_.targetUri) == Seq("https://r/2"))
+    // oversized Content-Length mid-file: skip it, keep the next record
+    val badLen = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999999\r\n\r\nx".getBytes("US-ASCII")
+    val out3 = WarcParser.parse(badLen ++ "\r\n".getBytes ++ good2)
+    assert(out3.map(_.targetUri) == Seq("https://r/2"))
+  }
 }

@@ -46,6 +46,23 @@ class LinkGraphSpec extends SparkSpec {
     assert(dsts.toSeq == Seq("http://host.io:8080/a/c.html", "http://host.io:8080/d.html"))
   }
 
+  test("edges: ./ and ../ segments collapse to the canonical URL") {
+    val p = ("https://ex.com/a/b/page.html",
+      """<a href="./x.html">dot</a>
+        |<a href="../y.html">up</a>
+        |<a href="../../z.html">upup</a>
+        |<a href="/a/./w.html">rooted dot</a>
+        |<a href="../../../over.html">past root clamps</a>""".stripMargin)
+    val dsts = LinkGraph.edges(Seq(p).toDF("uri", "html"), "uri", "html")
+      .collect().map(_.getString(1)).sorted
+    assert(dsts.toSeq == Seq(
+      "https://ex.com/a/b/x.html",
+      "https://ex.com/a/w.html",
+      "https://ex.com/a/y.html",
+      "https://ex.com/over.html",
+      "https://ex.com/z.html"))
+  }
+
   test("anchors: href/text stay aligned through noise filters, text is trimmed, dups kept") {
     val p = ("https://ex.com/dir/page.html",
       """<a href="https://other.org/x.html"> First Link </a>

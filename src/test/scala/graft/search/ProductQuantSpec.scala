@@ -26,6 +26,19 @@ class ProductQuantSpec extends SparkSpec {
     assert(codes == codes2 && cents == cents2)
   }
 
+  test("fit seeds exactly k renumbered centroids from sparse non-zero-based ids") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory)
+    // ids 1000, 1010, 1020, ... — a `vid < k` seed filter would find NONE
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+      .withColumn("vec_id", col("vec_id") * 10 + 1000)
+    val (codes, cents) = ProductQuant.fit(emb, "vec_id", "embedding", 8, 4, 2)
+    val cRows = cents.collect()
+    assert(cRows.length == 8 * 4)
+    assert(cRows.map(_.getLong(1)).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(codes.collect().forall(r => r.getLong(2) >= 0 && r.getLong(2) < 4))
+  }
+
   test("every subspace uses all 4 codes on spread-out data") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory)
