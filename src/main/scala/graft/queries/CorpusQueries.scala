@@ -647,6 +647,43 @@ object CorpusQueries {
           sum(col("toks")).as("tokens_kept"),
           max(col("cum")).as("budget_used"))
         .orderBy(col("source"))
+    }),
+
+    // KMV k-minimum-values distinct sketch (k=32) vs the exact per-source
+    // distinct count — the order-statistics cardinality estimator that is
+    // EXACT below k and mergeable above it, completing the sketch family
+    // (HLL q96 / CMS q99 / histogram q106). The bounded typed Aggregator
+    // ships ≤ 32 longs per group through the shuffle no matter the group's
+    // cardinality; the oracle replays every kept hash and the single
+    // integer-ratio estimate bit-for-bit.
+    "q125_kmv_distinct" -> ((s, dir) => {
+      import graft.functions.KmvSketch
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+      val est = KmvSketch.estimate(KmvSketch.sketch(toks, "source", "w"))
+        .withColumnRenamed("grp", "source")
+      val exact = toks.groupBy(col("source")).agg(countDistinct(col("w")).as("n_exact"))
+      exact.join(est, Seq("source")).orderBy(col("source"))
+    }),
+
+    // HITS hubs & authorities over the q84 synthetic link graph: 5
+    // integer-ppm iterations (exact long sums + integer renormalization
+    // each half-step — no float anywhere), oracle-unrolled CTE-for-CTE.
+    // The second eigenvector ranking next to PageRank q67: endorsement
+    // quality, not just endorsement mass.
+    "q126_hits" -> ((s, _) => {
+      import s.implicits._
+      val pages = (0 until 30).map { p =>
+        val uri = s"https://ex${p % 3}.com/d${p / 10}/p$p.html"
+        val q1 = (p * 7 + 1) % 30; val q2 = (p * 7 + 2) % 30; val q3 = (p * 7 + 3) % 30
+        val html =
+          s"""<a href="https://ex${q1 % 3}.com/d${q1 / 10}/p$q1.html">a</a>
+             |<a href='/d${q2 / 10}/p$q2.html'>b</a>
+             |<a href="p$q3.html">c</a>""".stripMargin
+        (uri, html)
+      }
+      val edges = graft.operators.LinkGraph.edges(pages.toDF("uri", "html"), "uri", "html")
+      graft.operators.Hits.run(edges, 5).orderBy(col("page"))
     })
   )
 
@@ -964,6 +1001,64 @@ object CorpusQueries {
         |      FROM pb LEFT JOIN c USING (i, b) GROUP BY w, n_exact)
         |SELECT w, CAST(n_exact AS BIGINT) AS n_exact, CAST(est AS BIGINT) AS est
         |FROM e ORDER BY n_exact DESC, w""".stripMargin,
+
+    "q125_kmv_distinct" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1)) AS w
+        |  FROM documents),
+        |d AS (SELECT DISTINCT source, w FROM t),
+        |h AS (SELECT DISTINCT source,
+        |             CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) % 2147483647 AS h
+        |      FROM d),
+        |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT source, count(*) AS n_kept, max(CASE WHEN rn = 32 THEN h END) AS hk
+        |       FROM r WHERE rn <= 32 GROUP BY source),
+        |x AS (SELECT source, count(DISTINCT w) AS n_exact FROM t GROUP BY source)
+        |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+        |       CAST(n_kept AS BIGINT) AS n_kept,
+        |       round(CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+        |                  ELSE 31.0 * 2147483647 / hk END, 6) AS est
+        |FROM x JOIN sk USING (source) ORDER BY source""".stripMargin,
+
+    "q126_hits" -> {
+      // integer-ppm HITS unrolled CTE-for-CTE over the q84-style closed-form
+      // edge table (3 links per page: absolute, rooted, relative). Auth is
+      // renormalized per iteration; hub stays raw until the final renorm —
+      // exactly the Spark operator's contract.
+      def auth(i: Int, hub: String): String =
+        s"""a${i}r AS (SELECT e.dst AS page, sum(h.raw) AS raw
+           |           FROM edges e JOIN $hub h ON h.page = e.src GROUP BY e.dst),
+           |a$i AS (SELECT n.page,
+           |              coalesce(raw, 0) * 1000000 // (SELECT sum(raw) FROM a${i}r) AS auth
+           |        FROM nodes n LEFT JOIN a${i}r USING (page))""".stripMargin
+      def hub(i: Int, auth: String): String =
+        s"""h$i AS (SELECT e.src AS page, sum(a.auth) AS raw
+           |        FROM edges e JOIN $auth a ON a.page = e.dst GROUP BY e.src)""".stripMargin
+      val iters = (1 to 5).map(i => auth(i, if (i == 1) "h0" else s"h${i - 1}") +
+        ",\n" + hub(i, s"a$i")).mkString(",\n")
+      s"""WITH pg AS (
+         |  SELECT p, (p*7+1)%30 AS q1, (p*7+2)%30 AS q2, (p*7+3)%30 AS q3,
+         |         'https://ex' || (p%3) || '.com/d' || (p//10) || '/p' || p || '.html' AS src
+         |  FROM (SELECT unnest(generate_series(0, 29)) AS p)),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, 'https://ex' || (q1%3) || '.com/d' || (q1//10) || '/p' || q1 || '.html' AS dst FROM pg
+         |    UNION ALL
+         |    SELECT src, 'https://ex' || (p%3) || '.com/d' || (q2//10) || '/p' || q2 || '.html' FROM pg
+         |    UNION ALL
+         |    SELECT src, 'https://ex' || (p%3) || '.com/d' || (p//10) || '/p' || q3 || '.html' FROM pg)),
+         |nodes AS (SELECT DISTINCT page FROM
+         |  (SELECT src AS page FROM edges UNION ALL SELECT dst FROM edges)),
+         |h0 AS (SELECT page, CAST(1000000 AS BIGINT) AS raw FROM nodes),
+         |$iters,
+         |hn AS (SELECT n.page,
+         |              coalesce(raw, 0) * 1000000 // (SELECT sum(raw) FROM h5) AS hub
+         |       FROM nodes n LEFT JOIN h5 USING (page))
+         |SELECT hn.page, CAST(hn.hub AS BIGINT) AS hub_ppm,
+         |       CAST(a5.auth AS BIGINT) AS auth_ppm
+         |FROM hn JOIN a5 USING (page) ORDER BY page""".stripMargin
+    },
 
     "q106_hist_quantile" ->
       """WITH r AS (SELECT lang, min(n_chars) AS xmin, max(n_chars) AS xmax
