@@ -21,19 +21,38 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright. Read nanos as long and convert to a
-    * microsecond timestamp — exact for this data (all values are whole µs,
-    * which is also what DuckDB's µs TIMESTAMP sees).
+  /** Normalizes an externally-produced timestamp column to `TimestampType`.
+    *
+    * Parquet written by different producers encodes the "same" timestamp at
+    * least three ways, and a 100 TB lake mixes all of them:
+    *   - INT64 TIMESTAMP(NANOS): Spark's reader rejects it outright unless
+    *     `spark.sql.legacy.parquet.nanosAsLong` surfaces it as a raw long —
+    *     exact `div 1000` to µs (all testdata values are whole µs, matching
+    *     what DuckDB's µs TIMESTAMP sees).
+    *   - TIMESTAMP(isAdjustedToUTC=false, µs): surfaces as TIMESTAMP_NTZ in
+    *     Spark 4; a bare cast to TimestampType is exact under the UTC
+    *     session timezone the engine pins.
+    *   - TIMESTAMP(isAdjustedToUTC=true, µs): already TimestampType.
+    * Anything else (string/date) falls through a plain cast.
+    */
+  def normalizeTimestamp(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case TimestampType => df
+      case _ => df.withColumn(colName, col(colName).cast(TimestampType))
+    }
+  }
+
+  /** events.parquet's `ts` encoding has changed across testdata generations
+    * (INT64-nanos, then NTZ-µs); normalize whatever shows up.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, sfDir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    normalizeTimestamp(table(spark, sfDir, "events"), "ts")
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

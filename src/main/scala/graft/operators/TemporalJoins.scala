@@ -30,8 +30,12 @@ object TemporalJoins {
     * output. Left columns pass through; the match arrives as
     * `asof_<rightId>` + `asof_ts`.
     */
-  def asof(left: DataFrame, right: DataFrame, key: String,
+  def asof(left0: DataFrame, right0: DataFrame, key: String,
            leftTs: String, rightTs: String, rightId: String): DataFrame = {
+    // Normalize first: a TIMESTAMP_NTZ side would make the tagged union's
+    // _ts columns type-mismatch (and sort semantics ambiguous).
+    val left = graft.core.Tables.normalizeTimestamp(left0, leftTs)
+    val right = graft.core.Tables.normalizeTimestamp(right0, rightTs)
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_ts", col(leftTs))
@@ -71,8 +75,11 @@ object TemporalJoins {
     *
     * Returns the left rows + `n_in_window` (0 when nothing matched).
     */
-  def countInWindow(left: DataFrame, right: DataFrame, key: String, leftId: String,
+  def countInWindow(left0: DataFrame, right0: DataFrame, key: String, leftId: String,
                     leftTs: String, rightTs: String, windowUs: Long): DataFrame = {
+    // unix_micros below requires TimestampType; normalize NTZ/long inputs.
+    val left = graft.core.Tables.normalizeTimestamp(left0, leftTs)
+    val right = graft.core.Tables.normalizeTimestamp(right0, rightTs)
     // candidates group and join back on (key, leftId, ts) — NOT leftId alone —
     // so a leftId reused across keys or timestamps neither merges counts nor
     // fans out. Exact full-duplicate left rows remain ambiguous: each copy

@@ -20,8 +20,11 @@ object Sessionize {
   /** Assigns `session_id` (0-based per user) to each event. `tieCol` breaks
     * ordering ties deterministically (required for exact oracle parity).
     */
-  def assignSessions(events: DataFrame, userCol: String, tsCol: String,
+  def assignSessions(events0: DataFrame, userCol: String, tsCol: String,
                      tieCol: String, gapSeconds: Long): DataFrame = {
+    // Callers hand us externally-loaded frames; a TIMESTAMP_NTZ ts column
+    // would fail the cast("double") below, so normalize first.
+    val events = graft.core.Tables.normalizeTimestamp(events0, tsCol)
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val prevTs = lag(col(tsCol), 1).over(w)
     // cast-to-double keeps fractional seconds (unix_timestamp truncates to
