@@ -73,9 +73,10 @@ object TextQueries {
 
     // Learned-BPE token counting: fit 8 merges on the corpus (one word
     // frequency pass, then vocab-table-only iterations), encode every
-    // doc, roll up per source. The fit's data-dependent iterative argmax
-    // has no SQL replay → deliberately absent from oracleSql (driver
-    // records the rows-only check, like q32).
+    // doc, roll up per source. Oracle-replayed in full: the fit's 8
+    // argmax rounds unroll CTE-for-CTE (the q126 discipline) and the
+    // greedy merge application is a recursive leftmost-replace fixpoint
+    // (see bpeOracleSql).
     "q92_bpe_tokens" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val merges = graft.functions.BpeTokenizer.fit(docs, "text", 8)
@@ -328,7 +329,84 @@ object TextQueries {
     s"CASE WHEN $anySignal THEN $argmax ELSE 'unknown' END"
   }
 
+  /** DuckDB replay of the FULL trainable-BPE pipeline (fit + encode),
+    * mirroring [[graft.functions.BpeTokenizer]] exactly:
+    *
+    *   - vocab seed: pre-token frequencies (same regex), each word
+    *     segmented as space-joined characters with sentinel spaces.
+    *   - per merge round (unrolled CTE-for-CTE, the q126 discipline):
+    *     adjacent-pair counts weighted by word count → argmax with the
+    *     fit's (count desc, a asc, b asc) tie-break → a RECURSIVE
+    *     leftmost-single-replace until fixpoint. Iterated leftmost
+    *     replace ≡ the Scala greedy non-overlapping applyMerge: a
+    *     replacement can never create an occurrence of the same pair
+    *     EARLIER than where it fired (neighbors are unchanged and the
+    *     merged symbol a+b matches neither element), so restarting the
+    *     scan from the left finds exactly the pairs the forward scan
+    *     would. A plain replace-all would NOT (it skips the shared
+    *     boundary separator in runs like aaaa).
+    *   - encode: every doc pre-token IS in the fitted vocab (same
+    *     corpus), so per-word token count = final segment count; docs
+    *     join words to the final vocab and roll up per source.
+    *
+    * Every multiply-referenced CTE is MATERIALIZED: DuckDB 1.0 inlines
+    * CTEs per reference, and with 8 chained rounds the inlined plan
+    * re-derives the whole prefix per reference (~100 s); materialized it
+    * runs in ~0.2 s.
+    */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val rx = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    val rounds = (1 to nMerges).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT l[i] AS a, l[i + 1] AS b, sum(wc) AS c
+         |  FROM (SELECT wc, l, unnest(generate_series(1, len(l) - 1)) AS i
+         |        FROM (SELECT wc, string_split(trim(seg), ' ') AS l FROM $prev))
+         |  GROUP BY 1, 2
+         |), m$r AS MATERIALIZED (
+         |  SELECT ' ' || a || ' ' || b || ' ' AS pat, ' ' || a || b || ' ' AS rep
+         |  FROM p$r ORDER BY c DESC, a, b LIMIT 1
+         |), r$r AS (
+         |  SELECT word, wc, seg, 0 AS it FROM $prev
+         |  UNION ALL
+         |  SELECT word, wc,
+         |         substr(seg, 1, strpos(seg, pat) - 1) || rep ||
+         |           substr(seg, strpos(seg, pat) + length(pat)),
+         |         it + 1
+         |  FROM r$r, m$r WHERE strpos(seg, pat) > 0
+         |), v$r AS MATERIALIZED (
+         |  SELECT word, wc, seg FROM r$r
+         |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY it DESC) = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE wf AS MATERIALIZED (
+       |  SELECT w AS word, count(*) AS wc
+       |  FROM (SELECT unnest(regexp_extract_all(text, '$rx')) AS w FROM documents)
+       |  GROUP BY 1
+       |), v0 AS MATERIALIZED (
+       |  SELECT word, wc,
+       |         ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seg
+       |  FROM wf
+       |),
+       |$rounds,
+       |dtok AS MATERIALIZED (
+       |  SELECT doc_id, source, regexp_extract_all(text, '$rx') AS pts FROM documents
+       |), wtc AS (
+       |  SELECT word, len(string_split(trim(seg), ' ')) AS ntok FROM v$nMerges
+       |), dsum AS (
+       |  SELECT doc_id, sum(ntok) AS ntoks
+       |  FROM (SELECT doc_id, unnest(pts) AS word FROM dtok) JOIN wtc USING (word)
+       |  GROUP BY 1
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(len(pts)) AS BIGINT) AS sum_pretok,
+       |       CAST(sum(coalesce(ntoks, 0)) AS BIGINT) AS sum_tokens
+       |FROM dtok LEFT JOIN dsum USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q92_bpe_tokens" -> bpeOracleSql(8),
     "q23_tokencount" ->
       """WITH d AS (
         |  SELECT source,

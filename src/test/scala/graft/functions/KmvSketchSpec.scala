@@ -19,7 +19,7 @@ class KmvSketchSpec extends SparkSpec {
     // relative std error ~ 1/sqrt(K-2) = 18%; 3-sigma envelope
     assert(est > n * 0.45 && est < n * 1.55, s"estimate $est too far from $n")
     // value-determinism: duplicates never move the k-min set
-    val est2 = KmvSketch.estimate(KmvSketch.sketch(big.unionAll(big), "grp", "v"))
+    val est2 = KmvSketch.estimate(KmvSketch.sketch(big.union(big), "grp", "v"))
       .collect().head.getDouble(2)
     assert(est2 == est)
   }
@@ -30,7 +30,7 @@ class KmvSketchSpec extends SparkSpec {
     val merged = KmvSketch.merge(
       KmvSketch.sketch(a, "grp", "v"), KmvSketch.sketch(b, "grp", "v"))
       .collect().head.getSeq[Long](1)
-    val whole = KmvSketch.sketch(a.unionAll(b), "grp", "v")
+    val whole = KmvSketch.sketch(a.union(b), "grp", "v")
       .collect().head.getSeq[Long](1)
     assert(merged == whole)
     assert(merged.length == KmvSketch.K)

@@ -45,14 +45,24 @@ class HitsSpec extends SparkSpec {
     assert(rows("hub1")._1 > rows("hub2")._1)
     // x is endorsed by 3 hubs, y by 2 — x carries more authority.
     assert(rows("x")._2 > rows("y")._2)
-    // every node appears exactly once, including the un-endorsed dead end
+    // every node appears exactly once, including the dead end with no
+    // out-edges
     assert(rows.size == 7)
   }
 
   test("iteration count is respected and deterministic across runs") {
-    val edges = (0 until 12).map(i => (s"s${i % 4}", s"d${i % 3}")).toDF("src", "dst")
-    val once = Hits.run(edges, 5).orderBy("page").collect().toSeq
-    val again = Hits.run(edges, 5).orderBy("page").collect().toSeq
-    assert(once == again)
+    // asymmetric graph (varying in/out degrees) so scores keep moving
+    // between rounds — iters=1 and iters=5 must differ, proving the
+    // iteration knob actually drives the computation
+    val edges = Seq(
+      ("h1", "x"), ("h1", "y"), ("h1", "z"),
+      ("h2", "x"), ("h3", "y"), ("x", "y")
+    ).toDF("src", "dst")
+    val one = Hits.run(edges, 1).orderBy("page").collect().toSeq
+    val five = Hits.run(edges, 5).orderBy("page").collect().toSeq
+    assert(one != five, "scores must evolve past the first iteration")
+    // and each iteration count is deterministic across runs
+    val fiveAgain = Hits.run(edges, 5).orderBy("page").collect().toSeq
+    assert(five == fiveAgain)
   }
 }
