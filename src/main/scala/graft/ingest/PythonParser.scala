@@ -138,6 +138,76 @@ object PythonParser {
     else CtorRe.findFirstMatchIn(r).map(_.group(1))
   }
 
+  /** Bracket- and string-aware top-level comma split: annotations and
+    * defaults nest commas (`dict[str, int]`, `=(1, 2)`), so a plain
+    * `split(",")` mis-parses any generic-typed parameter list.
+    */
+  private[ingest] def splitTopLevel(s: String): Seq[String] = {
+    val out = ArrayBuffer[String](); val cur = new StringBuilder
+    var depth = 0; var inStr: Char = 0
+    s.foreach { c =>
+      if (inStr != 0) { cur += c; if (c == inStr) inStr = 0 }
+      else c match {
+        case '(' | '[' | '{' => depth += 1; cur += c
+        case ')' | ']' | '}' => depth -= 1; cur += c
+        case '\'' | '"'      => inStr = c; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case other           => cur += other
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val ParamRe = """^([A-Za-z_]\w*)\s*(?::\s*([^=]+?))?\s*(?:=\s*(.+))?$""".r
+
+  /** Per-parameter resolved types — annotation first, else the default
+    * literal's inferred type ([[inferRhsType]]); `*args`/`**kwargs` are
+    * structurally `tuple`/`dict`. Returns `(name, type?, wasInferred)`
+    * where `wasInferred` marks facts the annotation alone doesn't show.
+    * `self`/`cls` are omitted, like a Jedi bound-method signature.
+    */
+  private[ingest] def inferParamTypes(params: String): Seq[(String, Option[String], Boolean)] =
+    splitTopLevel(params).flatMap { p =>
+      if (p == "self" || p == "cls" || p == "/" || p == "*") None
+      else if (p.startsWith("**"))
+        Some((p.drop(2).takeWhile(c => c.isLetterOrDigit || c == '_'), Some("dict"), true))
+      else if (p.startsWith("*"))
+        Some((p.drop(1).takeWhile(c => c.isLetterOrDigit || c == '_'), Some("tuple"), true))
+      else p match {
+        case ParamRe(name, annot, default) =>
+          Option(annot).map(_.trim).filter(_.nonEmpty) match {
+            case Some(a) => Some((name, Some(a), false))
+            case None =>
+              val t = Option(default).flatMap(inferRhsType)
+              Some((name, t, t.isDefined))
+          }
+        case _ => None
+      }
+    }
+
+  /** Return-type resolution: the `->` annotation wins; else `yield` makes
+    * a generator; else the unanimous inferred type of the return
+    * expressions — a literal's type, or a bare name flowing a resolved
+    * parameter type through (`def f(a: int): return a` → int). The
+    * structural slice of what the reference gets from Jedi's resolved
+    * signature (analysis/parser.py:1100-1107).
+    */
+  private[ingest] def inferReturnType(retAnnot: Option[String], retExprs: Seq[String],
+                                      body: String,
+                                      paramTypes: Map[String, String]): (Option[String], Boolean) =
+    retAnnot match {
+      case Some(r) => (Some(r), false)
+      case None =>
+        if ("""(?m)^\s*yield\b""".r.findFirstIn(body).isDefined) (Some("generator"), true)
+        else {
+          val ts = retExprs.map(e => inferRhsType(e).orElse(paramTypes.get(e.trim)))
+          if (ts.nonEmpty && ts.forall(_.isDefined) && ts.flatten.distinct.size == 1)
+            (ts.head, true)
+          else (None, false)
+        }
+    }
+
   /** Args/Returns/Raises/Examples/behavior-keyword observations from a full
     * docstring (reference: observation_extractor.py:313-380).
     */
@@ -354,6 +424,20 @@ object PythonParser {
           obs ++= docstringPatternObs(fullDocstringAt(i + 1))
           // return-shape pattern (reference: observation_extractor.py:543-571)
           val retExprs = ReturnStmtRe.findAllMatchIn(bodyNoDef).map(_.group(1)).toSeq.distinct
+          // Jedi-parity slice: resolved signature from annotations +
+          // default/return literal inference (the structural analog of
+          // inferred_types["signature"], analysis/parser.py:1100-1107).
+          // Emitted only when inference ADDS a fact the annotated
+          // signature doesn't already show.
+          val pTypes = inferParamTypes(params)
+          val (rType, rInferred) = inferReturnType(
+            Option(ret).map(_.trim).filter(_.nonEmpty), retExprs, bodyNoDef,
+            pTypes.collect { case (n, Some(t), _) => n -> t }.toMap)
+          if (pTypes.exists(_._3) || rInferred) {
+            val ps = pTypes.map { case (n, t, _) => t.map(tt => s"$n: $tt").getOrElse(n) }
+              .mkString(", ")
+            obs += s"inferred signature: $name($ps)${rType.map(t => s" -> $t").getOrElse("")}"
+          }
           if (retExprs.length == 1)
             obs += s"returns pattern: single value (${retExprs.head.take(20)}${if (retExprs.head.length > 20) "..." else ""})"
           else if (retExprs.length > 1)

@@ -244,6 +244,40 @@ class ParserSpec extends AnyFunSuite {
     assert(typeOf("a").isEmpty && typeOf("b").isEmpty) // unpacks stay untyped
   }
 
+  test("python: Jedi-parity inferred signatures (annotations + default/return literals)") {
+    val src =
+      """def hello():
+        |    '''Say hello.'''
+        |    return "Hello, World!"
+        |
+        |def mix(a: int, b="x", *args, **kw):
+        |    return a
+        |
+        |def gen(n):
+        |    yield n
+        |
+        |def typed(a: dict[str, int], b: str) -> bool:
+        |    return check(a, b)
+        |
+        |def opaque(x):
+        |    return helper(x)
+        |""".stripMargin
+    val r = PythonParser.parse("t.py", src)
+    def inferred(n: String): Option[String] =
+      r.entities.find(_.name == n).get.observations
+        .find(_.startsWith("inferred signature: ")).map(_.stripPrefix("inferred signature: "))
+    // the reference's test_parse_simple_function shape: Jedi resolves
+    // hello() -> str from the literal return
+    assert(inferred("hello").contains("hello() -> str"))
+    // annotation + default literal + star-args conventions in one list
+    // (commas inside dict[str, int] must not split the param walk)
+    assert(inferred("mix").contains("mix(a: int, b: str, args: tuple, kw: dict) -> int"))
+    assert(inferred("gen").contains("gen(n) -> generator"))
+    // fully annotated + un-inferable return: nothing NEW to say → absent
+    assert(inferred("typed").isEmpty)
+    assert(inferred("opaque").isEmpty)
+  }
+
   test("python: class instance attributes observation") {
     val src =
       """class Config:
