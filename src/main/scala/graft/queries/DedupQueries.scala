@@ -37,6 +37,15 @@ object DedupQueries {
         .orderBy(col("new_doc"))
     }),
 
+    // MinHash candidates confirmed by exact (banded) Levenshtein — the
+    // fuzzy-dedup verify for when token-set overlap is too coarse. Only
+    // the LSH candidate set is ever distanced; the levenshtein carries
+    // Spark's O(k·len) threshold bound derived from minSim.
+    "q127_edit_dedup" -> ((s, dir) =>
+      graft.dedup.EditDistanceDedup.verifiedPairs(
+        Tables.documents(s, dir), "doc_id", "text", 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // SimHash(24-bit) near-dup pairs within source, Hamming ≤ 3.
     "q20_simhash" -> ((s, dir) =>
       SimHash.closePairs(Tables.documents(s, dir), "doc_id", "text", "source", 3)
@@ -163,6 +172,23 @@ object DedupQueries {
          |    i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) / 12.0, 6) AS est_jaccard
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q127_edit_dedup" ->
+      s"""WITH $minhashCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |), lv AS (
+         |  SELECT doc_a, doc_b, levenshtein(ta.text, tb.text) AS lev,
+         |         greatest(length(ta.text), length(tb.text)) AS mx
+         |  FROM cand JOIN documents ta ON ta.doc_id = cand.doc_a
+         |            JOIN documents tb ON tb.doc_id = cand.doc_b
+         |)
+         |SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS lev,
+         |       round(1.0 - lev / mx, 6) AS edit_sim
+         |FROM lv WHERE 1.0 - lev / mx >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q20_simhash" ->
       s"""WITH toks AS (

@@ -89,6 +89,53 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Shannon entropy quality signals: per-doc character entropy (low =
+    // repetitive/degenerate text, a standard curation filter) averaged
+    // per source, plus the corpus word-distribution entropy per source.
+    // Both assemble from INTEGER counts via H = log2(n) - Σc·log2(c)/n —
+    // one (doc,char)-keyed and one (source,word)-keyed partial-agg
+    // shuffle, no per-doc state beyond its alphabet.
+    "q128_entropy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val chars = docs.select(col("doc_id"), col("source"),
+          explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy(col("doc_id"), col("source"), col("ch")).agg(count(lit(1)).as("c"))
+      val docEnt = chars.groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("n"), sum(col("c") * log2(col("c"))).as("sc"))
+        .withColumn("ent", log2(col("n")) - col("sc") / col("n"))
+      val words = docs.select(col("source"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val vocabEnt = words.groupBy(col("source"))
+        .agg(sum(col("c")).as("nw"), sum(col("c") * log2(col("c"))).as("sw"))
+        .select(col("source"),
+          round(log2(col("nw")) - col("sw") / col("nw"), 4).as("word_entropy"))
+      docEnt.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("ent")), 4).as("avg_char_entropy"),
+          round(min(col("ent")), 4).as("min_char_entropy"))
+        .join(vocabEnt, Seq("source"))
+        .orderBy(col("source"))
+    }),
+
+    // Tokenizer fertility by language: BPE-ish subword tokens per
+    // whitespace word and chars per token — the standard tokenizer-fit
+    // diagnostic for a multilingual corpus. Integer sufficient statistics
+    // (3 longs per lang), exact division at the end.
+    "q129_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextOps.wsTokenCount(col("text")).as("ws"),
+          TextOps.bpeishTokenCount(col("text")).as("bpe"),
+          length(col("text")).as("nc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("bpe")) / sum(col("ws")), 4).as("fertility"),
+          round(sum(col("nc")) / sum(col("bpe")), 4).as("chars_per_token"))
+        .orderBy(col("lang"))),
+
     // Zipf vocabulary profile: top-30 terms with rank, frequency, and
     // cumulative corpus share — the rank-frequency curve a corpus report
     // leads with. One explode+count shuffle; rank and running share via a
@@ -407,6 +454,46 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q92_bpe_tokens" -> bpeOracleSql(8),
+
+    "q128_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, source, c.ch, count(*) AS c
+        |  FROM (SELECT doc_id, source, unnest(regexp_extract_all(text, '(?s).')) AS ch
+        |        FROM documents) c
+        |  GROUP BY 1, 2, 3
+        |), de AS (
+        |  SELECT doc_id, source,
+        |         log2(sum(c)) - sum(c * log2(c)) / sum(c) AS ent
+        |  FROM ch GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT source, w, count(*) AS c
+        |  FROM (SELECT source, unnest(list_filter(
+        |          string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), ve AS (
+        |  SELECT source, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS word_entropy
+        |  FROM wd GROUP BY 1
+        |)
+        |SELECT de.source, count(*) AS n_docs,
+        |       round(avg(ent), 4) AS avg_char_entropy,
+        |       round(min(ent), 4) AS min_char_entropy,
+        |       any_value(ve.word_entropy) AS word_entropy
+        |FROM de JOIN ve ON de.source = ve.source
+        |GROUP BY de.source ORDER BY de.source""".stripMargin,
+
+    "q129_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS ws,
+        |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe,
+        |         length(text) AS nc
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |       round(sum(bpe) / sum(ws), 4) AS fertility,
+        |       round(sum(nc) / sum(bpe), 4) AS chars_per_token
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q23_tokencount" ->
       """WITH d AS (
         |  SELECT source,

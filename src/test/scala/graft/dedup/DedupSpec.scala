@@ -134,4 +134,32 @@ class DedupSpec extends SparkSpec {
     assert(prof("s1") == ((3L, 2L))) // docs 1,2 flagged boilerplate; doc 3 not
     assert(prof("s2")._2 == 0L)
   }
+
+  test("edit-distance verify: exact lev on LSH candidates, sim threshold prunes") {
+    // 20 tokens so a 1-word edit leaves most shingles shared — the
+    // deterministic minhash banding provably pairs all three variants
+    // (single-band collisions on short docs are a coin flip; long docs
+    // aren't, and this fixture was checked against the band replay)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lam mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base.replace("upsilon", "upsilom")),              // 1 substitution
+      (3L, base),                                            // exact dup of 1
+      (4L, "one two three four five six seven eight nine")   // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = EditDistanceDedup.verifiedPairs(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // exact dup: distance 0, sim 1; near dup: exactly the 1-char edit
+    assert(pairs((1L, 3L)) == ((0L, 1.0)))
+    assert(pairs((1L, 2L))._1 == 1L)
+    assert(pairs((2L, 3L))._1 == 1L)
+    // the unrelated doc shares no minhash band → never distanced
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // a tight threshold prunes the 1-edit pairs (sim = 1 - 1/102 ≈ 0.990)
+    // but keeps the exact dup
+    val strict = EditDistanceDedup.verifiedPairs(corpus, "doc_id", "text", 0.995)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 3L)))
+  }
 }
