@@ -68,6 +68,29 @@ object ParagraphDedup {
       .drop("_dg", "_first")
   }
 
+  /** Flag BOILERPLATE paragraphs: content repeating across at least
+    * `minDf` DISTINCT documents of the same `grpCol` group (site/source) —
+    * the CCNet/RefinedWeb template-chrome filter (nav bars, license
+    * headers, cookie banners repeat per host). Complement of [[keepFirst]]:
+    * dedup keeps the first occurrence, boilerplate removal drops ALL
+    * occurrences once the per-group document frequency crosses the bar.
+    *
+    * `paras` must carry `(idCol, grpCol, idx, para)`. Output adds
+    * `boiler` (true = drop). Scale shape: digest-keyed two-level partial
+    * agg (distinct doc count per (group, digest)) + an equi-join back on
+    * the same key — no window, no pairwise compare; a paragraph repeated
+    * on millions of pages collapses map-side exactly like [[keepFirst]].
+    */
+  def boilerplate(paras: DataFrame, idCol: String, grpCol: String,
+                  minDf: Int): DataFrame = {
+    val withDigest = paras.withColumn("_dg", md5(col("para")))
+    val dfs = withDigest.groupBy(col(grpCol), col("_dg"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+    withDigest.join(dfs, Seq(grpCol, "_dg"))
+      .withColumn("boiler", col("_df") >= minDf)
+      .drop("_dg", "_df")
+  }
+
   /** Rebuild each document from its surviving paragraphs (drop-dup
     * scrubbing): documents whose every paragraph was a repeat vanish.
     */

@@ -22,6 +22,18 @@ object CorpusQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def defs: Map[String, Q] = Map(
+    // Bucketed two-sample Kolmogorov–Smirnov drift between every language
+    // pair's length distribution: histogram counts partial-agg map-side;
+    // the CDF windows and the pairwise max-gap run on the bounded
+    // groups×buckets grid, never on rows. Each CDF cell is one integer
+    // division and max is order-insensitive, so the statistic replays
+    // bit-for-bit on any engine.
+    "q134_ks_drift" -> ((s, dir) =>
+      graft.functions.Drift.ksPairs(
+        Tables.documents(s, dir).select(col("lang"), col("n_chars")),
+        "lang", "n_chars", 50L)
+        .orderBy(col("grp_a"), col("grp_b"))),
+
     // URL canonicalization + host-level rollup. The messy form exercises
     // every rule at once; per-host counts/min prove per-row correctness.
     "q55_url_normalize" -> ((s, dir) => {
@@ -693,6 +705,26 @@ object CorpusQueries {
     "CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),1,15)) AS BIGINT) % 10000"
 
   def oracles: Map[String, String] = Map(
+    "q134_ks_drift" ->
+      """WITH h AS (
+        |  SELECT lang AS grp, CAST((n_chars - (n_chars % 50)) / 50 AS BIGINT) AS b, count(*) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT g.grp, bb.b
+        |  FROM (SELECT DISTINCT grp FROM h) g, (SELECT DISTINCT b FROM h) bb
+        |), cum AS (
+        |  SELECT grp, b,
+        |         CAST(sum(coalesce(c, 0)) OVER (PARTITION BY grp ORDER BY b) AS DOUBLE)
+        |           / sum(coalesce(c, 0)) OVER (PARTITION BY grp) AS cdf,
+        |         sum(coalesce(c, 0)) OVER (PARTITION BY grp) AS n
+        |  FROM grid LEFT JOIN h USING (grp, b)
+        |)
+        |SELECT x.grp AS grp_a, y.grp AS grp_b,
+        |       CAST(max(x.n) AS BIGINT) AS n_a, CAST(max(y.n) AS BIGINT) AS n_b,
+        |       round(max(abs(x.cdf - y.cdf)), 6) AS ks
+        |FROM cum x JOIN cum y ON x.b = y.b AND x.grp < y.grp
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Closed-form expected canonical URL: lowercase, www/port/fragment/
     // tracking gone, trailing slash trimmed, q= param kept.
     "q55_url_normalize" ->

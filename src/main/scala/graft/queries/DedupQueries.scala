@@ -14,6 +14,23 @@ object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def defs: Map[String, Q] = Map(
+    // Per-source boilerplate strip (CCNet/RefinedWeb template-chrome
+    // rule): 10-word blocks repeating across ≥3 DISTINCT docs of the same
+    // source are dropped in ALL occurrences — the complement of q50's
+    // keep-first dedup. Digest-keyed distinct-doc counts partial-agg
+    // before the shuffle; no window, no pairwise compare.
+    "q133_boilerplate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val blocks = ParagraphDedup.wordBlocks(docs, "doc_id", "text", 10)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      ParagraphDedup.boilerplate(blocks, "doc_id", "source", 3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+          countDistinct(when(col("boiler"), col("doc_id"))).as("n_docs_hit"))
+        .orderBy(col("source"))
+    }),
+
     // Exact + bag-of-words duplicate stats per source.
     "q18_dedup_exact" -> ((s, dir) =>
       ExactDedup.dupStats(Tables.documents(s, dir), "source", "text")),
@@ -139,6 +156,29 @@ object DedupQueries {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q133_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), blocks AS (
+        |  SELECT doc_id, source, u AS para FROM (
+        |    SELECT doc_id, source,
+        |           unnest(list_transform(generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+        |             i -> array_to_string(t[(i-1)*10+1:(i-1)*10+10], ' '))) AS u
+        |    FROM toks WHERE len(t) > 0)
+        |), dfs AS (
+        |  SELECT source, para, count(DISTINCT doc_id) AS df
+        |  FROM blocks GROUP BY source, para
+        |), b2 AS (
+        |  SELECT b.source, b.doc_id, (df >= 3) AS boiler
+        |  FROM blocks b JOIN dfs USING (source, para)
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_blocks,
+        |       CAST(count(CASE WHEN boiler THEN 1 END) AS BIGINT) AS n_boiler,
+        |       CAST(count(DISTINCT CASE WHEN boiler THEN doc_id END) AS BIGINT) AS n_docs_hit
+        |FROM b2 GROUP BY source ORDER BY source""".stripMargin,
+
     "q18_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT md5(text)) AS n_exact,

@@ -19,6 +19,37 @@ object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def defs: Map[String, Q] = Map(
+    // DSIR importance resampling (Xie et al. 2023): pick the 20 non-English
+    // documents whose hashed-bigram profile is most English-like. Both
+    // feature models are CLOSED 4096-cell tables — partial-agg then
+    // broadcast — so scoring 100 TB of raw text is one map-side join and
+    // one per-doc partial-agg sum; no vocabulary-keyed shuffle anywhere.
+    "q130_dsir" -> ((s, dir) =>
+      graft.operators.Dsir.select(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", topN = 20)),
+
+    // Split-leakage audit: near-dup clusters (LSH band candidates ≥ 0.5
+    // est. Jaccard → connected components) that STRADDLE the deterministic
+    // train/val/test hash split — the "dedup before you split" check every
+    // eval pipeline needs. Cluster membership is the q36 pointer-jumping
+    // fixpoint; the split label is a pure hash map — one extra partial agg
+    // on cluster_id, no new shuffle surface.
+    "q132_split_leakage" -> ((s, dir) => {
+      val edges = MinHashLsh.candidatePairs(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      DupClusters.components(edges, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .withColumn("split", Splits.splitLabel(col("doc_id"), 80, 10))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("csize"),
+          countDistinct(col("split")).as("n_splits"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .filter(col("n_splits") > 1)
+        .orderBy(col("cluster_id"))
+    }),
+
     // Training-sequence packing (concat-then-chunk): shard by doc_id mod 8,
     // pack each shard's id-ordered token stream into 2048-token sequences,
     // report per-sequence fill. Per-shard windows — no global sort at any
@@ -245,6 +276,58 @@ object PipelineQueries {
   private val sampleSql = "CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':s'),1,15)) AS BIGINT) % 10"
 
   def oracles: Map[String, String] = Map(
+    "q130_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) % 4096 AS bucket
+        |  FROM (SELECT doc_id, lang, unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks)
+        |), tm AS (SELECT bucket, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY bucket),
+        |rm AS (SELECT bucket, count(*) AS cr FROM bg WHERE lang <> 'en' GROUP BY bucket),
+        |tt AS (SELECT sum(ct) AS nt FROM tm), rt AS (SELECT sum(cr) AS nr FROM rm)
+        |SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_big,
+        |       round(sum(ln((coalesce(tm.ct, 0) + 1.0) / (nt + 4096))
+        |               - ln((coalesce(rm.cr, 0) + 1.0) / (nr + 4096))), 6) AS lwr
+        |FROM bg r LEFT JOIN tm USING (bucket) LEFT JOIN rm USING (bucket), tt, rt
+        |WHERE r.lang <> 'en'
+        |GROUP BY r.doc_id
+        |ORDER BY lwr DESC, r.doc_id LIMIT 20""".stripMargin,
+
+    "q132_split_leakage" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  WHERE list_sum(list_transform(generate_series(1, 12),
+         |          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) >= 6
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), reach(node, m) AS (
+         |  SELECT DISTINCT src AS node, src AS m FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst AS m FROM reach r JOIN edges e ON r.m = e.src
+         |), lab AS (
+         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+         |), labsplit AS (
+         |  SELECT cluster_id,
+         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT cluster_id, $bucketSql AS b FROM lab)
+         |)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize,
+         |       CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+         |       CAST(count(CASE WHEN split = 'train' THEN 1 END) AS BIGINT) AS n_train,
+         |       CAST(count(CASE WHEN split = 'val' THEN 1 END) AS BIGINT) AS n_val,
+         |       CAST(count(CASE WHEN split = 'test' THEN 1 END) AS BIGINT) AS n_test
+         |FROM labsplit GROUP BY cluster_id
+         |HAVING count(DISTINCT split) > 1 ORDER BY cluster_id""".stripMargin,
+
     // identical shard/cumsum/quotient arithmetic, integer end to end
     "q53_seq_packing" ->
       """WITH d AS (

@@ -17,6 +17,20 @@ object TextQueries {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "or", "in", "on", "is", "to", "it")
 
   def defs: Map[String, Q] = Map(
+    // Misra–Gries two-pass heavy hitters: bounded-state candidate sketch
+    // (≤256 counters, map-side combined like any partial agg) + an exact
+    // verify pass restricted to the broadcast candidate set. Every token
+    // at ≥1% corpus frequency, with EXACT counts — the full vocabulary is
+    // never shuffled, so the plan shape is identical when the key space
+    // is 100 TB of open-web tokens.
+    "q131_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+      graft.functions.HeavyHitters.exactHeavyHitters(toks, "w", 100)
+        .select(col("item").as("w"), col("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+    }),
+
     // Token counting: whitespace + BPE-ish subword proxy, per source.
     "q23_tokencount" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -453,6 +467,16 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q131_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |         x -> len(x) > 1)) AS w
+        |  FROM documents
+        |), tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks, tot GROUP BY w, n HAVING count(*) * 100 >= n
+        |ORDER BY cnt DESC, w""".stripMargin,
+
     "q92_bpe_tokens" -> bpeOracleSql(8),
 
     "q128_entropy" ->

@@ -39,4 +39,25 @@ class ParagraphDedupSpec extends SparkSpec {
       .as[(Long, Int, String)].collect().toSeq
     assert(out == Seq((1L, 0, "aa bb"), (1L, 1, "cc dd"), (1L, 2, "ee")))
   }
+
+  test("boilerplate: per-group df bar drops ALL occurrences, scoped to the group") {
+    // "nav chrome" repeats in 3 docs of source A → boilerplate there;
+    // the SAME content in only 2 docs of source B stays (df below bar)
+    val paras = Seq(
+      (1L, "A", 0, "nav chrome"), (1L, "A", 1, "body one"),
+      (2L, "A", 0, "nav chrome"), (2L, "A", 1, "body two"),
+      (3L, "A", 0, "nav chrome"),
+      // duplicate WITHIN one doc must not inflate the distinct-doc df
+      (4L, "B", 0, "nav chrome"), (4L, "B", 1, "nav chrome"),
+      (5L, "B", 0, "nav chrome")
+    ).toDF("doc_id", "source", "idx", "para")
+    val out = ParagraphDedup.boilerplate(paras, "doc_id", "source", 3)
+      .select("doc_id", "idx", "boiler").as[(Long, Int, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 0, true), (1L, 1, false),
+      (2L, 0, true), (2L, 1, false),
+      (3L, 0, true),
+      (4L, 0, false), (4L, 1, false),
+      (5L, 0, false)))
+  }
 }
