@@ -55,6 +55,44 @@ object GraphOps {
     ranks
   }
 
+  /** PERSONALIZED PageRank (Haveliwala 2002; Page et al.'s §6 biased
+    * surfer): the teleport mass returns to the SEED set rather than
+    * uniformly — rank becomes "importance as seen from these pages",
+    * the crawl-frontier prioritization and topic-conditioned ranking
+    * primitive. Identical per-iteration plan shape to [[pageRank]] (one
+    * ranks×edges equi-join + one partial-agg groupBy(dst)); the only
+    * change is the teleport vector, a broadcast-joined seed indicator —
+    * seeds start with mass 1, everything else 0, so rank stays a sum of
+    * seed-rooted walk weights.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, iterations: Int,
+                           damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")).distinct()
+    val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    val ed = e.join(deg, "_src").localCheckpoint()
+    val seedSet = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct().withColumn("_s", lit(1.0))
+    val nodes = e.select(col("_src").as("node"))
+      .unionByName(e.select(col("_dst").as("node"))).distinct()
+      .join(broadcast(seedSet), Seq("node"), "left")
+      .withColumn("_s", coalesce(col("_s"), lit(0.0)))
+      .localCheckpoint()
+    var ranks = nodes.select(col("node"), col("_s").as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = ed
+        .join(ranks.withColumnRenamed("node", "_src"), Seq("_src"))
+        .groupBy(col("_dst").as("node"))
+        .agg(sum(col("rank") / col("_deg")).as("_in"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("_s")
+            + lit(damping) * coalesce(col("_in"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   def bfs(edges: DataFrame, srcCol: String, dstCol: String,
           seeds: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))

@@ -235,6 +235,57 @@ object CorpusQueries {
           col("n_docs"), col("chars"), col("first_doc"))
         .orderBy(col("source"), col("lang"))),
 
+    // Personalized PageRank over the q67 follow-graph, teleporting to the
+    // node%7==0 seed set — "importance as seen from the seeds", the
+    // crawl-frontier / topic-conditioned ranking primitive. Same
+    // join+partial-agg iteration plan as q67; the oracle unrolls the
+    // seeded recurrence the same way.
+    "q136_ppr" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val e1 = ev.select((col("user_id") % 50).as("src"),
+        ((col("user_id") * 7 + 3) % 50).as("dst"))
+      val e2 = ev.select((col("user_id") % 50).as("src"),
+        ((col("user_id") * 13 + 11) % 50).as("dst"))
+      val edges = e1.unionByName(e2).distinct()
+      val seeds = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct().filter(col("node") % 7 === 0)
+      graft.operators.GraphOps.personalizedPageRank(
+        edges, "src", "dst", seeds, iterations = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    }),
+
+    // Winsorized per-source robust length stats: exact rank-order p10/p90
+    // cut points (row_number per source, doc_id tie-break — integer rank
+    // conditions, no float percentile), then mean before/after clipping.
+    // The per-group sort IS the exact-order-statistic cost; sources are a
+    // bounded dimension, and the sketch alternative for unbounded groups
+    // is the q106 histogram-quantile path.
+    "q137_winsorized" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val ranked = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      // rn == ceil(n/10) and rn == ceil(9n/10) as pure integer predicates
+      val cuts = ranked.groupBy(col("source")).agg(
+        max(when(col("rn") * 10 >= col("n")
+          && (col("rn") - 1) * 10 < col("n"), col("n_chars"))).as("p10"),
+        max(when(col("rn") * 10 >= col("n") * 9
+          && (col("rn") - 1) * 10 < col("n") * 9, col("n_chars"))).as("p90"))
+      ranked.join(cuts, Seq("source"))
+        .withColumn("clipped",
+          least(greatest(col("n_chars"), col("p10")), col("p90")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("p10")).as("p10"), max(col("p90")).as("p90"),
+          round(avg(col("n_chars")), 6).as("mean_raw"),
+          round(avg(col("clipped")), 6).as("mean_winsor"))
+        .orderBy(col("source"))
+    }),
+
     // Fixed-iteration PageRank over a cyclic synthetic follow-graph
     // derived from event users (two hash-successor edges per node, ~50
     // nodes at any sf). 3 iterations, d=0.85; the oracle unrolls the
@@ -840,6 +891,48 @@ object CorpusQueries {
         |       CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM documents GROUP BY ROLLUP(source, lang)
         |ORDER BY source, lang""".stripMargin,
+
+    "q136_ppr" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id % 50 AS src, (user_id * 7 + 3) % 50 AS dst FROM events
+        |  UNION
+        |  SELECT DISTINCT user_id % 50, (user_id * 13 + 11) % 50 FROM events
+        |), deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |n AS (SELECT node, CASE WHEN node % 7 = 0 THEN 1.0 ELSE 0.0 END AS s
+        |      FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |p0 AS (SELECT node, s AS r FROM n),
+        |c1 AS (SELECT e.dst AS node, sum(p0.r / deg.d) AS cs
+        |       FROM e JOIN deg USING (src) JOIN p0 ON p0.node = e.src GROUP BY e.dst),
+        |p1 AS (SELECT n.node, 0.15 * n.s + 0.85 * coalesce(c1.cs, 0) AS r
+        |       FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum(p1.r / deg.d) AS cs
+        |       FROM e JOIN deg USING (src) JOIN p1 ON p1.node = e.src GROUP BY e.dst),
+        |p2 AS (SELECT n.node, 0.15 * n.s + 0.85 * coalesce(c2.cs, 0) AS r
+        |       FROM n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum(p2.r / deg.d) AS cs
+        |       FROM e JOIN deg USING (src) JOIN p2 ON p2.node = e.src GROUP BY e.dst),
+        |p3 AS (SELECT n.node, 0.15 * n.s + 0.85 * coalesce(c3.cs, 0) AS r
+        |       FROM n LEFT JOIN c3 USING (node))
+        |SELECT node, round(r, 6) AS rank FROM p3 ORDER BY node""".stripMargin,
+
+    "q137_winsorized" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |), cuts AS (
+        |  SELECT source,
+        |         max(CASE WHEN rn * 10 >= n AND (rn - 1) * 10 < n THEN n_chars END) AS p10,
+        |         max(CASE WHEN rn * 10 >= n * 9 AND (rn - 1) * 10 < n * 9 THEN n_chars END) AS p90
+        |  FROM ranked GROUP BY source
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       max(p10) AS p10, max(p90) AS p90,
+        |       round(avg(n_chars), 6) AS mean_raw,
+        |       round(avg(least(greatest(n_chars, p10), p90)), 6) AS mean_winsor
+        |FROM ranked JOIN cuts USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q67_pagerank" ->
       """WITH e AS (

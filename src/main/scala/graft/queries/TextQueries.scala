@@ -31,6 +31,15 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("w"))
     }),
 
+    // Sliding-window token chunking (window 20, stride 15 → 5-token
+    // overlap): the RAG/embedding-prep segmentation as ONE codegen map
+    // pass — tokenize → transform/sequence → posexplode, zero shuffles;
+    // the chunk digest is the downstream dedup/cache key.
+    "q135_chunk_windows" -> ((s, dir) =>
+      graft.operators.SlidingChunker.chunks(
+        Tables.documents(s, dir), "doc_id", "text", window = 20, stride = 15)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Token counting: whitespace + BPE-ish subword proxy, per source.
     "q23_tokencount" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -476,6 +485,21 @@ object TextQueries {
         |SELECT w, CAST(count(*) AS BIGINT) AS cnt
         |FROM toks, tot GROUP BY w, n HAVING count(*) * 100 >= n
         |ORDER BY cnt DESC, w""".stripMargin,
+
+    "q135_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, i AS chunk_idx,
+        |       CAST(len(t[i*15+1:i*15+20]) AS BIGINT) AS n_toks,
+        |       md5(array_to_string(t[i*15+1:i*15+20], ' ')) AS digest
+        |FROM (SELECT doc_id, t,
+        |             unnest(generate_series(0,
+        |               CAST(ceil(greatest(len(t) - 20, 0) / 15.0) AS BIGINT))) AS i
+        |      FROM toks WHERE len(t) > 0)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q92_bpe_tokens" -> bpeOracleSql(8),
 

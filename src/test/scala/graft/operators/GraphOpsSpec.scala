@@ -82,6 +82,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1(5L).isEmpty)
   }
 
+  test("personalized PageRank: mass stays seed-rooted and reduces to the biased surfer") {
+    import spark.implicits._
+    // chain 1→2→3 plus an isolated cycle 4↔5: nothing walks from the seed
+    // to the cycle, so with seed {1} the cycle's rank must be exactly 0
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = GraphOps.personalizedPageRank(edges, "src", "dst", seeds, 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(4L) == 0.0 && r(5L) == 0.0)
+    assert(r(1L) > 0.0 && r(2L) > 0.0 && r(3L) > 0.0)
+    // the seed keeps its teleport share every round; downstream decays
+    assert(r(1L) > r(3L))
+    // seeding EVERY node must reproduce the uniform-teleport recurrence
+    val all = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val ppr = GraphOps.personalizedPageRank(edges, "src", "dst", all, 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val pr = GraphOps.pageRank(edges, "src", "dst", 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(ppr.keySet == pr.keySet)
+    ppr.keySet.foreach(k => assert(math.abs(ppr(k) - pr(k)) < 1e-12, s"node $k"))
+  }
+
   test("triangles: K4 has 4, a square has 0, duplicate/reversed edges don't double-count") {
     import spark.implicits._
     def count(es: Seq[(Long, Long)]): (Long, Long, Long) = {
