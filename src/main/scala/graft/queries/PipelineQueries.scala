@@ -28,6 +28,19 @@ object PipelineQueries {
       graft.operators.Dsir.select(Tables.documents(s, dir), "doc_id", "text",
         col("lang") === "en", topN = 20)),
 
+    // Distribution-matched downsampling: reshape the non-English pool's
+    // length histogram to the English one — per-bucket keep rates in
+    // integer basis points (ppm quotient, max-normalized), keep decision
+    // by content-hash coin. The marginal-distribution companion to
+    // q130's content-matching DSIR; two bounded histograms broadcast into
+    // one map pass.
+    "q138_dist_match" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        ((col("n_chars") - pmod(col("n_chars"), lit(50))) / 50).cast("long").as("bucket"))
+      graft.operators.DistMatch.matchedSample(d, "doc_id", col("lang") === "en")
+        .orderBy(col("bucket"))
+    }),
+
     // Split-leakage audit: near-dup clusters (LSH band candidates ≥ 0.5
     // est. Jaccard → connected components) that STRADDLE the deterministic
     // train/val/test hash split — the "dedup before you split" check every
@@ -296,6 +309,22 @@ object PipelineQueries {
         |WHERE r.lang <> 'en'
         |GROUP BY r.doc_id
         |ORDER BY lwr DESC, r.doc_id LIMIT 20""".stripMargin,
+
+    "q138_dist_match" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST((n_chars - (n_chars % 50)) / 50 AS BIGINT) AS bucket
+        |  FROM documents
+        |), t AS (SELECT bucket, count(*) AS tc FROM d WHERE lang = 'en' GROUP BY bucket),
+        |r AS (SELECT bucket, count(*) AS rc FROM d WHERE lang <> 'en' GROUP BY bucket),
+        |q AS (SELECT bucket, rc, (coalesce(tc, 0) * 1000000) // rc AS q
+        |      FROM r LEFT JOIN t USING (bucket)),
+        |m AS (SELECT max(q) AS m FROM q),
+        |bp AS (SELECT bucket, rc AS n_raw, (q * 10000) // m AS bp FROM q, m)
+        |SELECT bucket, CAST(max(n_raw) AS BIGINT) AS n_raw, CAST(max(bp) AS BIGINT) AS bp,
+        |       CAST(count(CASE WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':dm'),1,15)) AS BIGINT) % 10000 < bp
+        |                  THEN 1 END) AS BIGINT) AS n_kept
+        |FROM d JOIN bp USING (bucket) WHERE lang <> 'en'
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q132_split_leakage" ->
       s"""WITH RECURSIVE ${DedupQueries.minhashCtes},

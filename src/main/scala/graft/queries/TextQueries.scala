@@ -31,6 +31,28 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("w"))
     }),
 
+    // Doc-token co-occurrence projection (the GloVe-style count matrix
+    // builder): distinct tokens per doc, df-banded to [5, 450] — the df
+    // band IS the hub cap: a token's fan-out is bounded by its df ceiling
+    // and the singleton tail is cut, so the per-doc self-join can never
+    // quadratically blow up on a stopword (on web corpora the ceiling
+    // sits far below the corpus size; this testdata's 30-token vocabulary
+    // makes the band wide). Top-25 co-occurring pairs.
+    "q139_cooccur" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(graft.search.Bm25.tokens(col("text")))).as("w"))
+      val band = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(5, 450)).select("w")
+      val t2 = toks.join(band, Seq("w"), "left_semi")
+      t2.as("a").join(t2.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w_a"), col("b.w").as("w_b"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("w_a"), col("w_b"))
+        .limit(25)
+    }),
+
     // Sliding-window token chunking (window 20, stride 15 → 5-token
     // overlap): the RAG/embedding-prep segmentation as ONE codegen map
     // pass — tokenize → transform/sequence → posexplode, zero shuffles;
@@ -485,6 +507,19 @@ object TextQueries {
         |SELECT w, CAST(count(*) AS BIGINT) AS cnt
         |FROM toks, tot GROUP BY w, n HAVING count(*) * 100 >= n
         |ORDER BY cnt DESC, w""".stripMargin,
+
+    "q139_cooccur" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> len(x) > 1))) AS w
+        |  FROM documents
+        |), dfs AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
+        |band AS (SELECT w FROM dfs WHERE df BETWEEN 5 AND 450),
+        |t2 AS (SELECT doc_id, w FROM toks JOIN band USING (w))
+        |SELECT a.w AS w_a, b.w AS w_b, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM t2 a JOIN t2 b ON a.doc_id = b.doc_id AND a.w < b.w
+        |GROUP BY 1, 2 ORDER BY n_docs DESC, w_a, w_b LIMIT 25""".stripMargin,
 
     "q135_chunk_windows" ->
       """WITH toks AS (
