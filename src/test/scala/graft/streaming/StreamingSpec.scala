@@ -298,4 +298,44 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == whole)
     } finally q.stop()
   }
+
+  test("streaming trending tokens: MG state stays bounded and keeps the hot token across batches") {
+    import graft.streaming.StreamTrending
+    import graft.streaming.StreamTrending.TokenEvent
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val k = 8; val shards = 4
+    val mem = MemoryStream[TokenEvent]
+    val out = StreamTrending.trendingCandidates(mem.toDS(), k, shards)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("strend").start()
+    try {
+      // batch 1: 30x hot + 20 distinct noise; batch 2: 20x hot + 20 more noise
+      mem.addData((1 to 30).map(i => TokenEvent("hot", t(i)))
+        ++ (1 to 20).map(i => TokenEvent(s"n1_$i", t(100 + i))): _*)
+      q.processAllAvailable()
+      mem.addData((1 to 20).map(i => TokenEvent("hot", t(200 + i)))
+        ++ (1 to 20).map(i => TokenEvent(s"n2_$i", t(300 + i))): _*)
+      q.processAllAvailable()
+      // last update per shard
+      val rows = spark.table("strend").collect()
+      val hotShard = (graft.core.Ids.hash31("hot") % shards).toInt
+      val latest = rows.filter(_.getInt(0) == hotShard)
+        .maxBy(_.getLong(3)) // highest nSeen = most recent update
+      val toks = latest.getSeq[String](1)
+      assert(toks.length <= k, s"state exceeded k: ${toks.length}")
+      assert(toks.contains("hot"), s"hot token evicted: $toks")
+      // cross-batch accumulation: its kept count reflects both batches
+      // (MG under-counts by at most nSeen/(k+1))
+      val hotCnt = latest.getSeq[Long](2)(toks.indexOf("hot"))
+      val nSeen = latest.getLong(3)
+      assert(hotCnt >= 50L - nSeen / (k + 1), s"count $hotCnt vs bound")
+      // parity with the batch replay of the same fold, per shard
+      val allToks = (1 to 30).map(_ => "hot") ++ (1 to 20).map(i => s"n1_$i") ++
+        (1 to 20).map(_ => "hot") ++ (1 to 20).map(i => s"n2_$i")
+      val batchHot = StreamTrending.batchSummaries(allToks, k, shards)
+        .find(_.shard == hotShard).get
+      assert(batchHot.tokens.contains("hot"))
+    } finally q.stop()
+  }
 }
