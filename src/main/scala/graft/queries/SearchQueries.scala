@@ -73,6 +73,47 @@ object SearchQueries {
     // against same-label relevance, per probe — the regression metric a
     // search engine publishes. Reuses the q13 ranking contract
     // (score desc, id asc), self-hit excluded.
+    // Rank-biased overlap (Webber et al. 2010, p=0.9, truncated at 10)
+    // between the EXACT cosine ranking and the int8-QUANTIZED ranking,
+    // per probe — the rank-agreement form of ANN quality (q94 measures
+    // relevance; this measures how much the compressed index changes the
+    // ordering itself). The quantized side's dot products are exact
+    // integer sums (|q| ≤ 127), so that ranking is order-independent
+    // bit-for-bit; the exact side reuses the proven q13/q94 contract.
+    // All per-probe tables are ≤ 20 rows before the bounded depth grid.
+    "q140_rbo" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorQuant
+      val emb = Tables.embeddings(s, dir)
+      val qemb = emb
+        .withColumn("_scale", VectorQuant.scaleOf(col("embedding")))
+        .withColumn("qv", VectorQuant.quantizedAsFloat(col("embedding"), col("_scale")))
+        .select(col("vec_id"), col("qv"))
+      Seq(0L, 100L, 300L).map { pid =>
+        val q = graft.search.KnnSearch.vectorOf(emb, "vec_id", "embedding", pid)
+        val s0 = q.map(math.abs).max
+        // same float-max + double-promotion arithmetic as the corpus side
+        val qq = if (s0 == 0.0) q.map(_ => 0.0)
+          else q.map(v => math.floor(v / s0 * 127.0 + 0.5))
+        val w = Window.orderBy(col("score").desc, col("vec_id").asc)
+        val ra = graft.search.KnnSearch
+          .topK(emb.filter(col("vec_id") =!= pid), "vec_id", "embedding", q, 10)
+          .withColumn("ra", row_number().over(w)).select(col("vec_id"), col("ra"))
+        val rb = graft.search.KnnSearch
+          .topK(qemb.filter(col("vec_id") =!= pid), "vec_id", "qv", qq, 10)
+          .withColumn("rb", row_number().over(w)).select(col("vec_id"), col("rb"))
+        val depths = s.range(1, 11).select(col("id").cast("int").as("d"))
+        ra.join(rb, Seq("vec_id"), "full")
+          .crossJoin(broadcast(depths)) // ≤ 20 ids × 10 depths
+          .groupBy(col("d"))
+          .agg(count(when(col("ra") <= col("d") && col("rb") <= col("d"), 1)).as("cnt"))
+          .agg(round(sum(pow(lit(0.9), col("d") - 1) * col("cnt") / col("d")) * 0.1, 6)
+            .as("rbo"),
+            max(when(col("d") === 10, col("cnt"))).as("overlap10"))
+          .select(lit(pid).as("probe"), col("rbo"), col("overlap10"))
+      }.reduce(_ unionByName _).orderBy(col("probe"))
+    }),
+
     "q94_search_eval" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, dir)
@@ -315,6 +356,43 @@ object SearchQueries {
         |SELECT vec_id AS id, CAST(label AS BIGINT) AS grp,
         |       round(cs, 6) AS cos_centroid
         |FROM d WHERE cs < 0.0 ORDER BY id""".stripMargin,
+
+    "q140_rbo" -> {
+      def block(pid: Long): String =
+        s"""SELECT CAST($pid AS BIGINT) AS probe,
+           |       round(sum(power(0.9, o.d - 1) * o.cnt / o.d) * 0.1, 6) AS rbo,
+           |       CAST(max(CASE WHEN o.d = 10 THEN o.cnt END) AS BIGINT) AS overlap10
+           |FROM (
+           |  SELECT dd.d, count(CASE WHEN j.ra <= dd.d AND j.rb <= dd.d THEN 1 END) AS cnt
+           |  FROM (SELECT unnest(generate_series(1, 10)) AS d) dd, (
+           |    SELECT ra.vec_id AS va, rb.vec_id AS vb, ra.r AS ra, rb.r AS rb
+           |    FROM (SELECT vec_id, row_number() OVER (
+           |            ORDER BY list_cosine_similarity(v, (SELECT v FROM e WHERE vec_id = $pid)) DESC,
+           |                     vec_id) AS r
+           |          FROM e WHERE vec_id <> $pid QUALIFY r <= 10) ra
+           |    FULL JOIN (SELECT vec_id, row_number() OVER (
+           |            ORDER BY list_cosine_similarity(qv, (SELECT qv FROM qe WHERE vec_id = $pid)) DESC,
+           |                     vec_id) AS r
+           |          FROM qe WHERE vec_id <> $pid QUALIFY r <= 10) rb
+           |    ON ra.vec_id = rb.vec_id
+           |  ) j
+           |  GROUP BY dd.d
+           |) o""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qe AS (
+         |  SELECT vec_id,
+         |         CASE WHEN list_max(list_transform(embedding, y -> abs(y))) = 0 THEN
+         |           list_transform(embedding, x -> CAST(0 AS DOUBLE))
+         |         ELSE
+         |           list_transform(embedding, x ->
+         |             floor(CAST(x AS DOUBLE)
+         |                   / CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+         |                   * 127.0 + 0.5))
+         |         END AS qv
+         |  FROM embeddings)
+         |${Seq(0L, 100L, 300L).map(block).mkString("\nUNION ALL\n")}
+         |ORDER BY probe""".stripMargin
+    },
 
     "q94_search_eval" -> {
       def block(pid: Long): String =
