@@ -47,7 +47,7 @@ object Drift {
       .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
       .select(col("grp"), col("b"),
         (col("cum").cast("double") / col("n")).as("cdf"), col("n"))
-    cum.as("x").join(cum.as("y"),
+    cum.as("x").join(broadcast(cum.as("y")), // grid side is ≤ groups×buckets rows
         col("x.b") === col("y.b") && col("x.grp") < col("y.grp"))
       .groupBy(col("x.grp").as("grp_a"), col("y.grp").as("grp_b"))
       .agg(max(col("x.n")).as("n_a"), max(col("y.n")).as("n_b"),
