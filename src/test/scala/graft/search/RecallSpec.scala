@@ -56,6 +56,45 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ composition: coarse prune + PQ-reconstructed scoring beats PQ-alone's floor and degrades gracefully vs plain IVF") {
+    import org.apache.spark.sql.functions._
+    withData { (emb, exact) =>
+      // the faiss architecture end-to-end: k-means coarse cells prune the
+      // scan (partition pruning at scale), PQ codes score inside the
+      // probed cells (asymmetric search via reconstruction — ranking-
+      // equivalent to ADC with the same codebook)
+      val cents = KMeans.fit(emb, "vec_id", "embedding", 8, 2).cache()
+      val (codes, pqCents) = ProductQuant.fit(emb, "vec_id", "embedding", 8, 4, 2)
+      val recon = codes.join(pqCents, Seq("s", "cluster"))
+        .groupBy(col("vid"))
+        .agg(expr("flatten(transform(array_sort(collect_list(struct(s, cent))), t -> t.cent))")
+          .as("embedding"))
+        .select(col("vid").as("vec_id"), col("embedding"))
+      // carry each vector's coarse cell onto its reconstruction
+      val cells = IvfAnn.assign(emb, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cluster"))
+      val reconCelled = recon.join(cells, Seq("vec_id")).cache()
+      assert(reconCelled.count() == emb.count())
+      def recallAt(np: Int): Double = exact.map { case (q, ex) =>
+        val probed = cents.withColumn("qcos",
+            graft.functions.VectorOps.cosine(col("centroid"), graft.functions.VectorOps.vecLit(q)))
+          .orderBy(col("qcos").desc, col("cluster").asc).limit(np).select("cluster")
+        val got = KnnSearch.topK(
+            reconCelled.join(broadcast(probed), Seq("cluster"), "left_semi"),
+            "vec_id", "embedding", q, K)
+          .collect().map(_.getAs[Long]("vec_id")).toSet
+        (got & ex).size.toDouble / ex.size
+      }.sum / exact.size
+      val rAll = recallAt(8); val r4 = recallAt(4)
+      info(f"IVF-PQ recall@10 mean: nprobe=4 $r4%.3f, nprobe=8 $rAll%.3f")
+      // probing every cell reduces to PQ-alone search — same 0.15 floor
+      assert(rAll >= 0.15, s"IVF-PQ all-cells recall $rAll under the PQ floor")
+      // pruning can only remove candidates: composed recall ≤ PQ-alone
+      assert(r4 <= rAll + 1e-9)
+      cents.unpersist(); reconCelled.unpersist()
+    }
+  }
+
   test("int8 quantized index: recall@10 >= 0.9 vs the float index") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorQuant
