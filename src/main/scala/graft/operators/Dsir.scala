@@ -80,7 +80,10 @@ object Dsir {
              targetPred: org.apache.spark.sql.Column, topN: Int): DataFrame = {
     val target = docs.filter(targetPred)
     val raw = docs.filter(!targetPred)
-    val rawFeats = bigramBuckets(raw, idCol, textCol)
+    // raw features feed BOTH the raw model and the scoring join — one
+    // materialization instead of tokenizing the raw corpus twice (the
+    // q19/q73 reused-branch discipline)
+    val rawFeats = bigramBuckets(raw, idCol, textCol).localCheckpoint(true)
     importanceScores(rawFeats,
         bucketModel(bigramBuckets(target, idCol, textCol)),
         bucketModel(rawFeats))
