@@ -22,6 +22,46 @@ object CorpusQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def defs: Map[String, Q] = Map(
+    // robots.txt admission (RFC 9309 subset): synthetic per-host robots
+    // bodies exercising UA-group selection (graftbot beats *), prefix
+    // rules, nested Allow override, '*' wildcard, and '$' anchor; 7 URL
+    // shapes per host stated closed-form by the oracle (the q84
+    // discipline). Robots parse ONCE per host then broadcast-join the
+    // URL set — admission itself never shuffles.
+    "q141_robots" -> ((s, dir) => {
+      import s.implicits._
+      val urls = Tables.documents(s, dir).select(
+        concat(lit("h"), col("doc_id") % 5).as("host"),
+        when(col("doc_id") % 7 === 0, concat(lit("/a/p"), col("doc_id")))
+          .when(col("doc_id") % 7 === 1, concat(lit("/private/p"), col("doc_id")))
+          .when(col("doc_id") % 7 === 2, concat(lit("/private/ok/p"), col("doc_id")))
+          .when(col("doc_id") % 7 === 3, concat(lit("/tmp/x"), col("doc_id")))
+          .when(col("doc_id") % 7 === 4, concat(lit("/tmpfile"), col("doc_id")))
+          .when(col("doc_id") % 7 === 5, concat(lit("/b/q"), col("doc_id"), lit(".html")))
+          .otherwise(concat(lit("/a/p"), col("doc_id"), lit(".php"))).as("path"))
+      val robots = (0 until 5).map { h =>
+        (s"h$h",
+          s"""# synthetic robots for h$h
+             |User-agent: graftbot
+             |Disallow: /private
+             |Allow: /private/ok
+             |Disallow: /tmp*
+             |Disallow: /*.php$$
+             |Crawl-delay: ${h + 1}
+             |
+             |User-agent: *
+             |Disallow: /
+             |""".stripMargin)
+      }.toDF("host", "robots")
+      graft.ingest.RobotsTxt
+        .admit(urls, "host", "path", robots, "host", "robots", "graftbot-1.0")
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          max(col("crawl_delay")).as("crawl_delay"))
+        .orderBy(col("host"))
+    }),
+
     // Bucketed two-sample Kolmogorov–Smirnov drift between every language
     // pair's length distribution: histogram counts partial-agg map-side;
     // the CDF windows and the pairwise max-gap run on the bounded
@@ -756,6 +796,20 @@ object CorpusQueries {
     "CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),1,15)) AS BIGINT) % 10000"
 
   def oracles: Map[String, String] = Map(
+    // closed-form restatement of the synthetic rules: shapes 0 (/a/pN),
+    // 2 (/private/ok — Allow outranks the shorter Disallow) and
+    // 5 (/b/qN.html) are admitted; 1 (/private), 3+4 (/tmp*), and
+    // 6 (/*.php$) are blocked; delay = host digit + 1 from the graftbot
+    // group (NOT the deny-all * group — that's the UA-selection check)
+    "q141_robots" ->
+      """WITH u AS (
+        |  SELECT 'h' || (doc_id % 5) AS host, doc_id % 7 AS shape FROM documents
+        |)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        |       CAST(count(CASE WHEN shape IN (0, 2, 5) THEN 1 END) AS BIGINT) AS n_allowed,
+        |       CAST(replace(host, 'h', '') AS DOUBLE) + 1 AS crawl_delay
+        |FROM u GROUP BY host ORDER BY host""".stripMargin,
+
     "q134_ks_drift" ->
       """WITH h AS (
         |  SELECT lang AS grp, CAST((n_chars - (n_chars % 50)) / 50 AS BIGINT) AS b, count(*) AS c
