@@ -17,6 +17,32 @@ object TextQueries {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "or", "in", "on", "is", "to", "it")
 
   def defs: Map[String, Q] = Map(
+    // Trainable logistic-regression quality classifier (fastText-style
+    // linear filter): 3 full-batch GD steps over (bias, length, token
+    // count) predicting English-ness, gradients 6dp-rounded per step so
+    // the FITTED WEIGHTS replay bit-for-bit in the oracle's unrolled
+    // CTEs (the q37/q92/q98 trained-model discipline). One partial-agg
+    // pass per step; scoring is a codegen projection.
+    "q142_logreg" -> ((s, dir) => {
+      val feats = Tables.documents(s, dir).select(
+        col("lang"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        (col("n_chars") / 553.0).as("x1"),
+        (TextOps.wsTokenCount(col("text")) / 100.0).as("x2"))
+      val xs = Seq("x0", "x1", "x2")
+      val w = graft.operators.LogisticQuality.fit(feats, "y", xs, iters = 3)
+      feats
+        .withColumn("pred_en", graft.operators.LogisticQuality.predictPos(w.toSeq, xs))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_en"), 1L).otherwise(0L)).as("n_pred_en"))
+        .withColumn("w0", round(lit(w(0)), 6))
+        .withColumn("w1", round(lit(w(1)), 6))
+        .withColumn("w2", round(lit(w(2)), 6))
+        .orderBy(col("lang"))
+    }),
+
     // Misra–Gries two-pass heavy hitters: bounded-state candidate sketch
     // (≤256 counters, map-side combined like any partial agg) + an exact
     // verify pass restricted to the broadcast candidate set. Every token
@@ -498,6 +524,40 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // the 3 GD steps unroll CTE-for-CTE; every float op is the same
+    // IEEE double sequence the Spark side runs (dot product left-assoc,
+    // 1.0/(1.0+exp(-z)), 6dp-rounded gradient averages)
+    "q142_logreg" ->
+      """WITH f AS (
+        |  SELECT lang, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |         1.0 AS x0, n_chars / 553.0 AS x1,
+        |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) / 100.0 AS x2
+        |  FROM documents
+        |), w0c AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+        |g1 AS (
+        |  SELECT round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS g0,
+        |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1), 6) AS g1,
+        |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2), 6) AS g2
+        |  FROM f, w0c
+        |), w1c AS (SELECT w0 + g0 AS w0, w1 + g1 AS w1, w2 + g2 AS w2 FROM w0c, g1),
+        |g2 AS (
+        |  SELECT round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS g0,
+        |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1), 6) AS g1,
+        |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2), 6) AS g2
+        |  FROM f, w1c
+        |), w2c AS (SELECT w0 + g0 AS w0, w1 + g1 AS w1, w2 + g2 AS w2 FROM w1c, g2),
+        |g3 AS (
+        |  SELECT round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS g0,
+        |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1), 6) AS g1,
+        |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2), 6) AS g2
+        |  FROM f, w2c
+        |), w3c AS (SELECT w0 + g0 AS w0, w1 + g1 AS w1, w2 + g2 AS w2 FROM w2c, g3)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(CASE WHEN w0*x0 + w1*x1 + w2*x2 >= 0 THEN 1 END) AS BIGINT) AS n_pred_en,
+        |       round(w0, 6) AS w0, round(w1, 6) AS w1, round(w2, 6) AS w2
+        |FROM f, w3c
+        |GROUP BY lang, w0, w1, w2 ORDER BY lang""".stripMargin,
+
     "q131_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
