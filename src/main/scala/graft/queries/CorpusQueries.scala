@@ -22,6 +22,26 @@ object CorpusQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def defs: Map[String, Q] = Map(
+    // HTML main-content extraction (boilerpipe/jusText block-density
+    // rule): synthetic pages wrap each document's text in nav chrome
+    // (link-dense, short → dropped) and promo chrome (short → dropped);
+    // every third page carries a second article paragraph. The oracle
+    // states block and content counts and extracted char totals in
+    // closed form (the q84 discipline).
+    "q143_content_extract" -> ((s, dir) => {
+      val html = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          lit("<html><body><nav><a href=\"/h\">Home</a> <a href=\"/a\">About us page</a></nav><p>"),
+          col("text"), lit("</p>"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<p>"), col("text"), lit(" extra tail</p>")))
+            .otherwise(lit("")),
+          lit("<div><a href=\"/l\">promo link</a> promo text</div></body></html>"))
+          .as("html"))
+      graft.ingest.ContentExtract.stats(html, "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
     // robots.txt admission (RFC 9309 subset): synthetic per-host robots
     // bodies exercising UA-group selection (graftbot beats *), prefix
     // rules, nested Allow override, '*' wildcard, and '$' anchor; 7 URL
@@ -796,6 +816,18 @@ object CorpusQueries {
     "CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),1,15)) AS BIGINT) % 10000"
 
   def oracles: Map[String, String] = Map(
+    // closed form: nav ("Home About us page", 18 link-dense chars) and
+    // promo ("promo link promo text", 21 chars) both fail the 25-char
+    // floor; the article paragraphs pass (n_chars >= 48); " extra tail"
+    // adds 11 chars to every third page's second paragraph
+    "q143_content_extract" ->
+      """SELECT doc_id,
+        |       CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks,
+        |       CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_content,
+        |       CAST(len(text) * (1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |            + CASE WHEN doc_id % 3 = 0 THEN 11 ELSE 0 END AS BIGINT) AS content_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // closed-form restatement of the synthetic rules: shapes 0 (/a/pN),
     // 2 (/private/ok — Allow outranks the shorter Disallow) and
     // 5 (/b/qN.html) are admitted; 1 (/private), 3+4 (/tmp*), and
