@@ -299,6 +299,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: impressions match clicks within the window, state watermark-bounded") {
+    // the ad-attribution / search-CTR shape: two live streams, joined on
+    // key with an EVENT-TIME interval condition — the condition is what
+    // lets Spark bound both sides' state by the watermark instead of
+    // buffering the streams forever
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val impDf = imps.toDF().toDF("imp_id", "imp_ts").withWatermark("imp_ts", "10 seconds")
+    val clkDf = clicks.toDF().toDF("clk_id", "clk_ts").withWatermark("clk_ts", "10 seconds")
+    val joined = impDf.join(clkDf,
+      col("imp_id") === col("clk_id") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") <= col("imp_ts") + expr("INTERVAL 5 SECONDS"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attrib").start()
+    try {
+      imps.addData((1L, t(100)), (2L, t(100)), (3L, t(100)))
+      clicks.addData((1L, t(103)), (2L, t(109)), (4L, t(101)))
+      q.processAllAvailable()
+      // 1: click 3 s after impression -> attributed; 2: 9 s -> outside the
+      // 5 s window; 4: no matching impression
+      val got = spark.table("attrib").select("imp_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L))
+      // cross-batch: a click arriving in a LATER batch still joins the
+      // buffered impression while inside the watermark horizon
+      clicks.addData((3L, t(104)))
+      q.processAllAvailable()
+      val got2 = spark.table("attrib").select("imp_id").collect().map(_.getLong(0)).toSet
+      assert(got2 == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming trending tokens: MG state stays bounded and keeps the hot token across batches") {
     import graft.streaming.StreamTrending
     import graft.streaming.StreamTrending.TokenEvent
