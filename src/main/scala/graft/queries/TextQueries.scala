@@ -17,6 +17,15 @@ object TextQueries {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "or", "in", "on", "is", "to", "it")
 
   def defs: Map[String, Q] = Map(
+    // Content-defined chunking (Rabin/rsync rule): boundaries where an
+    // 8-char rolling integer hash hits 0 mod 64 — shift-stable dedup
+    // chunking, the complement of q135's fixed windows. Pure integer
+    // arithmetic over char codes, so the oracle replays the exact cut
+    // set positionally. One typed map pass, zero shuffles.
+    "q144_cdc_chunks" -> ((s, dir) =>
+      graft.operators.CdcChunker.stats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Trainable logistic-regression quality classifier (fastText-style
     // linear filter): 3 full-batch GD steps over (bias, length, token
     // count) predicting English-ness, gradients 6dp-rounded per step so
@@ -524,6 +533,38 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // positional replay of the rolling hash: h(i) = sum of the last 8
+    // char codes times 31^j mod 2^31-1; cut where h % 64 = 0 and i < len
+    "q144_cdc_chunks" ->
+      """WITH cuts AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, text, unnest(generate_series(8, len(text) - 1)) AS i
+        |    FROM documents) z
+        |  WHERE ((CAST(ascii(substr(text, i, 1)) AS BIGINT) * 1
+        |        + CAST(ascii(substr(text, i-1, 1)) AS BIGINT) * 31
+        |        + CAST(ascii(substr(text, i-2, 1)) AS BIGINT) * 961
+        |        + CAST(ascii(substr(text, i-3, 1)) AS BIGINT) * 29791
+        |        + CAST(ascii(substr(text, i-4, 1)) AS BIGINT) * 923521
+        |        + CAST(ascii(substr(text, i-5, 1)) AS BIGINT) * 28629151
+        |        + CAST(ascii(substr(text, i-6, 1)) AS BIGINT) * 887503681
+        |        + CAST(ascii(substr(text, i-7, 1)) AS BIGINT) * 27512614111) % 2147483647) % 64 = 0
+        |), b AS (
+        |  SELECT doc_id, i FROM cuts
+        |  UNION ALL SELECT doc_id, len(text) FROM documents
+        |), g AS (
+        |  SELECT doc_id, i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS gap
+        |  FROM b
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(c.c, 0) + 1 AS BIGINT) AS n_chunks,
+        |       CAST(m.m AS BIGINT) AS max_len,
+        |       CAST(coalesce(f.f, 0) AS BIGINT) AS first_cut
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, count(*) AS c FROM cuts GROUP BY doc_id) c USING (doc_id)
+        |JOIN (SELECT doc_id, max(gap) AS m FROM g GROUP BY doc_id) m USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, min(i) AS f FROM cuts GROUP BY doc_id) f USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // the 3 GD steps unroll CTE-for-CTE; every float op is the same
     // IEEE double sequence the Spark side runs (dot product left-assoc,
     // 1.0/(1.0+exp(-z)), 6dp-rounded gradient averages)
