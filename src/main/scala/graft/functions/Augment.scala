@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.search.Bm25
+
+/** DETERMINISTIC TEXT AUGMENTATION — token dropout keyed by content hash
+  * instead of an RNG. Training pipelines augment (dropout, masking,
+  * duplication) to regularize; doing it with `rand()` makes every retry,
+  * re-run, and engine produce a DIFFERENT corpus — a lineage nightmare.
+  * Hashing (doc, position, token) through the engine's portable md5
+  * derivation ([[Splits.hashBucket]]) gives the same ~1/outOf dropout
+  * rate while staying idempotent, exactly reproducible on any engine, and
+  * independently re-derivable per row (no coordination, no seed state).
+  *
+  * Scale shape: one codegen HOF pass (tokenize → indexed filter → join +
+  * digest) — zero shuffles; the digest column keys the augmented corpus
+  * into caches exactly like the raw one.
+  */
+object Augment {
+
+  /** `(doc_id, n_toks, n_kept, digest)` — drop each token with
+    * probability 1/outOf, decided by md5(doc:pos:token); `digest` is the
+    * md5 of the surviving token sequence. Positions are 1-based (matching
+    * SQL lambda indexing).
+    */
+  def tokenDropout(docs: DataFrame, idCol: String, textCol: String,
+                   outOf: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        Bm25.tokens(col(textCol)).as("t"))
+      .withColumn("kept", expr(
+        s"""filter(t, (x, i) -> cast(conv(substring(md5(concat(cast(doc_id AS string), ':', cast(i + 1 AS string), ':', x)), 1, 15), 16, 10) AS bigint) % $outOf != 0)"""))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_toks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("digest"))
+}

@@ -127,23 +127,6 @@ object RobotsTxt {
     }
   }
 
-  /** `(host, allow, pattern, crawl_delay)` rules table from a per-host
-    * robots dimension — parse ONCE per host, join many URLs.
-    */
-  def rulesTable(robots: DataFrame, hostCol: String, bodyCol: String,
-                 userAgent: String): DataFrame = {
-    import robots.sparkSession.implicits._
-    robots.select(col(hostCol).as("host"), col(bodyCol).as("body"))
-      .as[(String, String)]
-      .flatMap { case (host, body) =>
-        val g = selectGroup(body, userAgent)
-        if (g.rules.isEmpty)
-          Seq((host, true, "", g.crawlDelay.getOrElse(0.0)))
-        else g.rules.map(r => (host, r.allow, r.pattern, g.crawlDelay.getOrElse(0.0)))
-      }
-      .toDF("host", "allow", "pattern", "crawl_delay")
-  }
-
   /** Admit `urls(hostCol, pathCol)` against the per-host robots
     * dimension: output is `(host, path, allowed, crawl_delay)`. One
     * equi-join on host (broadcast the parsed side — hosts are the small

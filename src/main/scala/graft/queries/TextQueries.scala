@@ -17,6 +17,16 @@ object TextQueries {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "or", "in", "on", "is", "to", "it")
 
   def defs: Map[String, Q] = Map(
+    // Deterministic token-dropout augmentation: each (doc, position,
+    // token) hashes its own keep decision — ~10% dropout with zero RNG,
+    // so retries, re-runs, and the oracle all derive the IDENTICAL
+    // augmented corpus (rand() would make every run a different
+    // dataset). One codegen HOF pass, no shuffle.
+    "q145_augment" -> ((s, dir) =>
+      graft.functions.Augment.tokenDropout(Tables.documents(s, dir),
+        "doc_id", "text", outOf = 10)
+        .orderBy(col("doc_id"))),
+
     // Content-defined chunking (Rabin/rsync rule): boundaries where an
     // 8-char rolling integer hash hits 0 mod 64 — shift-stable dedup
     // chunking, the complement of q135's fixed windows. Pure integer
@@ -533,6 +543,23 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // DuckDB lambda indices are 1-based, matching the Spark side's i+1
+    "q145_augment" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, t,
+        |         list_filter(t, (x, i) ->
+        |           CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' || x),1,15)) AS BIGINT) % 10 <> 0) AS kept
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       md5(array_to_string(kept, ' ')) AS digest
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     // positional replay of the rolling hash: h(i) = sum of the last 8
     // char codes times 31^j mod 2^31-1; cut where h % 64 = 0 and i < len
     "q144_cdc_chunks" ->
