@@ -47,6 +47,29 @@ object Tables {
     }
   }
 
+  /** Operator-side timestamp coercion. TIMESTAMP_NTZ → TIMESTAMP is
+    * unambiguous (exact under the UTC session zone the engine pins); a raw
+    * LONG is NOT — epoch seconds/millis/micros/nanos are indistinguishable
+    * by type, and guessing a unit here would silently corrupt every
+    * downstream comparison. Callers with long epochs must state the unit
+    * explicitly (`timestamp_micros`/`timestamp_seconds`, or
+    * [[normalizeTimestamp]] at INGESTION where the producer's encoding is
+    * known — the nanos arm above exists because the testdata's writer is
+    * known to emit INT64 nanos).
+    */
+  def requireTimestamp(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"column '$colName' must be TIMESTAMP or TIMESTAMP_NTZ; got $other — " +
+          "convert explicitly (timestamp_micros/timestamp_seconds) so the " +
+          "epoch unit is stated, not guessed")
+    }
+  }
+
   /** events.parquet's `ts` encoding has changed across testdata generations
     * (INT64-nanos, then NTZ-µs); normalize whatever shows up.
     */

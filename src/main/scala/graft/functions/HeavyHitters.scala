@@ -85,13 +85,18 @@ object HeavyHitters {
   def exactHeavyHitters(df: DataFrame, valCol: String, phiDenom: Int): DataFrame = {
     require(phiDenom <= K, s"phiDenom=$phiDenom needs capacity > itself (K=$K)")
     val vals = df.select(col(valCol).as("item"))
-    val cand = vals.agg(candidates(col("item")).as("cand"))
-      .select(explode(col("cand")).as("item"))
-    val total = vals.agg(count(lit(1)).as("n")) // 1 row
-    vals.join(broadcast(cand), Seq("item"), "left_semi")
+    // pass 1: candidate sketch AND the stream length in ONE aggregate —
+    // the result is a single driver row (≤ K strings + a long), the
+    // k-means-centroid materialization pattern
+    val row = vals.agg(candidates(col("item")).as("cand"),
+      count(lit(1)).as("n")).head()
+    val cand = row.getSeq[String](0)
+    val n = row.getLong(1)
+    // pass 2: exact counts restricted to the ≤ K candidates (literal
+    // IN-set → a codegen filter, no join), final bar on the EXACT count
+    vals.filter(col("item").isInCollection(cand))
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt") * phiDenom >= col("n"))
+      .filter(col("cnt") * phiDenom >= lit(n))
       .select(col("item"), col("cnt"))
   }
 }

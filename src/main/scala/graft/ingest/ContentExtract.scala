@@ -47,7 +47,7 @@ object ContentExtract {
       .filter(_._1.nonEmpty)
       .zipWithIndex
       .map { case ((text, linkChars), i) =>
-        val density = if (text.isEmpty) 1.0 else linkChars.toDouble / text.length
+        val density = linkChars.toDouble / text.length // text nonempty here
         Block(i, text, text.length, linkChars,
           text.length >= minChars && density <= maxLinkDensity)
       }

@@ -144,9 +144,16 @@ object PythonParser {
     */
   private[ingest] def splitTopLevel(s: String): Seq[String] = {
     val out = ArrayBuffer[String](); val cur = new StringBuilder
-    var depth = 0; var inStr: Char = 0
+    var depth = 0; var inStr: Char = 0; var escaped = false
     s.foreach { c =>
-      if (inStr != 0) { cur += c; if (c == inStr) inStr = 0 }
+      if (inStr != 0) {
+        cur += c
+        // a backslash-escaped quote (x="a\",b") must not end the string —
+        // the following comma is still inside the literal
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == inStr) inStr = 0
+      }
       else c match {
         case '(' | '[' | '{' => depth += 1; cur += c
         case ')' | ']' | '}' => depth -= 1; cur += c

@@ -64,7 +64,8 @@ object RobotsTxt {
           case "crawl-delay" =>
             collectingAgents = false
             cur = cur.copy(delay = value.toDoubleOption.orElse(cur.delay))
-          case _ => collectingAgents = false
+          case _ => // non-group records (Sitemap, Host, …) neither end UA
+          // collection nor split the group (RFC 9309 §2.2.2)
         }
       }
     }

@@ -36,15 +36,27 @@ object CdcChunker {
     a
   }
 
-  /** 1-based cut positions: chunk k ends at (exclusive-of-next) cut. */
+  /** 1-based cut positions: chunk k ends at (exclusive-of-next) cut.
+    * TRUE rolling evaluation — h(i+1) = (h(i) − c_out·B^(W−1))·B + c_in —
+    * one multiply-add per character instead of re-summing the window, and
+    * an index buffer instead of per-position boxing.
+    */
   def cutPositions(text: String): Seq[Int] = {
     val n = text.length
-    (Window until n).flatMap { i => // i is the 1-based position == index i-1+1
-      var h = 0L
-      var j = 0
-      while (j < Window) { h += text.charAt(i - 1 - j).toLong * Pow(j); j += 1 }
-      if ((h % M) % Divisor == 0L) Some(i) else None
+    if (n <= Window) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // h over chars at 1-based positions [i-Window+1, i]; newest has B^0
+    var h = 0L
+    var p = 0
+    while (p < Window) { h += text.charAt(p).toLong * Pow(Window - 1 - p); p += 1 }
+    var i = Window // 1-based position of the newest char in the window
+    while (i < n) {
+      if ((h % M) % Divisor == 0L) out += i
+      h = (h - text.charAt(i - Window).toLong * Pow(Window - 1)) * B +
+        text.charAt(i).toLong
+      i += 1
     }
+    out.toSeq
   }
 
   /** Chunk lengths from the cut set, with optional min/max enforcement:
@@ -52,6 +64,8 @@ object CdcChunker {
     * a run longer than `maxLen` is force-cut at `maxLen`.
     */
   def chunkLengths(text: String, minLen: Int = 1, maxLen: Int = Int.MaxValue): Seq[Int] = {
+    require(minLen >= 1 && maxLen >= minLen,
+      s"need 1 <= minLen ($minLen) <= maxLen ($maxLen)")
     val n = text.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var prev = 0

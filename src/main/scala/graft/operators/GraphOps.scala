@@ -73,8 +73,13 @@ object GraphOps {
     val ed = e.join(deg, "_src").localCheckpoint()
     val seedSet = seeds.select(col(seeds.columns.head).as("node"))
       .distinct().withColumn("_s", lit(1.0))
+    // node set = edge endpoints ∪ SEEDS: an isolated seed (a fresh
+    // frontier URL with no observed links yet) must keep its teleport
+    // mass and appear in the output, not silently vanish
     val nodes = e.select(col("_src").as("node"))
-      .unionByName(e.select(col("_dst").as("node"))).distinct()
+      .unionByName(e.select(col("_dst").as("node")))
+      .unionByName(seedSet.select(col("node")))
+      .distinct()
       .join(broadcast(seedSet), Seq("node"), "left")
       .withColumn("_s", coalesce(col("_s"), lit(0.0)))
       .localCheckpoint()

@@ -34,8 +34,8 @@ object TemporalJoins {
            leftTs: String, rightTs: String, rightId: String): DataFrame = {
     // Normalize first: a TIMESTAMP_NTZ side would make the tagged union's
     // _ts columns type-mismatch (and sort semantics ambiguous).
-    val left = graft.core.Tables.normalizeTimestamp(left0, leftTs)
-    val right = graft.core.Tables.normalizeTimestamp(right0, rightTs)
+    val left = graft.core.Tables.requireTimestamp(left0, leftTs)
+    val right = graft.core.Tables.requireTimestamp(right0, rightTs)
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_ts", col(leftTs))
@@ -77,9 +77,10 @@ object TemporalJoins {
     */
   def countInWindow(left0: DataFrame, right0: DataFrame, key: String, leftId: String,
                     leftTs: String, rightTs: String, windowUs: Long): DataFrame = {
-    // unix_micros below requires TimestampType; normalize NTZ/long inputs.
-    val left = graft.core.Tables.normalizeTimestamp(left0, leftTs)
-    val right = graft.core.Tables.normalizeTimestamp(right0, rightTs)
+    // unix_micros below requires TimestampType; NTZ casts exactly, raw longs
+    // are rejected (ambiguous epoch unit — see Tables.requireTimestamp).
+    val left = graft.core.Tables.requireTimestamp(left0, leftTs)
+    val right = graft.core.Tables.requireTimestamp(right0, rightTs)
     // candidates group and join back on (key, leftId, ts) — NOT leftId alone —
     // so a leftId reused across keys or timestamps neither merges counts nor
     // fans out. Exact full-duplicate left rows remain ambiguous: each copy

@@ -23,8 +23,9 @@ object Sessionize {
   def assignSessions(events0: DataFrame, userCol: String, tsCol: String,
                      tieCol: String, gapSeconds: Long): DataFrame = {
     // Callers hand us externally-loaded frames; a TIMESTAMP_NTZ ts column
-    // would fail the cast("double") below, so normalize first.
-    val events = graft.core.Tables.normalizeTimestamp(events0, tsCol)
+    // would fail the cast("double") below, so coerce it — raw long epochs
+    // are rejected (ambiguous unit; see Tables.requireTimestamp)
+    val events = graft.core.Tables.requireTimestamp(events0, tsCol)
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val prevTs = lag(col(tsCol), 1).over(w)
     // cast-to-double keeps fractional seconds (unix_timestamp truncates to

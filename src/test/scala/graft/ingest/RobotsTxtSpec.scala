@@ -50,6 +50,13 @@ class RobotsTxtSpec extends SparkSpec {
     assert(RobotsTxt.matches("/a*$", "/anything"))
   }
 
+  test("non-group records between User-agent lines don't split the group (RFC 9309 §2.2.2)") {
+    val g = RobotsTxt.selectGroup(
+      "User-agent: a\nSitemap: https://x/s.xml\nUser-agent: b\nDisallow: /\n", "a")
+    assert(g.rules == Seq(RobotsTxt.Rule(allow = false, "/")),
+      "agent 'a' must share the group with 'b' despite the Sitemap line")
+  }
+
   test("empty Disallow allows all; comments and junk lines are ignored") {
     val g = RobotsTxt.selectGroup(
       "User-agent: graftbot # our bot\nDisallow:\nnoise line\nSitemap: https://x/s.xml\n",

@@ -94,6 +94,13 @@ class GraphOpsSpec extends SparkSpec {
     assert(r(1L) > 0.0 && r(2L) > 0.0 && r(3L) > 0.0)
     // the seed keeps its teleport share every round; downstream decays
     assert(r(1L) > r(3L))
+    // an isolated seed (no edges at all) still holds teleport mass and
+    // appears in the output rather than silently vanishing
+    val iso = GraphOps.personalizedPageRank(edges, "src", "dst",
+      Seq(99L).toDF("node"), 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(iso(99L) > 0.0, s"isolated seed lost its mass: $iso")
+    assert(iso.filterKeys(_ != 99L).values.forall(_ == 0.0))
     // seeding EVERY node must reproduce the uniform-teleport recurrence
     val all = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
     val ppr = GraphOps.personalizedPageRank(edges, "src", "dst", all, 3)
