@@ -111,6 +111,36 @@ object RelationalQueries {
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("sess_start"), col("sess_end"))),
 
+    // Sessionized ORDERED-step funnel (view → click-after-view →
+    // purchase-after-click within one gap session): the product-analytics
+    // twin of q87's corpus funnel. Step times are conditional mins per
+    // (user, session) — three partial-agg passes chained by equi-joins on
+    // the session key, no window over raw events beyond the q9
+    // sessionizer itself; per-decade user cohorts roll up bounded rows.
+    "q146_session_funnel" -> ((s, dir) => {
+      val sess = Sessionize.assignSessions(
+        Tables.events(s, dir), "user_id", "ts", "event_id", 1800L)
+      val key = Seq("user_id", "session_id")
+      val s1 = sess.groupBy(key.map(col): _*)
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      val s2 = sess.join(s1, key)
+        .groupBy(key.map(col): _*)
+        .agg(min(when(col("event_type") === "click"
+          && col("ts") >= col("t_view"), col("ts"))).as("t_click"),
+          first(col("t_view")).as("t_view"))
+      val s3 = sess.join(s2, key)
+        .groupBy(key.map(col): _*)
+        .agg(min(when(col("event_type") === "purchase"
+          && col("ts") >= col("t_click"), col("ts"))).as("t_purchase"),
+          first(col("t_view")).as("t_view"), first(col("t_click")).as("t_click"))
+      s3.groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))
+        .orderBy(col("cohort"))
+    }),
+
     // §2.5 diff sketch (diff_layers.py:11-77): old/new snapshot full-outer
     // join → added/removed/modified/unchanged. Content compared as exact
     // bigint cents (no float hashing).
@@ -469,6 +499,43 @@ object RelationalQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts) AS sess_start, max(ts) AS sess_end
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // same q9 session replay, then the three chained conditional-min steps
+    "q146_session_funnel" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, event_type,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS session_id
+        |  FROM flagged
+        |), s1 AS (
+        |  SELECT user_id, session_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM sess GROUP BY user_id, session_id
+        |), s2 AS (
+        |  SELECT sess.user_id, sess.session_id,
+        |         min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END) AS t_click,
+        |         any_value(t_view) AS t_view
+        |  FROM sess JOIN s1 USING (user_id, session_id)
+        |  GROUP BY sess.user_id, sess.session_id
+        |), s3 AS (
+        |  SELECT sess.user_id, sess.session_id,
+        |         min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END) AS t_purchase,
+        |         any_value(t_view) AS t_view, any_value(t_click) AS t_click
+        |  FROM sess JOIN s2 USING (user_id, session_id)
+        |  GROUP BY sess.user_id, sess.session_id
+        |)
+        |SELECT user_id % 10 AS cohort,
+        |       CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(count(t_view) AS BIGINT) AS n_view,
+        |       CAST(count(t_click) AS BIGINT) AS n_click,
+        |       CAST(count(t_purchase) AS BIGINT) AS n_purchase
+        |FROM s3 GROUP BY cohort ORDER BY cohort""".stripMargin,
 
     "q10_diff" ->
       """WITH old_snap AS (
