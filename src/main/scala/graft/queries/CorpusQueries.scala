@@ -22,6 +22,15 @@ object CorpusQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def defs: Map[String, Q] = Map(
+    // Population-Stability-Index drift between two deterministic halves
+    // of the corpus over width-50 n_chars bins (the per-bin "where did
+    // the distribution move" companion to q134's KS test). Fixed integer
+    // bin edges — quantile edges would be engine-unstable floats. One
+    // map pass + one partial agg; everything after is bin-table-sized.
+    "q150_psi_drift" -> ((s, dir) =>
+      graft.functions.PsiDrift.report(Tables.documents(s, dir),
+        "doc_id", "n_chars", binWidth = 50, nBins = 12, cutPct = 50)),
+
     // HTML main-content extraction (boilerpipe/jusText block-density
     // rule): synthetic pages wrap each document's text in nav chrome
     // (link-dense, short → dropped) and promo chrome (short → dropped);
@@ -816,6 +825,28 @@ object CorpusQueries {
     "CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),1,15)) AS BIGINT) % 10000"
 
   def oracles: Map[String, String] = Map(
+    "q150_psi_drift" ->
+      """WITH b AS (
+        |  SELECT (CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 50) AS in_a,
+        |         least(CAST(floor(n_chars / 50) AS BIGINT), 11) AS bin
+        |  FROM documents
+        |), c AS (
+        |  SELECT bin,
+        |         count(CASE WHEN in_a THEN 1 END) AS n_a,
+        |         count(CASE WHEN NOT in_a THEN 1 END) AS n_b
+        |  FROM b GROUP BY bin
+        |), t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c),
+        |terms AS (
+        |  SELECT bin, n_a, n_b,
+        |         ((n_a + 0.5) / (ta + 6.0)) AS pa,
+        |         ((n_b + 0.5) / (tb + 6.0)) AS pb
+        |  FROM c, t
+        |), tot AS (SELECT sum((pa - pb) * ln(pa / pb)) AS psi FROM terms)
+        |SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       round((pa - pb) * ln(pa / pb), 6) AS psi_term,
+        |       round(psi, 6) AS psi_total
+        |FROM terms, tot ORDER BY bin""".stripMargin,
+
     // closed form: nav ("Home About us page", 18 link-dense chars) and
     // promo ("promo link promo text", 21 chars) both fail the 25-char
     // floor; the article paragraphs pass (n_chars >= 48); " extra tail"

@@ -14,6 +14,14 @@ object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def defs: Map[String, Q] = Map(
+    // Exact-substring dedup signal (Lee et al. 2022): per-doc fraction of
+    // token positions covered by cross-doc duplicated 8-grams. Gram-hash
+    // partial agg + semi-join back; bounded 8× position fan-out; never
+    // doc×doc.
+    "q147_dup_spans" -> ((s, dir) =>
+      graft.dedup.DupSpans.coverage(Tables.documents(s, dir), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))),
+
     // Per-source boilerplate strip (CCNet/RefinedWeb template-chrome
     // rule): 10-word blocks repeating across ≥3 DISTINCT docs of the same
     // source are dropped in ALL occurrences — the complement of q50's
@@ -156,6 +164,33 @@ object DedupQueries {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q147_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, i,
+        |         CAST(('0x'||substr(md5(array_to_string(t[i:i+7], ' ')),1,15)) AS BIGINT) AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        |        FROM toks)
+        |), dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
+        |), inst AS (
+        |  SELECT grams.doc_id, grams.i FROM grams JOIN dup USING (g)
+        |), per AS (
+        |  SELECT doc_id, count(*) AS dup_grams FROM inst GROUP BY doc_id
+        |), cov AS (
+        |  SELECT doc_id, count(DISTINCT p) AS covered
+        |  FROM (SELECT doc_id, unnest(generate_series(i, i + 7)) AS p FROM inst)
+        |  GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_toks,
+        |       CAST(coalesce(per.dup_grams, 0) AS BIGINT) AS dup_grams,
+        |       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered,
+        |       round(coalesce(cov.covered, 0) / len(t.t), 6) AS dup_ratio
+        |FROM toks t LEFT JOIN per USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q133_boilerplate" ->
       """WITH toks AS (
         |  SELECT doc_id, source,

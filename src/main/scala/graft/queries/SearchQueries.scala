@@ -20,6 +20,15 @@ object SearchQueries {
     KnnSearch.vectorOf(Tables.embeddings(s, dir), "vec_id", "embedding", 0L)
 
   def defs: Map[String, Q] = Map(
+    // Matryoshka (MRL) truncation-fidelity audit: per dim-prefix tier,
+    // corpus energy retention and top-10 overlap vs full-dim retrieval
+    // for 5 fixed probes. Probes broadcast (constant fan-out); ranking
+    // windows are (probe, tier)-sized, never the corpus.
+    "q151_matryoshka" -> ((s, dir) =>
+      graft.search.Matryoshka.fidelity(Tables.embeddings(s, dir),
+        "vec_id", "embedding", probeIds = Seq(0L, 1L, 2L, 3L, 4L),
+        dims = Seq(8, 16, 32, 64), k = 10)),
+
     // §2.4 dense top-k: codegen'd cosine + TakeOrderedAndProject.
     "q13_knn_cosine" -> ((s, dir) =>
       KnnSearch.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -306,6 +315,41 @@ object SearchQueries {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q151_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |tiers AS (SELECT unnest([8, 16, 32, 64]) AS d),
+        |energy AS (
+        |  SELECT d, round(avg(sqrt(list_sum(list_transform(v[1:d], x -> x*x))
+        |                    / list_sum(list_transform(v, x -> x*x)))), 6) AS avg_energy
+        |  FROM e, tiers GROUP BY d
+        |),
+        |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT e.vec_id, probe_id, d,
+        |         round(list_cosine_similarity(v[1:d], pv[1:d]), 6) AS cos
+        |  FROM e, probes, tiers WHERE e.vec_id <> probe_id
+        |),
+        |topk AS (
+        |  SELECT probe_id, d, vec_id
+        |  FROM (SELECT probe_id, d, vec_id,
+        |               row_number() OVER (PARTITION BY probe_id, d ORDER BY cos DESC, vec_id) AS rn
+        |        FROM scored)
+        |  WHERE rn <= 10
+        |),
+        |ft AS (SELECT probe_id, vec_id FROM topk WHERE d = 64),
+        |ov AS (
+        |  SELECT t.probe_id, t.d, count(*) AS ov
+        |  FROM topk t JOIN ft ON t.probe_id = ft.probe_id AND t.vec_id = ft.vec_id
+        |  WHERE t.d <> 64
+        |  GROUP BY 1, 2
+        |),
+        |pt AS (SELECT d, round(avg(ov), 6) AS avg_overlap, min(ov) AS min_overlap
+        |       FROM ov GROUP BY d)
+        |SELECT CAST(energy.d AS BIGINT) AS dim, avg_energy,
+        |       coalesce(pt.avg_overlap, 10.0) AS avg_overlap,
+        |       CAST(coalesce(pt.min_overlap, 10) AS BIGINT) AS min_overlap
+        |FROM energy LEFT JOIN pt USING (d) ORDER BY dim""".stripMargin,
+
     "q13_knn_cosine" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

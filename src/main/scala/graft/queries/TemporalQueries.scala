@@ -37,7 +37,15 @@ object TemporalQueries {
       TemporalJoins.countInWindow(purchases, clicks, "user_id", "event_id",
           "ts", "ts", 3600L * 1000000L)
         .select(col("event_id"), col("user_id"), col("n_in_window"))
-    })
+    }),
+
+    // Recrawl scheduling: per event_type revisit cadence from per-user
+    // inter-arrival gaps (the lag window partitions by (type, user) —
+    // small everywhere), rolled up by one partial agg.
+    "q152_recrawl" -> ((s, dir) =>
+      graft.operators.Recrawl.schedule(Tables.events(s, dir),
+        "event_type", "user_id", "ts")
+        .orderBy(col("event_type")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -58,6 +66,23 @@ object TemporalQueries {
         |SELECT p.event_id, p.user_id, count(c.ts) AS n_in_window
         |FROM p LEFT JOIN c
         |  ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
-        |GROUP BY p.event_id, p.user_id""".stripMargin
+        |GROUP BY p.event_id, p.user_id""".stripMargin,
+
+    "q152_recrawl" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, user_id, s,
+        |         s - lag(s) OVER (PARTITION BY event_type, user_id ORDER BY s) AS gap
+        |  FROM s
+        |)
+        |SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+        |       CAST(count(gap) AS BIGINT) AS n_gaps,
+        |       round(avg(gap), 4) AS avg_gap_s,
+        |       CAST(max(gap) AS BIGINT) AS max_gap_s,
+        |       CAST(max(s) AS BIGINT) AS last_seen_s,
+        |       CAST(max(s) + ceil(round(avg(gap), 4)) AS BIGINT) AS next_due_s
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

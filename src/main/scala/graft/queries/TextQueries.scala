@@ -16,7 +16,29 @@ object TextQueries {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "or", "in", "on", "is", "to", "it")
 
+  /** q148 blocklist tiers (tokens of the synthetic corpus vocabulary). */
+  val BlockSevere: Seq[String] = Seq("dup", "slow")
+  val BlockMild: Seq[String] = Seq("merge", "hash", "batch")
+
   def defs: Map[String, Q] = Map(
+    // Tiered blocklist admission (the C4/CCNet badwords gate): whole-token
+    // matches only; any severe hit rejects, mild hits reject past a
+    // tolerance of 2. Literal-array filter HOF — one codegen map pass,
+    // shuffle only the per-source partials.
+    "q148_blocklist" -> ((s, dir) =>
+      graft.functions.Blocklist.report(Tables.documents(s, dir), "source", "text",
+        severe = BlockSevere, mild = BlockMild, mildMax = 2)
+        .orderBy(col("source"))),
+
+    // Lexical diversity (TTR / hapax share / top-token concentration):
+    // the anti-boilerplate quality signals. Three stacked partial aggs
+    // ((doc,token) → doc → lang); hot tokens can't skew — counting is
+    // per-doc first.
+    "q149_lexdiv" -> ((s, dir) =>
+      graft.functions.LexicalDiversity.report(Tables.documents(s, dir),
+        "doc_id", "text", "lang")
+        .orderBy(col("lang"))),
+
     // Deterministic token-dropout augmentation: each (doc, position,
     // token) hashes its own keep decision — ~10% dropout with zero RNG,
     // so retries, re-runs, and the oracle all derive the IDENTICAL
@@ -543,6 +565,44 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q148_blocklist" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |             x -> x IN ('dup', 'slow'))) AS sev,
+        |         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |             x -> x IN ('merge', 'hash', 'batch'))) AS mild
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(CASE WHEN sev = 0 AND mild <= 2 THEN 1 END) AS BIGINT) AS n_admitted,
+        |       CAST(sum(sev) AS BIGINT) AS severe_hits,
+        |       CAST(sum(mild) AS BIGINT) AS mild_hits,
+        |       CAST(count(CASE WHEN sev > 0 THEN 1 END) AS BIGINT) AS n_severe_docs
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q149_lexdiv" ->
+      """WITH tc AS (
+        |  SELECT doc_id, lang, w, count(*) AS c
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |            x -> len(x) > 1)) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3
+        |), per AS (
+        |  SELECT doc_id, lang,
+        |         round(count(*) / sum(c), 6) AS ttr,
+        |         round(count(CASE WHEN c = 1 THEN 1 END) / count(*), 6) AS hapax_ratio,
+        |         round(max(c) / sum(c), 6) AS top_share
+        |  FROM tc GROUP BY 1, 2
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(avg(ttr), 6) AS avg_ttr,
+        |       round(avg(hapax_ratio), 6) AS avg_hapax_ratio,
+        |       round(avg(top_share), 6) AS avg_top_share,
+        |       round(min(ttr), 6) AS min_ttr
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
     // DuckDB lambda indices are 1-based, matching the Spark side's i+1
     "q145_augment" ->
       """WITH toks AS (
