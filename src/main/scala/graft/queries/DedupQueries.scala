@@ -22,6 +22,14 @@ object DedupQueries {
       graft.dedup.DupSpans.coverage(Tables.documents(s, dir), "doc_id", "text", 8)
         .orderBy(col("doc_id"))),
 
+    // Directed source-level 5-gram containment matrix ("which sources
+    // copy from which"): distinct gram-hash sets per source, hub-capped
+    // at 10 sources per gram before the gram-keyed pair join. Top-25
+    // directed pairs by containment.
+    "q153_source_overlap" -> ((s, dir) =>
+      graft.dedup.SourceOverlap.containment(Tables.documents(s, dir),
+        "source", "text", n = 5, maxSources = 10, limit = 25)),
+
     // Per-source boilerplate strip (CCNet/RefinedWeb template-chrome
     // rule): 10-word blocks repeating across ≥3 DISTINCT docs of the same
     // source are dropped in ALL occurrences — the complement of q50's
@@ -164,6 +172,29 @@ object DedupQueries {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q153_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source AS src,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT DISTINCT src,
+        |         CAST(('0x'||substr(md5(array_to_string(t[i:i+4], ' ')),1,15)) AS BIGINT) AS g
+        |  FROM (SELECT src, t, unnest(generate_series(1, len(t) - 4)) AS i
+        |        FROM toks WHERE len(t) >= 5)
+        |), band AS (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 10),
+        |g2 AS (SELECT g0.src, g0.g FROM g0 JOIN band USING (g)),
+        |tot AS (SELECT src, count(*) AS n_grams FROM g2 GROUP BY src),
+        |pairs AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+        |  FROM g2 a JOIN g2 b ON a.g = b.g AND a.src <> b.src
+        |  GROUP BY 1, 2
+        |)
+        |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |       round(n_shared / n_grams, 6) AS containment
+        |FROM pairs JOIN tot ON tot.src = pairs.src_a
+        |ORDER BY containment DESC, src_a, src_b LIMIT 25""".stripMargin,
+
     "q147_dup_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t

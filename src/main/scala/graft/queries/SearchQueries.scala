@@ -29,6 +29,13 @@ object SearchQueries {
         "vec_id", "embedding", probeIds = Seq(0L, 1L, 2L, 3L, 4L),
         dims = Seq(8, 16, 32, 64), k = 10)),
 
+    // MMR diversified re-rank of the top-20 cosine page (λ=0.7, 5 picks):
+    // corpus work is one TakeOrdered; the greedy loop runs on the bounded
+    // collected page. The oracle replays all 5 picks via unrolled steps.
+    "q155_mmr" -> ((s, dir) =>
+      graft.search.MmrRerank.rerank(Tables.embeddings(s, dir),
+        "vec_id", "embedding", probeId = 0L, candK = 20, k = 5, lambda = 0.7)),
+
     // §2.4 dense top-k: codegen'd cosine + TakeOrderedAndProject.
     "q13_knn_cosine" -> ((s, dir) =>
       KnnSearch.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -315,6 +322,59 @@ object SearchQueries {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the penalty weight is written (1 - 0.7), not 0.3: IEEE 1-0.7 and
+    // the literal 0.3 are DIFFERENT doubles, and the Spark side computes
+    // (1 - lambda)
+    "q155_mmr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id, v, round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS rel
+        |  FROM e WHERE vec_id <> 0
+        |  ORDER BY rel DESC, vec_id LIMIT 20
+        |),
+        |sim AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |         round(list_cosine_similarity(a.v, b.v), 6) AS s
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        |),
+        |p1 AS (SELECT vec_id, 0.7 * rel AS score FROM cand
+        |       ORDER BY score DESC, vec_id LIMIT 1),
+        |p2 AS (
+        |  SELECT c.vec_id, 0.7 * c.rel - (1 - 0.7) * (SELECT max(s) FROM sim
+        |    WHERE ia = c.vec_id AND ib IN (SELECT vec_id FROM p1)) AS score
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+        |  ORDER BY score DESC, c.vec_id LIMIT 1
+        |),
+        |p3 AS (
+        |  SELECT c.vec_id, 0.7 * c.rel - (1 - 0.7) * (SELECT max(s) FROM sim
+        |    WHERE ia = c.vec_id AND ib IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2)) AS score
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2)
+        |  ORDER BY score DESC, c.vec_id LIMIT 1
+        |),
+        |p4 AS (
+        |  SELECT c.vec_id, 0.7 * c.rel - (1 - 0.7) * (SELECT max(s) FROM sim
+        |    WHERE ia = c.vec_id AND ib IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2
+        |                                   UNION ALL SELECT vec_id FROM p3)) AS score
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2
+        |                                     UNION ALL SELECT vec_id FROM p3)
+        |  ORDER BY score DESC, c.vec_id LIMIT 1
+        |),
+        |p5 AS (
+        |  SELECT c.vec_id, 0.7 * c.rel - (1 - 0.7) * (SELECT max(s) FROM sim
+        |    WHERE ia = c.vec_id AND ib IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2
+        |                                   UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4)) AS score
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2
+        |                                     UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4)
+        |  ORDER BY score DESC, c.vec_id LIMIT 1
+        |)
+        |SELECT 1 AS pick, vec_id, round(score, 6) AS mmr_score FROM p1
+        |UNION ALL SELECT 2, vec_id, round(score, 6) FROM p2
+        |UNION ALL SELECT 3, vec_id, round(score, 6) FROM p3
+        |UNION ALL SELECT 4, vec_id, round(score, 6) FROM p4
+        |UNION ALL SELECT 5, vec_id, round(score, 6) FROM p5
+        |ORDER BY pick""".stripMargin,
+
     "q151_matryoshka" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |tiers AS (SELECT unnest([8, 16, 32, 64]) AS d),

@@ -21,6 +21,14 @@ object TextQueries {
   val BlockMild: Seq[String] = Seq("merge", "hash", "batch")
 
   def defs: Map[String, Q] = Map(
+    // Train-vocab OOV coverage audit: frequency-thresholded vocab fitted
+    // on the 80% hash split, token- and type-level OOV rates per split.
+    // Token-keyed joins; the thresholded vocab broadcasts.
+    "q154_vocab_coverage" -> ((s, dir) =>
+      graft.functions.VocabCoverage.report(Tables.documents(s, dir),
+        "doc_id", "text", trainPct = 80, minCount = 5)
+        .orderBy(col("split"))),
+
     // Tiered blocklist admission (the C4/CCNet badwords gate): whole-token
     // matches only; any severe hit rejects, mild hits reject past a
     // tolerance of 2. Literal-array filter HOF — one codegen map pass,
@@ -565,6 +573,24 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q154_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80
+        |              THEN 'train' ELSE 'val' END AS split,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> len(x) > 1)) AS w
+        |  FROM documents
+        |), counts AS (SELECT split, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT w FROM counts WHERE split = 'train' AND c >= 5),
+        |tagged AS (SELECT split, w, c, w IN (SELECT w FROM vocab) AS in_vocab FROM counts),
+        |vs AS (SELECT count(*) AS vocab_size FROM vocab)
+        |SELECT split, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       round(sum(CASE WHEN NOT in_vocab THEN c ELSE 0 END) / sum(c), 6) AS oov_token_rate,
+        |       round(count(CASE WHEN NOT in_vocab THEN 1 END) / count(*), 6) AS oov_type_rate,
+        |       CAST(vocab_size AS BIGINT) AS vocab_size
+        |FROM tagged, vs GROUP BY split, vocab_size ORDER BY split""".stripMargin,
+
     "q148_blocklist" ->
       """WITH d AS (
         |  SELECT source,
