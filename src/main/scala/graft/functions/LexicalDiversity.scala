@@ -23,21 +23,24 @@ object LexicalDiversity {
   /** Per-doc diversity metrics:
     * ttr = distinct types / tokens; hapax_ratio = once-only types / types;
     * top_share = most frequent token's share of the doc.
+    *
+    * Carried columns ride as extra GROUP-BY KEYS (doc_id determines them),
+    * not `first()` aggregates — a string aggregation buffer would demote
+    * the whole chain from HashAggregate to Sort+SortAggregate.
     */
   def perDoc(docs: DataFrame, idCol: String, textCol: String,
              carry: Seq[String] = Nil): DataFrame = {
-    val carryCols = carry.map(c => first(col(c)).as(c))
+    val keys = col(idCol).as("doc_id") +: carry.map(col)
     val tokCounts = docs
-      .select((col(idCol).as("doc_id") +: carry.map(col)) :+
-        explode(tokens(col(textCol))).as("w"): _*)
-      .groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("c"), carryCols: _*)
+      .select(keys :+ explode(tokens(col(textCol))).as("w"): _*)
+      .groupBy(col("doc_id") +: carry.map(col) :+ col("w"): _*)
+      .agg(count(lit(1)).as("c"))
     tokCounts
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id") +: carry.map(col): _*)
       .agg(sum(col("c")).as("n_tokens"),
-        (count(lit(1)).as("n_types") +:
-          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax") +:
-          max(col("c")).as("top_count") +: carryCols): _*)
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("c")).as("top_count"))
       .select((col("doc_id") +:
         carry.map(col) :+
         col("n_tokens") :+ col("n_types") :+

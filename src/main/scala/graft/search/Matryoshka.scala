@@ -64,10 +64,11 @@ object Matryoshka {
     val topk = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("probe_id", "dim", "vec_id")
 
+    // ≤ |probes|·k rows — broadcast so the overlap check never sort-merges
     val fullTop = topk.filter(col("dim") === full)
       .select(col("probe_id"), col("vec_id"))
     val overlap = topk.filter(col("dim") =!= full)
-      .join(fullTop, Seq("probe_id", "vec_id"), "left_semi")
+      .join(broadcast(fullTop), Seq("probe_id", "vec_id"), "left_semi")
       .groupBy(col("probe_id"), col("dim"))
       .agg(count(lit(1)).as("ov"))
     val perTier = overlap
@@ -75,7 +76,7 @@ object Matryoshka {
       .agg(round(avg(col("ov")), 6).as("avg_overlap"),
         min(col("ov")).as("min_overlap"))
 
-    energy.join(perTier, Seq("dim"), "left")
+    energy.join(broadcast(perTier), Seq("dim"), "left")
       .select(col("dim").cast("long").as("dim"), col("avg_energy"),
         coalesce(col("avg_overlap"), lit(k.toDouble)).as("avg_overlap"),
         coalesce(col("min_overlap"), lit(k.toLong)).as("min_overlap"))
