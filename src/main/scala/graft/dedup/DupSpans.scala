@@ -52,14 +52,19 @@ object DupSpans {
             i => gramHash(array_join(slice(col("t"), i, lit(n)), " "))))))
       .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("i"), col("col").as("g"))
 
+    // The gram pipeline (tokenize + md5 per window) feeds the dup-set agg
+    // AND the instance join — checkpoint so it runs once, not per branch.
+    val gramsCk = grams.localCheckpoint()
+
     // Grams seen in >1 distinct doc. distinct-before-agg keeps the count
     // exact while the gram table stays gram-hash-partitioned throughout.
-    val dup = grams.select(col("g"), col("doc_id")).distinct()
+    val dup = gramsCk.select(col("g"), col("doc_id")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1)
       .select("g")
 
-    val dupInst = grams.join(dup, Seq("g"), "left_semi")
+    // reused by both the per-doc count and the coverage explode
+    val dupInst = gramsCk.join(dup, Seq("g"), "left_semi").localCheckpoint()
 
     val perDoc = dupInst
       .groupBy(col("doc_id"))

@@ -40,11 +40,15 @@ object SourceOverlap {
       .select(col("src"), gramHash(col("g")).as("g"))
       .distinct()
 
+    // tokenize + md5 per window feeds four consumers (band, totals, both
+    // pair-join sides) — checkpoint so the gram pipeline runs once
+    val gramsCk = grams.localCheckpoint()
+
     // hub cap: drop grams shared by more than maxSources sources BEFORE
     // the pair join — bounds the self-join fan-out per gram
-    val banded = grams.groupBy(col("g")).agg(count(lit(1)).as("ns"))
+    val banded = gramsCk.groupBy(col("g")).agg(count(lit(1)).as("ns"))
       .filter(col("ns") <= maxSources).select("g")
-    val g2 = grams.join(banded, Seq("g"), "left_semi")
+    val g2 = gramsCk.join(banded, Seq("g"), "left_semi").localCheckpoint()
 
     val totals = g2.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
     val pairs = g2.as("a").join(g2.as("b"),
