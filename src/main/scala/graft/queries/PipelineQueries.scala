@@ -171,6 +171,20 @@ object PipelineQueries {
     // Deterministic Lloyd k-means (k=8, 2 iterations) over the embedding
     // corpus; output = cluster populations + first centroid component as a
     // fit witness. The same recipe unrolls into the DuckDB oracle.
+    // External cluster validation: purity per k-means cluster + corpus
+    // NMI vs the ground-truth label. Same deterministic 2-iteration fit
+    // as q37 (the oracle replays it CTE-for-CTE), then everything runs
+    // on the k×|labels| contingency grid.
+    "q156_cluster_purity" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = KMeans.fit(emb, "vec_id", "embedding", 8, 2)
+      val asn = KMeans.assignments(emb, "vec_id", "embedding", cents)
+        .select(col("vid").as("vec_id"), col("cluster"))
+      val lab = asn.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      graft.search.ClusterEval.purityReport(lab, "cluster", "label")
+        .orderBy(col("cluster"))
+    }),
+
     "q37_kmeans" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cents = KMeans.fit(emb, "vec_id", "embedding", 8, 2)
@@ -546,6 +560,52 @@ object PipelineQueries {
          |SELECT cluster_id, doc_id AS rep, CAST(n_chars AS BIGINT) AS rep_score,
          |       CAST(n_members AS BIGINT) AS n_members
          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "q156_cluster_purity" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |c0 AS (SELECT vec_id AS cluster, v AS cent FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT e.vec_id, e.v, c.cluster,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_cosine_similarity(e.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM e, c0 c) WHERE rn = 1),
+        |c1 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM (
+        |  SELECT cluster, i, round(avg(v[i]), 6) AS m
+        |  FROM a1, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY cluster, i) GROUP BY cluster),
+        |a2 AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT e.vec_id, e.v, c.cluster,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_cosine_similarity(e.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM e, c1 c) WHERE rn = 1),
+        |c2 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM (
+        |  SELECT cluster, i, round(avg(v[i]), 6) AS m
+        |  FROM a2, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY cluster, i) GROUP BY cluster),
+        |a3 AS (SELECT vec_id, cluster FROM (
+        |  SELECT e.vec_id, c.cluster,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_cosine_similarity(e.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM e, c2 c) WHERE rn = 1),
+        |cont AS (
+        |  SELECT a3.cluster, e2.label, count(*) AS n_cl
+        |  FROM a3 JOIN e e2 ON a3.vec_id = e2.vec_id GROUP BY 1, 2),
+        |tot AS (SELECT sum(n_cl) AS n FROM cont),
+        |hc AS (SELECT sum(-(nc / n) * ln(nc / n)) AS h_c
+        |       FROM (SELECT cluster, sum(n_cl) AS nc FROM cont GROUP BY 1), tot),
+        |hl AS (SELECT sum(-(nl / n) * ln(nl / n)) AS h_l
+        |       FROM (SELECT label, sum(n_cl) AS nl FROM cont GROUP BY 1), tot),
+        |hcl AS (SELECT sum(-(n_cl / n) * ln(n_cl / n)) AS h_cl FROM cont, tot),
+        |nmi AS (SELECT (h_c + h_l - h_cl) / sqrt(h_c * h_l) AS nmi FROM hc, hl, hcl),
+        |top AS (SELECT cluster, label AS top_label, n_cl AS n_top FROM (
+        |  SELECT cluster, label, n_cl,
+        |         row_number() OVER (PARTITION BY cluster ORDER BY n_cl DESC, label) AS rn
+        |  FROM cont) WHERE rn = 1),
+        |per AS (SELECT cluster, sum(n_cl) AS n_points FROM cont GROUP BY 1)
+        |SELECT per.cluster, CAST(n_points AS BIGINT) AS n_points, top_label,
+        |       CAST(n_top AS BIGINT) AS n_top,
+        |       round(n_top / n_points, 6) AS purity, round(nmi, 6) AS nmi
+        |FROM per JOIN top USING (cluster), nmi ORDER BY per.cluster""".stripMargin,
 
     "q37_kmeans" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

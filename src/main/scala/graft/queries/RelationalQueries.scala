@@ -23,6 +23,55 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def defs: Map[String, Q] = Map(
+    // Weekly cohort retention triangle: users keyed by first-active week,
+    // activity counted per (cohort, week offset). Epoch-week integers —
+    // no timezone/week-start convention to disagree on. Two partial-agg
+    // shuffles on user_id, one on the tiny (cohort, offset) grid.
+    "q158_retention" -> ((s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("offset"))
+    }),
+
+    // Robust outlier report: per event_type lower-median and MAD computed
+    // from the DISTINCT-VALUE count table (the q118 discipline — windows
+    // walk distinct values, never raw rows), outliers = |v − med| beyond
+    // 4.4478·MAD (3σ-equivalent under normality). Pure integer ranks, no
+    // interpolation — replays exactly in any engine.
+    "q159_value_mad" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val counts = ev.groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      def lowerMedian(t: DataFrame, vCol: String, out: String): DataFrame = {
+        val w = Window.partitionBy(col("event_type")).orderBy(col(vCol))
+        t.withColumn("cum", sum(col("c")).over(w))
+          .join(broadcast(tot), Seq("event_type"))
+          .filter(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy(col("event_type")).agg(min(col(vCol)).as(out))
+      }
+      val med = lowerMedian(counts, "value", "med")
+      val dev = counts.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"), abs(col("value") - col("med")).as("adev"))
+        .agg(sum(col("c")).as("c"))
+      val mad = lowerMedian(dev, "adev", "mad")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"),
+          sum(when(col("adev") > col("mad") * 4.4478, col("c")).otherwise(0L)).as("n_outliers"))
+        .join(broadcast(med), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("n"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"), col("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     // §2.4 broadcast-dim join chain: fact table joins up a snowflake. At
     // 100 TB lineitem shuffles only for the final groupBy; all dims broadcast.
     "q2_join_dim" -> ((s, dir) => {
@@ -418,6 +467,43 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q158_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id
+        |)
+        |SELECT cohort, week - cohort AS "offset",
+        |       CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+        |FROM uw JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+
+    "q159_value_mad" ->
+      """WITH counts AS (
+        |  SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2
+        |), tot AS (SELECT event_type, sum(c) AS n FROM counts GROUP BY 1),
+        |med AS (
+        |  SELECT event_type, min(value) AS med FROM (
+        |    SELECT c.event_type, c.value,
+        |           sum(c.c) OVER (PARTITION BY c.event_type ORDER BY c.value) AS cum, t.n
+        |    FROM counts c JOIN tot t USING (event_type))
+        |  WHERE cum >= (n + 1) // 2 GROUP BY event_type
+        |), dev AS (
+        |  SELECT c.event_type, abs(c.value - m.med) AS adev, sum(c.c) AS c
+        |  FROM counts c JOIN med m USING (event_type) GROUP BY 1, 2
+        |), mad AS (
+        |  SELECT event_type, min(adev) AS mad FROM (
+        |    SELECT d.event_type, d.adev,
+        |           sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.adev) AS cum, t.n
+        |    FROM dev d JOIN tot t USING (event_type))
+        |  WHERE cum >= (n + 1) // 2 GROUP BY event_type
+        |)
+        |SELECT d.event_type, CAST(sum(d.c) AS BIGINT) AS n,
+        |       round(max(m.med), 6) AS med, round(max(x.mad), 6) AS mad,
+        |       CAST(sum(CASE WHEN d.adev > x.mad * 4.4478 THEN d.c ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN med m USING (event_type) JOIN mad x USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
     "q2_join_dim" ->
       """SELECT r_name, n_name,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

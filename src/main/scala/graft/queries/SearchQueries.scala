@@ -36,6 +36,21 @@ object SearchQueries {
       graft.search.MmrRerank.rerank(Tables.embeddings(s, dir),
         "vec_id", "embedding", probeId = 0L, candK = 20, k = 5, lambda = 0.7)),
 
+    // Per-dimension embedding health: mean/std/extremes and exact-zero
+    // counts per coordinate — the dead-dim / scale-drift monitor an
+    // embedding pipeline runs per batch. Posexplode → ONE partial-agg
+    // groupBy on the 64-value dim key.
+    "q157_dim_stats" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy((col("pos") + 1).cast("long").as("dim"))
+        .agg(round(avg(col("x")), 6).as("mean"),
+          round(stddev_pop(col("x")), 6).as("std"),
+          round(min(col("x")), 6).as("min_x"),
+          round(max(col("x")), 6).as("max_x"),
+          sum(when(col("x") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+        .orderBy(col("dim"))),
+
     // §2.4 dense top-k: codegen'd cosine + TakeOrderedAndProject.
     "q13_knn_cosine" -> ((s, dir) =>
       KnnSearch.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -322,6 +337,15 @@ object SearchQueries {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q157_dim_stats" ->
+      """SELECT i AS dim, round(avg(v[i]), 6) AS mean,
+        |       round(stddev_pop(v[i]), 6) AS std,
+        |       round(min(v[i]), 6) AS min_x, round(max(v[i]), 6) AS max_x,
+        |       CAST(count(CASE WHEN v[i] = 0 THEN 1 END) AS BIGINT) AS n_zero
+        |FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |GROUP BY i ORDER BY dim""".stripMargin,
+
     // the penalty weight is written (1 - 0.7), not 0.3: IEEE 1-0.7 and
     // the literal 0.3 are DIFFERENT doubles, and the Spark side computes
     // (1 - lambda)
