@@ -72,6 +72,57 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Hour-of-day seasonality profile per event_type: volume, share of
+    // the type's traffic, and peak flag — the baseline the q116 anomaly
+    // z-scores deviate from. One partial agg on the 24×types grid; the
+    // per-type max arrives by a broadcast join, not a window over rows.
+    "q160_seasonality" -> ((s, dir) => {
+      val hours = Tables.events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val perType = hours.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("tot"), max(col("n")).as("peak"))
+      hours.join(broadcast(perType), Seq("event_type"))
+        .select(col("event_type"), col("hr"), col("n"),
+          round(col("n") / col("tot"), 6).as("share"),
+          (col("n") === col("peak")).as("is_peak"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
+    // TPC-H Q5-shaped local-supplier volume: revenue where the customer
+    // and supplier sit in the SAME nation. Two independent dim paths onto
+    // the fact row (order→customer→nation vs suppkey→supplier); all dims
+    // broadcast, lineitem shuffles once for the rollup.
+    "q161_local_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .filter(c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Rolling engagement: daily active users + 7-day trailing mean DAU.
+    // Raw rows collapse to the ~30-row day grid FIRST; the rolling window
+    // walks only that grid.
+    "q162_rolling_dau" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+        .groupBy(col("day")).agg(count_distinct(col("user_id")).as("dau"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily.withColumn("avg7", round(avg(col("dau")).over(w), 4))
+        .orderBy(col("day"))
+    }),
+
     // §2.4 broadcast-dim join chain: fact table joins up a snowflake. At
     // 100 TB lineitem shuffles only for the final groupBy; all dims broadcast.
     "q2_join_dim" -> ((s, dir) => {
@@ -467,6 +518,37 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q160_seasonality" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), t AS (SELECT event_type, sum(n) AS tot, max(n) AS peak FROM h GROUP BY 1)
+        |SELECT h.event_type, hr, CAST(n AS BIGINT) AS n,
+        |       round(n / tot, 6) AS share, (n = peak) AS is_peak
+        |FROM h JOIN t USING (event_type)
+        |ORDER BY h.event_type, hr""".stripMargin,
+
+    "q161_local_supplier" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q162_rolling_dau" ->
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(DISTINCT user_id) AS dau
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT day, CAST(dau AS BIGINT) AS dau,
+        |       round(avg(dau) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7
+        |FROM d ORDER BY day""".stripMargin,
+
     "q158_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
