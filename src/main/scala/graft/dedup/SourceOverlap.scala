@@ -4,8 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Directed source-level n-gram containment matrix — "which sources copy
-  * from which": containment(a→b) = |grams(a) ∩ grams(b)| / |grams(a)|
-  * over distinct word n-grams per source. The crawl-forensics rollup
+  * from which": containment(a→b) = |sig(a) ∩ sig(b)| / |sig(a)|, where
+  * sig(x) is x's distinct word n-grams AFTER the hub-cap band (grams in
+  * more than `maxSources` sources are chrome, not provenance — both the
+  * numerator and the denominator deliberately live in that banded signal
+  * universe, so boilerplate-heavy sources aren't scored as "contained"
+  * by everyone sharing their chrome). The crawl-forensics rollup
   * (mirror detection, syndication mapping, license-laundering hunts) that
   * doc-pair dedup (q19/q21/q112) can't answer because it aggregates the
   * wrong way.

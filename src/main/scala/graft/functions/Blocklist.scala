@@ -27,13 +27,28 @@ object Blocklist {
   private def hits(toks: Column, terms: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(terms)))
 
+  /** Terms are matched against the LOWERCASED [a-z0-9]{2,} token stream —
+    * a list entry that can't survive that normalization ("BadWord", "x",
+    * "foo-bar") would silently never match, which for a safety filter is
+    * the worst failure mode. Lowercase on behalf of the caller; reject
+    * anything still outside the token alphabet.
+    */
+  private def normalize(terms: Seq[String], tier: String): Seq[String] = {
+    val lowered = terms.map(_.toLowerCase)
+    val bad = lowered.filterNot(_.matches("[a-z0-9]{2,}"))
+    require(bad.isEmpty,
+      s"$tier blocklist terms can never match a normalized token: ${bad.mkString(", ")}")
+    lowered
+  }
+
   /** Per-doc tier hit counts + admission decision. */
   def tag(docs: DataFrame, textCol: String,
           severe: Seq[String], mild: Seq[String], mildMax: Int): DataFrame = {
+    val (sev, mld) = (normalize(severe, "severe"), normalize(mild, "mild"))
     val toks = tokens(col(textCol))
     docs
-      .withColumn("severe_hits", hits(toks, severe).cast("long"))
-      .withColumn("mild_hits", hits(toks, mild).cast("long"))
+      .withColumn("severe_hits", hits(toks, sev).cast("long"))
+      .withColumn("mild_hits", hits(toks, mld).cast("long"))
       .withColumn("admitted", col("severe_hits") === 0 && col("mild_hits") <= mildMax)
   }
 

@@ -27,9 +27,13 @@ object PsiDrift {
     */
   def report(df: DataFrame, keyCol: String, metricCol: String,
              binWidth: Int, nBins: Int, cutPct: Int): DataFrame = {
-    val binned = df.select(
+    // clamp BOTH edges so signed metrics stay inside the fixed nBins
+    // support the smoothing denominator assumes; null metrics are dropped
+    // (they belong in a data-quality gate, not a distribution bin)
+    val binned = df.filter(col(metricCol).isNotNull).select(
       (Splits.hashBucket(col(keyCol), 100) < cutPct).as("in_a"),
-      least(floor(col(metricCol) / binWidth), lit(nBins - 1)).cast("long").as("bin"))
+      greatest(least(floor(col(metricCol) / binWidth), lit(nBins - 1)), lit(0))
+        .cast("long").as("bin"))
 
     val counts = binned.groupBy(col("bin"))
       .agg(

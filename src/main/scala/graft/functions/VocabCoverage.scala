@@ -36,7 +36,10 @@ object VocabCoverage {
       when(Splits.hashBucket(col(keyCol), 100) < trainPct, "train")
         .otherwise("val").as("split"),
       explode(tokens(col(textCol))).as("w"))
+    // the tokenize+count pipeline feeds three consumers (vocab filter,
+    // membership tag, rollup) — checkpoint so the corpus scans once
     val counts = toks.groupBy(col("split"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
 
     val vocab = counts.filter(col("split") === "train" && col("c") >= minCount)
       .select("w")
@@ -44,7 +47,8 @@ object VocabCoverage {
         Seq("w"), "left")
       .withColumn("in_vocab", coalesce(col("in_vocab"), lit(false)))
 
-    val vocabSize = vocab.count()
+    // 1-row broadcast instead of a separate driver count() action
+    val vs = vocab.agg(count(lit(1)).as("vocab_size"))
     tagged.groupBy(col("split"))
       .agg(
         sum(col("c")).as("n_tokens"),
@@ -53,6 +57,6 @@ object VocabCoverage {
           .as("oov_token_rate"),
         round(sum(when(!col("in_vocab"), 1L).otherwise(0L)) / count(lit(1)), 6)
           .as("oov_type_rate"))
-      .withColumn("vocab_size", lit(vocabSize))
+      .crossJoin(broadcast(vs))
   }
 }

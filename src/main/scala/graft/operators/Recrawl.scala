@@ -25,9 +25,12 @@ object Recrawl {
     */
   def schedule(events: DataFrame, entityCol: String, keyCol: String,
                tsCol: String): DataFrame = {
+    // NTZ-safe like the TemporalJoins entry points: unix_micros rejects
+    // TIMESTAMP_NTZ at analysis time
+    val ts = graft.core.Tables.requireTimestamp(events, tsCol)
     val secs = (unix_micros(col(tsCol)) / 1000000L).cast("long")
     val w = Window.partitionBy(col(entityCol), col(keyCol)).orderBy(col("s"))
-    val gaps = events.select(col(entityCol), col(keyCol), secs.as("s"))
+    val gaps = ts.select(col(entityCol), col(keyCol), secs.as("s"))
       .withColumn("prev", lag(col("s"), 1).over(w))
       .withColumn("gap", col("s") - col("prev"))
 

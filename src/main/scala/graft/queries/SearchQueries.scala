@@ -422,8 +422,9 @@ object SearchQueries {
         |),
         |ft AS (SELECT probe_id, vec_id FROM topk WHERE d = 64),
         |ov AS (
-        |  SELECT t.probe_id, t.d, count(*) AS ov
-        |  FROM topk t JOIN ft ON t.probe_id = ft.probe_id AND t.vec_id = ft.vec_id
+        |  SELECT t.probe_id, t.d,
+        |         sum(CASE WHEN ft.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS ov
+        |  FROM topk t LEFT JOIN ft ON t.probe_id = ft.probe_id AND t.vec_id = ft.vec_id
         |  WHERE t.d <> 64
         |  GROUP BY 1, 2
         |),

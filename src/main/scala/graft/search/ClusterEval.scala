@@ -39,9 +39,12 @@ object ClusterEval {
       .agg(sum(-(col("nl") / col("n")) * log(col("nl") / col("n"))).as("h_l"))
     val hCL = cont.crossJoin(broadcast(tot))
       .agg(sum(-(col("n_cl") / col("n")) * log(col("n_cl") / col("n"))).as("h_cl"))
+    // degenerate partitions (one cluster, or one label) have H = 0 and
+    // zero mutual information — report the conventional 0, not NULL 0/0
     val nmi = hC.crossJoin(hL).crossJoin(hCL)
-      .select(((col("h_c") + col("h_l") - col("h_cl"))
-        / sqrt(col("h_c") * col("h_l"))).as("nmi"))
+      .select(when(col("h_c") * col("h_l") === 0.0, 0.0)
+        .otherwise((col("h_c") + col("h_l") - col("h_cl"))
+          / sqrt(col("h_c") * col("h_l"))).as("nmi"))
 
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("n_cl").desc, col("label"))

@@ -64,18 +64,24 @@ object Matryoshka {
     val topk = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("probe_id", "dim", "vec_id")
 
-    // ≤ |probes|·k rows — broadcast so the overlap check never sort-merges
+    // ≤ |probes|·k rows — broadcast so the overlap check never sort-merges.
+    // Count overlaps per top-k MEMBER row and sum per (probe, tier) so a
+    // probe with ZERO overlap still yields a row (ov = 0) — a semi-join +
+    // count would silently drop it and inflate the average; a tier where
+    // every probe misses must report 0, not "no data".
     val fullTop = topk.filter(col("dim") === full)
-      .select(col("probe_id"), col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
     val overlap = topk.filter(col("dim") =!= full)
-      .join(broadcast(fullTop), Seq("probe_id", "vec_id"), "left_semi")
+      .join(broadcast(fullTop), Seq("probe_id", "vec_id"), "left")
       .groupBy(col("probe_id"), col("dim"))
-      .agg(count(lit(1)).as("ov"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("ov"))
     val perTier = overlap
       .groupBy(col("dim"))
       .agg(round(avg(col("ov")), 6).as("avg_overlap"),
         min(col("ov")).as("min_overlap"))
 
+    // the left-join coalesce fills ONLY the full tier (excluded above by
+    // construction), which trivially overlaps itself at k
     energy.join(broadcast(perTier), Seq("dim"), "left")
       .select(col("dim").cast("long").as("dim"), col("avg_energy"),
         coalesce(col("avg_overlap"), lit(k.toDouble)).as("avg_overlap"),

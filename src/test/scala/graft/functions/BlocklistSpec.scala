@@ -31,6 +31,18 @@ class BlocklistSpec extends SparkSpec {
     assert(admitted(1L) && admitted(2L) && !admitted(3L))
   }
 
+  test("terms are lowercased for matching; un-normalizable terms are rejected loudly") {
+    val docs = Seq((1L, "s1", "this is bad text")).toDF("doc_id", "source", "text")
+    // uppercase list entry still matches the lowercased token stream
+    val row = Blocklist.tag(docs, "text", Seq("BAD"), Nil, 2).collect().head
+    assert(row.getLong(row.fieldIndex("severe_hits")) == 1L)
+    // a term that can never survive tokenization must throw, not silently admit
+    val err = intercept[IllegalArgumentException] {
+      Blocklist.tag(docs, "text", Seq("foo-bar"), Nil, 2)
+    }
+    assert(err.getMessage.contains("foo-bar"))
+  }
+
   test("repeated occurrences count individually, and the report rolls up per source") {
     val docs = Seq(
       (1L, "a", "bad bad bad"),

@@ -30,10 +30,13 @@ class PsiDriftSpec extends SparkSpec {
     assert(math.abs(sumTerms - total) < 1e-4)
   }
 
-  test("metric values beyond the last bin edge clamp into the final bin") {
-    val df = Seq((1L, 10000), (2L, 3), (3L, 9999)).toDF("k", "m")
+  test("metric values beyond either bin edge clamp into the support; nulls drop") {
+    val df = Seq((1L, Some(10000)), (2L, Some(3)), (3L, Some(9999)),
+      (4L, Some(-250)), (5L, None)).toDF("k", "m")
     val rows = PsiDrift.report(df, "k", "m", binWidth = 10, nBins = 5, cutPct = 50).collect()
-    assert(rows.map(_.getLong(0)).forall(b => b >= 0 && b <= 4))
+    assert(rows.map(_.getLong(0)).forall(b => b >= 0 && b <= 4),
+      "negative metrics must clamp to bin 0, not escape the support")
     assert(rows.map(_.getLong(0)).contains(4L))
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == 4L, "the null row is dropped")
   }
 }

@@ -38,6 +38,15 @@ class ClusterEvalSpec extends SparkSpec {
     assert(rows(2L) === ((2L, "y", 1L, 0.5)))
   }
 
+  test("degenerate partitions report NMI 0, not NULL 0/0") {
+    val oneCluster = Seq((1L, "a"), (1L, "b"), (1L, "a")).toDF("cluster", "label")
+    val r1 = ClusterEval.purityReport(oneCluster, "cluster", "label").collect().head
+    assert(!r1.isNullAt(5) && r1.getDouble(5) == 0.0)
+    val oneLabel = Seq((1L, "a"), (2L, "a")).toDF("cluster", "label")
+    val r2 = ClusterEval.purityReport(oneLabel, "cluster", "label").collect().head
+    assert(!r2.isNullAt(5) && r2.getDouble(5) == 0.0)
+  }
+
   test("a split class costs NMI but not purity") {
     // clusters are pure (purity 1) but class 'a' is split across two
     // clusters → NMI strictly between 0 and 1

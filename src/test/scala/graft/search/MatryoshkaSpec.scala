@@ -44,6 +44,21 @@ class MatryoshkaSpec extends SparkSpec {
     assert(rows(4L)._2 == 2.0)
   }
 
+  test("a tier with ZERO overlap reports 0, not k (zero-overlap rows must not drop out)") {
+    // probe 0: at d=2 the two a-vectors win (prefix-heavy); at full dim
+    // the two b-vectors win (tail-heavy) → top-1 sets are disjoint
+    val flip = Seq(
+      (0L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 30.0f)),  // best prefix, terrible full
+      (2L, Seq(0.2f, 0.9f, 1.0f, 0.0f)),   // terrible prefix, best full
+      (3L, Seq(0.1f, 1.0f, 0.1f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Matryoshka.fidelity(flip, "vec_id", "embedding",
+      probeIds = Seq(0L), dims = Seq(2, 4), k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(rows(2L) === ((0.0, 0L)), "disjoint top-1 sets must report overlap 0")
+  }
+
   test("the probe itself is excluded from its own neighbor list") {
     // k=5 but only 4 NON-probe vectors exist: if the probe leaked into
     // its own candidate set the overlap would be 5, excluded it is 4
