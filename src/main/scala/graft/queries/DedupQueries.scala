@@ -30,6 +30,37 @@ object DedupQueries {
       graft.dedup.SourceOverlap.containment(Tables.documents(s, dir),
         "source", "text", n = 5, maxSources = 10, limit = 25)),
 
+    // Dedup survivorship matrix — the capstone Venn over three dedup
+    // families: exact content hash, MinHash-LSH candidacy (q19's bands),
+    // embedding near-dup (q22's pairs). Answers "which docs would each
+    // stage cut, and how much do the stages overlap" — the number that
+    // decides whether running the expensive stage after the cheap one is
+    // worth it. Flag sets are id-keyed semi/left joins; the contingency
+    // is one partial agg over 8 combinations.
+    "q163_dedup_survivorship" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dg = docs.select(col("doc_id"), md5(col("text")).as("dg"))
+      val exactIds = dg.join(
+        dg.groupBy(col("dg")).agg(count(lit(1)).as("nd")).filter(col("nd") > 1)
+          .select("dg"),
+        Seq("dg"), "left_semi").select("doc_id")
+      val lshIds = MinHashLsh.candidatePairs(docs, "doc_id", "text")
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      val embIds = EmbeddingDedup.pairsBrute(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      docs.select(col("doc_id"))
+        .join(broadcast(exactIds.withColumn("in_exact", lit(true))), Seq("doc_id"), "left")
+        .join(broadcast(lshIds.withColumn("in_lsh", lit(true))), Seq("doc_id"), "left")
+        .join(broadcast(embIds.withColumn("in_emb", lit(true))), Seq("doc_id"), "left")
+        .select(coalesce(col("in_exact"), lit(false)).as("in_exact"),
+          coalesce(col("in_lsh"), lit(false)).as("in_lsh"),
+          coalesce(col("in_emb"), lit(false)).as("in_emb"))
+        .groupBy(col("in_exact"), col("in_lsh"), col("in_emb"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("in_exact"), col("in_lsh"), col("in_emb"))
+    }),
+
     // Per-source boilerplate strip (CCNet/RefinedWeb template-chrome
     // rule): 10-word blocks repeating across ≥3 DISTINCT docs of the same
     // source are dropped in ALL occurrences — the complement of q50's
@@ -172,6 +203,31 @@ object DedupQueries {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q163_dedup_survivorship" ->
+      s"""WITH $minhashCtes,
+         |lpairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |), lids AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM lpairs UNION ALL SELECT doc_b FROM lpairs)
+         |), $embedPairCtes,
+         |eids AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT id_a AS doc_id FROM epairs UNION ALL SELECT id_b FROM epairs)
+         |), ex AS (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) > 1 AS in_exact
+         |  FROM documents
+         |), f AS (
+         |  SELECT ex.in_exact,
+         |         ex.doc_id IN (SELECT doc_id FROM lids) AS in_lsh,
+         |         ex.doc_id IN (SELECT doc_id FROM eids) AS in_emb
+         |  FROM ex
+         |)
+         |SELECT in_exact, in_lsh, in_emb, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "q153_source_overlap" ->
       """WITH toks AS (
         |  SELECT source AS src,
