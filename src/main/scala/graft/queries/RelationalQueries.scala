@@ -22,6 +22,27 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-session ordered-step times (t_view → t_click → t_purchase) —
+    * the funnel table shared by q146 (counts) and q164 (latency).
+    */
+  private def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.assignSessions(
+      Tables.events(s, dir), "user_id", "ts", "event_id", 1800L)
+    val key = Seq("user_id", "session_id")
+    val s1 = sess.groupBy(key.map(col): _*)
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+    val s2 = sess.join(s1, key)
+      .groupBy(key.map(col): _*)
+      .agg(min(when(col("event_type") === "click"
+        && col("ts") >= col("t_view"), col("ts"))).as("t_click"),
+        first(col("t_view")).as("t_view"))
+    sess.join(s2, key)
+      .groupBy(key.map(col): _*)
+      .agg(min(when(col("event_type") === "purchase"
+        && col("ts") >= col("t_click"), col("ts"))).as("t_purchase"),
+        first(col("t_view")).as("t_view"), first(col("t_click")).as("t_click"))
+  }
+
   def defs: Map[String, Q] = Map(
     // Weekly cohort retention triangle: users keyed by first-active week,
     // activity counted per (cohort, week offset). Epoch-week integers —
@@ -217,27 +238,38 @@ object RelationalQueries {
     // (user, session) — three partial-agg passes chained by equi-joins on
     // the session key, no window over raw events beyond the q9
     // sessionizer itself; per-decade user cohorts roll up bounded rows.
-    "q146_session_funnel" -> ((s, dir) => {
-      val sess = Sessionize.assignSessions(
-        Tables.events(s, dir), "user_id", "ts", "event_id", 1800L)
-      val key = Seq("user_id", "session_id")
-      val s1 = sess.groupBy(key.map(col): _*)
-        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
-      val s2 = sess.join(s1, key)
-        .groupBy(key.map(col): _*)
-        .agg(min(when(col("event_type") === "click"
-          && col("ts") >= col("t_view"), col("ts"))).as("t_click"),
-          first(col("t_view")).as("t_view"))
-      val s3 = sess.join(s2, key)
-        .groupBy(key.map(col): _*)
-        .agg(min(when(col("event_type") === "purchase"
-          && col("ts") >= col("t_click"), col("ts"))).as("t_purchase"),
-          first(col("t_view")).as("t_view"), first(col("t_click")).as("t_click"))
-      s3.groupBy((col("user_id") % 10).as("cohort"))
+    "q146_session_funnel" -> ((s, dir) =>
+      funnelSteps(s, dir).groupBy((col("user_id") % 10).as("cohort"))
         .agg(count(lit(1)).as("n_sessions"),
           count(col("t_view")).as("n_view"),
           count(col("t_click")).as("n_click"),
           count(col("t_purchase")).as("n_purchase"))
+        .orderBy(col("cohort"))),
+
+    // Funnel conversion latency: per cohort, lower-median and lower-p90
+    // view→click lag over sessions that converted that step — rank walks
+    // over the distinct-lag count table (the q159 discipline), never raw
+    // sessions. (view→purchase never completes in this corpus — q146
+    // shows n_purchase = 0 — so the first funnel edge is the gate.)
+    "q164_funnel_latency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val conv = funnelSteps(s, dir)
+        .filter(col("t_click").isNotNull)
+        .select((col("user_id") % 10).as("cohort"),
+          ((unix_micros(col("t_click")) - unix_micros(col("t_view"))) / 1000000L)
+            .cast("long").as("lag_s"))
+      val counts = conv.groupBy(col("cohort"), col("lag_s")).agg(count(lit(1)).as("c"))
+      val tot = counts.groupBy(col("cohort")).agg(sum(col("c")).as("n"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("lag_s"))
+      val cum = counts.withColumn("cum", sum(col("c")).over(w))
+        .join(broadcast(tot), Seq("cohort"))
+      val med = cum.filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy(col("cohort")).agg(min(col("lag_s")).as("med_lag_s"))
+      val p90 = cum.filter(col("cum") * 10 >= col("n") * 9)
+        .groupBy(col("cohort")).agg(min(col("lag_s")).as("p90_lag_s"))
+      tot.join(med, Seq("cohort")).join(p90, Seq("cohort"))
+        .select(col("cohort"), col("n").as("n_conversions"),
+          col("med_lag_s"), col("p90_lag_s"))
         .orderBy(col("cohort"))
     }),
 
@@ -517,6 +549,39 @@ object RelationalQueries {
     })
   )
 
+  /** The q9 sessionizer + ordered-step CTE chain shared by the q146 and
+    * q164 oracles (mirrors [[funnelSteps]]).
+    */
+  private val funnelCtes: String =
+    """flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, event_type,
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS session_id
+      |  FROM flagged
+      |), s1 AS (
+      |  SELECT user_id, session_id,
+      |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      |  FROM sess GROUP BY user_id, session_id
+      |), s2 AS (
+      |  SELECT sess.user_id, sess.session_id,
+      |         min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END) AS t_click,
+      |         any_value(t_view) AS t_view
+      |  FROM sess JOIN s1 USING (user_id, session_id)
+      |  GROUP BY sess.user_id, sess.session_id
+      |), s3 AS (
+      |  SELECT sess.user_id, sess.session_id,
+      |         min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END) AS t_purchase,
+      |         any_value(t_view) AS t_view, any_value(t_click) AS t_click
+      |  FROM sess JOIN s2 USING (user_id, session_id)
+      |  GROUP BY sess.user_id, sess.session_id
+      |)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q160_seasonality" ->
       """WITH h AS (
@@ -670,40 +735,33 @@ object RelationalQueries {
 
     // same q9 session replay, then the three chained conditional-min steps
     "q146_session_funnel" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
-        |              THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), sess AS (
-        |  SELECT user_id, ts, event_type,
-        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS session_id
-        |  FROM flagged
-        |), s1 AS (
-        |  SELECT user_id, session_id,
-        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
-        |  FROM sess GROUP BY user_id, session_id
-        |), s2 AS (
-        |  SELECT sess.user_id, sess.session_id,
-        |         min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END) AS t_click,
-        |         any_value(t_view) AS t_view
-        |  FROM sess JOIN s1 USING (user_id, session_id)
-        |  GROUP BY sess.user_id, sess.session_id
-        |), s3 AS (
-        |  SELECT sess.user_id, sess.session_id,
-        |         min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END) AS t_purchase,
-        |         any_value(t_view) AS t_view, any_value(t_click) AS t_click
-        |  FROM sess JOIN s2 USING (user_id, session_id)
-        |  GROUP BY sess.user_id, sess.session_id
-        |)
-        |SELECT user_id % 10 AS cohort,
-        |       CAST(count(*) AS BIGINT) AS n_sessions,
-        |       CAST(count(t_view) AS BIGINT) AS n_view,
-        |       CAST(count(t_click) AS BIGINT) AS n_click,
-        |       CAST(count(t_purchase) AS BIGINT) AS n_purchase
-        |FROM s3 GROUP BY cohort ORDER BY cohort""".stripMargin,
+      s"""WITH $funnelCtes
+         |SELECT user_id % 10 AS cohort,
+         |       CAST(count(*) AS BIGINT) AS n_sessions,
+         |       CAST(count(t_view) AS BIGINT) AS n_view,
+         |       CAST(count(t_click) AS BIGINT) AS n_click,
+         |       CAST(count(t_purchase) AS BIGINT) AS n_purchase
+         |FROM s3 GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q164_funnel_latency" ->
+      s"""WITH $funnelCtes,
+         |conv AS (
+         |  SELECT user_id % 10 AS cohort,
+         |         CAST((epoch_us(t_click) - epoch_us(t_view)) // 1000000 AS BIGINT) AS lag_s
+         |  FROM s3 WHERE t_click IS NOT NULL
+         |), counts AS (SELECT cohort, lag_s, count(*) AS c FROM conv GROUP BY 1, 2),
+         |tot AS (SELECT cohort, sum(c) AS n FROM counts GROUP BY 1),
+         |cum AS (
+         |  SELECT c.cohort, c.lag_s,
+         |         sum(c.c) OVER (PARTITION BY c.cohort ORDER BY c.lag_s) AS cum, t.n
+         |  FROM counts c JOIN tot t USING (cohort)
+         |), med AS (SELECT cohort, min(lag_s) AS med_lag_s FROM cum
+         |           WHERE cum >= (n + 1) // 2 GROUP BY 1),
+         |p90 AS (SELECT cohort, min(lag_s) AS p90_lag_s FROM cum
+         |        WHERE cum * 10 >= n * 9 GROUP BY 1)
+         |SELECT t.cohort, CAST(n AS BIGINT) AS n_conversions, med_lag_s, p90_lag_s
+         |FROM tot t JOIN med USING (cohort) JOIN p90 USING (cohort)
+         |ORDER BY t.cohort""".stripMargin,
 
     "q10_diff" ->
       """WITH old_snap AS (
