@@ -277,11 +277,11 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
     val chunk = graft.core.Model.Chunk(chunkId, "metadata", name, entityType, "",
       0, 0, content, s"$name $name $content", graft.core.Ids.sha256Hex(content),
       "", "", hasImplementation = false)
-    val df = embedder.embed(Seq(chunk).toDS.toDF, "content")
+    val df = embedder.embed(Seq(chunk).toDS().toDF(), "content")
       .withColumn("pointId", expr("cast(conv(substring(sha2(chunkId, 256), 1, 15), 16, 10) as bigint)"))
     val existing = chunks
     val all = existing.filter(col("chunkId") =!= chunkId)
-      .unionByName(df.select(existing.columns.map(col): _*))
+      .unionByName(df.select(existing.columns.toIndexedSeq.map(col): _*))
     IndexStore.writeChunks(all, storeDir)
   }
 

@@ -24,7 +24,7 @@ object Salting {
     // physical row position; aggregation results are salt-invariant, so
     // this nondeterminism never reaches the output
     df.withColumn(saltCol, pmod(
-      xxhash64(struct(df.columns.map(col): _*), spark_partition_id(), monotonically_increasing_id()),
+      xxhash64(struct(df.columns.toIndexedSeq.map(col): _*), spark_partition_id(), monotonically_increasing_id()),
       lit(saltFactor)))
 
   /** Salted count per key: (key, salt) partial counts → final sum. */
@@ -56,7 +56,7 @@ object Salting {
   def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
                  saltFactor: Int): DataFrame = {
     val sb = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor.toLong)))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(saltFactor.toLong)))
     val ss = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
     sb.join(ss, keyCols :+ "_salt").drop("_salt")

@@ -122,7 +122,7 @@ object IndexPipeline {
     // until the file is touched again. All set logic is joins; no path
     // list round-trips through the driver, so a mass-touch (branch
     // switch) stays distributed.
-    val prev = (if (incremental) prevState.get else spark.emptyDataset[FileState].toDF)
+    val prev = (if (incremental) prevState.get else spark.emptyDataset[FileState].toDF())
       .select(col("relPath"), col("hash").as("prevHash"),
         col("size").as("prevSize"), col("mtime").as("prevMtime"))
     val joined = curMeta.join(prev, Seq("relPath"), "full_outer")
@@ -167,7 +167,7 @@ object IndexPipeline {
     val res = applyChanges(spark, storeDir, results, replaced, incremental, embedder)
 
     val newState = unchangedState.unionByName(
-      hashed.map(h => FileState(h.row.relPath, h.hash, h.row.size, h.row.mtime)).toDF)
+      hashed.map(h => FileState(h.row.relPath, h.hash, h.row.size, h.row.mtime)).toDF())
     IndexStore.writeState(newState, storeDir)
     hashed.unpersist(); results.unpersist()
     res.copy(mode = if (incremental) "incremental" else "full",
@@ -268,9 +268,9 @@ object IndexPipeline {
     // write would otherwise each re-embed every new chunk (4x the work; with
     // a remote embedder, 4x the HTTP spend)
     val finalNew = embedded.withColumn("_fromEmbedder", lit(true))
-      .unionByName(reused.select(embedded.columns.map(col): _*).withColumn("_fromEmbedder", lit(false)))
+      .unionByName(reused.select(embedded.columns.toIndexedSeq.map(col): _*).withColumn("_fromEmbedder", lit(false)))
       .persist()
-    val all = carriedClean.select(embedded.columns.map(col): _*)
+    val all = carriedClean.select(embedded.columns.toIndexedSeq.map(col): _*)
       .unionByName(finalNew.drop("_fromEmbedder"))
       .dropDuplicates("chunkId")
       .persist()

@@ -370,14 +370,14 @@ object Multimodal {
             }
             r.copy(mediaId = r.mediaId * 1000 + j, kind = "image",
               bytes = encodePng(img),
-              meta = r.meta + ("frame" -> j.toString, "frameIdx" -> fi.toString,
+              meta = r.meta ++ Seq("frame" -> j.toString, "frameIdx" -> fi.toString,
                 "parent" -> r.mediaId.toString, "src" -> "y4m"))
           }
         case None =>
           (0 until n).map(i => r.copy(
             mediaId = r.mediaId * 1000 + i,
             kind = "image",
-            meta = r.meta + ("frame" -> i.toString, "parent" -> r.mediaId.toString)))
+            meta = r.meta ++ Seq("frame" -> i.toString, "parent" -> r.mediaId.toString)))
       }
     }
   }

@@ -64,7 +64,7 @@ object WatchPipeline {
                    embedder: Embedder = DeterministicEmbedder(),
                    config: graft.core.GraftConfig = graft.core.GraftConfig()): IndexPipeline.IndexingResult = {
     import spark.implicits._
-    val latest = coalesce(batch.toDF).as[FileEvent]
+    val latest = coalesce(batch.toDF()).as[FileEvent]
       .filter(e => inScanSurface(e, config)).cache()
     val upserts = latest.filter(e => e.eventType == "created" || e.eventType == "modified")
     val parsed: Dataset[ParserResult] = upserts.map(e => ParserRegistry.parse(e.relPath, e.content))
@@ -82,8 +82,8 @@ object WatchPipeline {
     val newStates = upserts.map(e => FileState(e.relPath, graft.core.Ids.sha256Hex(e.content),
       e.content.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong, e.ts))
     val prev = IndexStore.readState(spark, storeDir)
-      .getOrElse(spark.emptyDataset[FileState].toDF)
-    val state = prev.join(replaced, Seq("relPath"), "left_anti").unionByName(newStates.toDF)
+      .getOrElse(spark.emptyDataset[FileState].toDF())
+    val state = prev.join(replaced, Seq("relPath"), "left_anti").unionByName(newStates.toDF())
     IndexStore.writeState(state, storeDir)
     latest.unpersist()
     res
