@@ -7,7 +7,8 @@ import graft.index.{DeterministicEmbedder, Embedder, IndexPipeline, IndexStore}
 import graft.search.{Bm25, Hybrid}
 
 /** The user-facing engine API, mirroring the reference's verbs (SURVEY.md
-  * §7.1): index, searchSimilar (semantic | keyword | hybrid), readGraph,
+  * §7.1): index, searchSimilar (semantic | keyword | hybrid |
+  * diversified), readGraph,
   * getImplementation, entitiesForFile, clearCollection.
   *
   * Query shape at scale: every search first prunes to the `metadata`
@@ -68,6 +69,20 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
         Hybrid.rrf(d, s, "chunkId", limit)
           .join(base.drop("dense"), "chunkId")
           .orderBy(col("rrf_score").desc, col("chunkId").asc)
+      case "diversified" =>
+        // MMR over the 3×limit dense candidate page (the reference serves
+        // redundant near-dup chunks back-to-back; this is the fix). The
+        // page is bounded by construction — the corpus-wide work is the
+        // same TakeOrdered as "semantic".
+        val page = dense(Hybrid.fetchSize(limit))
+          .select(col("chunkId"), col("dense"), col("score"))
+          .collect()
+          .map(r => (r.getString(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        val picks = graft.search.MmrRerank.greedy(page.toSeq, limit, 0.7)
+        import spark.implicits._
+        val pickDf = picks.toDF("pick", "chunkId", "mmr_score")
+        pickDf.join(base.drop("dense"), "chunkId")
+          .orderBy(col("pick").asc)
       case other => throw new IllegalArgumentException(s"unknown search mode: $other")
     }
   }

@@ -34,6 +34,31 @@ object MmrRerank {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** Greedy MMR over an already-collected candidate page
+    * `(id, vector, relevance)` — the bounded driver-side core shared by
+    * [[rerank]] and the engine's diversified search mode. Returns
+    * `(pick, id, score)` in pick order.
+    */
+  def greedy[I: Ordering](cands: Seq[(I, Array[Double], Double)], k: Int,
+             lambda: Double): Seq[(Int, I, Double)] = {
+    val sim: Map[(I, I), Double] = (for {
+      a <- cands; b <- cands if a._1 != b._1
+    } yield (a._1, b._1) -> round6(cosine(a._2, b._2))).toMap
+    var selected = Vector.empty[(Int, I, Double)]
+    var remaining = cands.map(c => c._1 -> c._3).toMap
+    for (step <- 1 to math.min(k, cands.length)) {
+      val pick = remaining.toSeq.map { case (id, rel) =>
+        val penalty =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => sim((id, s._2))).max
+        (id, lambda * rel - (1 - lambda) * penalty)
+      }.minBy { case (id, score) => (-score, id) }
+      selected :+= ((step, pick._1, round6(pick._2)))
+      remaining -= pick._1
+    }
+    selected
+  }
+
   /** `(pick, vec_id, mmr_score)` — the k-item diversified page. */
   def rerank(embeddings: DataFrame, idCol: String, vecCol: String,
              probeId: Long, candK: Int, k: Int, lambda: Double): DataFrame = {
@@ -52,24 +77,7 @@ object MmrRerank {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
 
-    val sim: Map[(Long, Long), Double] = (for {
-      a <- cands; b <- cands if a._1 != b._1
-    } yield (a._1, b._1) -> round6(cosine(a._2, b._2))).toMap
-
-    var selected = Vector.empty[(Int, Long, Double)]
-    var remaining = cands.map(c => c._1 -> c._3).toMap
-    for (step <- 1 to math.min(k, cands.length)) {
-      val pick = remaining.toSeq.map { case (id, rel) =>
-        val penalty =
-          if (selected.isEmpty) 0.0
-          else selected.map(s => sim((id, s._2))).max
-        (id, lambda * rel - (1 - lambda) * penalty)
-      }.minBy { case (id, score) => (-score, id) }
-      selected :+= ((step, pick._1, round6(pick._2)))
-      remaining -= pick._1
-    }
-
     import spark.implicits._
-    selected.toDF("pick", "vec_id", "mmr_score")
+    greedy(cands.toSeq, k, lambda).toDF("pick", "vec_id", "mmr_score")
   }
 }

@@ -117,6 +117,23 @@ class EngineSpec extends SparkSpec {
     assert(onlyClasses.subsetOf(Set("class")))
   }
 
+  test("diversified search: same corpus-work as semantic, redundancy-penalized page") {
+    val div = engine.searchSimilar("add two numbers", "diversified", limit = 5).collect()
+    assert(div.length == 5)
+    // first pick is pure relevance = the semantic top hit
+    val sem = engine.searchSimilar("add two numbers", "semantic", limit = 1).collect()
+    val firstPick = div.minBy(_.getAs[Int]("pick"))
+    assert(firstPick.getAs[String]("chunkId") == sem.head.getAs[String]("chunkId"))
+    // picks are distinct and carry monotonically non-increasing mmr scores
+    assert(div.map(_.getAs[String]("chunkId")).distinct.length == 5)
+    val scores = div.sortBy(_.getAs[Int]("pick")).map(_.getAs[Double]("mmr_score")).toSeq
+    assert(scores == scores.sorted.reverse)
+    val bad = intercept[IllegalArgumentException] {
+      engine.searchSimilar("x", "nope")
+    }
+    assert(bad.getMessage.contains("nope"))
+  }
+
   test("getImplementation returns the source slice; scopes widen") {
     val impl = engine.getImplementation("add").collect()
     assert(impl.length == 1)
