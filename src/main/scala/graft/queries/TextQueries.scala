@@ -21,6 +21,51 @@ object TextQueries {
   val BlockMild: Seq[String] = Seq("merge", "hash", "batch")
 
   def defs: Map[String, Q] = Map(
+    // Vocabulary concentration curve: share of total token mass covered
+    // by the top-N tokens, N ∈ {1, 5, 10, 20} — the tokenizer-design
+    // companion to q78's Zipf slope. Ranking runs over the VOCAB count
+    // table (30 rows here, bounded by distinct tokens at any scale),
+    // never raw occurrences.
+    "q165_coverage_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").desc, col("w"))
+      val ranked = counts.withColumn("rk", row_number().over(w))
+      val tot = counts.agg(sum(col("c")).as("tot"))
+      ranked.crossJoin(broadcast(tot))
+        .select(explode(array(Seq(1, 5, 10, 20).map(lit): _*)).as("top_n"),
+          col("rk"), col("c"), col("tot"))
+        .filter(col("rk") <= col("top_n"))
+        .groupBy(col("top_n").cast("long").as("top_n"))
+        .agg(round(sum(col("c")) / max(col("tot")), 6).as("mass_share"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("top_n"))
+    }),
+
+    // Corpus composition: per-source language mix — dominant language,
+    // its share, and the lang-distribution entropy (a mixed-language
+    // source is a curation smell). One partial agg to the source×lang
+    // grid; everything else runs on that grid.
+    "q166_lang_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grid = Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("lang"))
+      grid.withColumn("rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"),
+          max(when(col("rn") === 1, col("lang"))).as("top_lang"),
+          max(when(col("rn") === 1, col("c"))).as("n_top"),
+          round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 6)
+            .as("lang_entropy"))
+        .withColumn("top_share", round(col("n_top") / col("n_docs"), 6))
+        .select(col("source"), col("n_docs"), col("top_lang"),
+          col("top_share"), col("lang_entropy"))
+        .orderBy(col("source"))
+    }),
+
     // Train-vocab OOV coverage audit: frequency-thresholded vocab fitted
     // on the 80% hash split, token- and type-level OOV rates per split.
     // Token-keyed joins; the thresholded vocab broadcasts.
@@ -573,6 +618,35 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q165_coverage_curve" ->
+      """WITH counts AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 1)) AS w FROM documents)
+        |  GROUP BY w
+        |), ranked AS (
+        |  SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM counts
+        |), tot AS (SELECT sum(c) AS tot FROM counts)
+        |SELECT top_n, round(sum(c) / max(tot), 6) AS mass_share,
+        |       CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM ranked, tot, (SELECT unnest([1, 5, 10, 20]) AS top_n)
+        |WHERE rk <= top_n
+        |GROUP BY top_n ORDER BY top_n""".stripMargin,
+
+    "q166_lang_mix" ->
+      """WITH grid AS (
+        |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, lang, c,
+        |         row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+        |  FROM grid
+        |)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |       max(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+        |       round(max(CASE WHEN rn = 1 THEN c END) / sum(c), 6) AS top_share,
+        |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS lang_entropy
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     "q154_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT CASE WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80
