@@ -74,8 +74,11 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
         // redundant near-dup chunks back-to-back; this is the fix). The
         // page is bounded by construction — the corpus-wide work is the
         // same TakeOrdered as "semantic".
+        // rel rounded to 6dp BEFORE the greedy arithmetic (the MmrRerank
+        // determinism discipline) — last-ulp float noise must not beat
+        // the chunkId tiebreak
         val page = dense(Hybrid.fetchSize(limit))
-          .select(col("chunkId"), col("dense"), col("score"))
+          .select(col("chunkId"), col("dense"), round(col("score"), 6).as("score"))
           .collect()
           .map(r => (r.getString(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
         val picks = graft.search.MmrRerank.greedy(page.toSeq, limit, 0.7)

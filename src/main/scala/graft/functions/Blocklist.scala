@@ -34,7 +34,9 @@ object Blocklist {
     * anything still outside the token alphabet.
     */
   private def normalize(terms: Seq[String], tier: String): Seq[String] = {
-    val lowered = terms.map(_.toLowerCase)
+    // Locale.ROOT: Spark's lower() is locale-independent; a tr-TR default
+    // locale would dotless-i "BIG" into a term that can never match
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT))
     val bad = lowered.filterNot(_.matches("[a-z0-9]{2,}"))
     require(bad.isEmpty,
       s"$tier blocklist terms can never match a normalized token: ${bad.mkString(", ")}")

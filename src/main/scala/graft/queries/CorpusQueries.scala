@@ -828,8 +828,8 @@ object CorpusQueries {
     "q150_psi_drift" ->
       """WITH b AS (
         |  SELECT (CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 50) AS in_a,
-        |         least(CAST(floor(n_chars / 50) AS BIGINT), 11) AS bin
-        |  FROM documents
+        |         greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL
         |), c AS (
         |  SELECT bin,
         |         count(CASE WHEN in_a THEN 1 END) AS n_a,

@@ -49,10 +49,13 @@ object DedupQueries {
       val embIds = EmbeddingDedup.pairsBrute(
           Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      // no broadcast hints: on a real crawl the flagged-id sets are a
+      // constant FRACTION of the corpus, not a bounded table — the joins
+      // stay doc_id-keyed shuffles and AQE may still broadcast small ones
       docs.select(col("doc_id"))
-        .join(broadcast(exactIds.withColumn("in_exact", lit(true))), Seq("doc_id"), "left")
-        .join(broadcast(lshIds.withColumn("in_lsh", lit(true))), Seq("doc_id"), "left")
-        .join(broadcast(embIds.withColumn("in_emb", lit(true))), Seq("doc_id"), "left")
+        .join(exactIds.withColumn("in_exact", lit(true)), Seq("doc_id"), "left")
+        .join(lshIds.withColumn("in_lsh", lit(true)), Seq("doc_id"), "left")
+        .join(embIds.withColumn("in_emb", lit(true)), Seq("doc_id"), "left")
         .select(coalesce(col("in_exact"), lit(false)).as("in_exact"),
           coalesce(col("in_lsh"), lit(false)).as("in_lsh"),
           coalesce(col("in_emb"), lit(false)).as("in_emb"))

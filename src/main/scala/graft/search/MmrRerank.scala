@@ -41,12 +41,15 @@ object MmrRerank {
     */
   def greedy[I: Ordering](cands: Seq[(I, Array[Double], Double)], k: Int,
              lambda: Double): Seq[(Int, I, Double)] = {
+    // arbitrary callers may pass duplicate ids; the loop must be bounded
+    // by the DISTINCT id count or the final minBy runs on empty
+    val uniq = cands.distinctBy(_._1)
     val sim: Map[(I, I), Double] = (for {
-      a <- cands; b <- cands if a._1 != b._1
+      a <- uniq; b <- uniq if a._1 != b._1
     } yield (a._1, b._1) -> round6(cosine(a._2, b._2))).toMap
     var selected = Vector.empty[(Int, I, Double)]
-    var remaining = cands.map(c => c._1 -> c._3).toMap
-    for (step <- 1 to math.min(k, cands.length)) {
+    var remaining = uniq.map(c => c._1 -> c._3).toMap
+    for (step <- 1 to math.min(k, uniq.length)) {
       val pick = remaining.toSeq.map { case (id, rel) =>
         val penalty =
           if (selected.isEmpty) 0.0

@@ -38,7 +38,13 @@ object StreamRateAnomaly {
     if (s.cnt < 2) 0.0
     else {
       val sd = math.sqrt(s.m2 / (s.cnt - 1))
-      if (sd == 0.0) { if (x == s.mean) 0.0 else Double.PositiveInfinity }
+      if (sd == 0.0) {
+        // zero-variance baseline: infinitely anomalous, but KEEP THE SIGN
+        // — an outage (drop) must not alert as a burst
+        if (x == s.mean) 0.0
+        else if (x > s.mean) Double.PositiveInfinity
+        else Double.NegativeInfinity
+      }
       else (x - s.mean) / sd
     }
 

@@ -40,6 +40,14 @@ class MmrRerankSpec extends SparkSpec {
     assert(!out.map(_.getLong(1)).contains(0L))
   }
 
+  test("greedy tolerates duplicate candidate ids: picks stay distinct, no crash past the distinct count") {
+    val dup = Seq(
+      (1L, Array(1.0, 0.0), 1.0), (1L, Array(1.0, 0.0), 0.9),
+      (2L, Array(0.0, 1.0), 0.8))
+    val picks = MmrRerank.greedy(dup, k = 3, lambda = 0.7)
+    assert(picks.map(_._2) == Seq(1L, 2L))
+  }
+
   test("scores are monotonically non-increasing across picks under fixed lambda") {
     val scores = MmrRerank.rerank(vecs, "vec_id", "embedding",
       probeId = 0L, candK = 3, k = 3, lambda = 1.0)

@@ -51,6 +51,17 @@ class StreamRateAnomalySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("zero-variance baseline keeps the sign: a drop is negative-infinite, not a burst") {
+    import StreamRateAnomaly._
+    val out = batchScored(Seq(
+      BucketCount("k", 1, 10), BucketCount("k", 2, 10), BucketCount("k", 3, 10),
+      BucketCount("k", 4, 0),   // outage against a flat baseline
+      BucketCount("k", 5, 50))) // burst — baseline now has variance
+      .sortBy(_.bucket)
+    assert(out(3).z.isNegInfinity, "an outage must not alert as a spike")
+    assert(out(4).z > 0.0)
+  }
+
   test("batch replay matches the streaming fold bucket-for-bucket") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
