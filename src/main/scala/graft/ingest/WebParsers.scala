@@ -17,6 +17,8 @@ object JsParser {
   private val ClassRe = """^\s*(?:export\s+)?(?:default\s+)?(?:abstract\s+)?class\s+([A-Za-z_$][\w$]*)(?:\s+extends\s+([A-Za-z_$][\w$.]*))?(?:\s+implements\s+([\w$,\s]+))?""".r
   private val InterfaceRe = """^\s*(?:export\s+)?interface\s+([A-Za-z_$][\w$]*)(?:\s+extends\s+([\w$,\s]+))?""".r
   private val ImportRe = """^\s*import\s+(?:.+\s+from\s+)?['"]([^'"]+)['"]""".r
+  private val ReExportStarRe = """^\s*export\s+\*\s+from\s+['"]([^'"]+)['"]""".r
+  private val ExportListRe = """^\s*export\s+\{([^}]*)\}(?:\s*from\s+['"]([^'"]+)['"])?""".r
   private val RequireRe = """require\s*\(\s*['"]([^'"]+)['"]\s*\)""".r
   private val VarRe = """^(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][\w$]*)\s*(?::[^=]+)?=""".r
   private val CallRe = """([A-Za-z_$][\w$]*)\s*\(""".r
@@ -148,6 +150,22 @@ object JsParser {
       }
       RequireRe.findAllMatchIn(line).foreach { m =>
         relations += Relation(relPath, m.group(1), "imports", "require", "", 1.0)
+      }
+      // ES-module export surface: named re-exports, star re-exports and
+      // named export lists — the file's public API the reference records
+      // in its exports metadata (analysis/javascript_parser.py export
+      // handling); re-exports also add module edges for the import graph.
+      ReExportStarRe.findFirstMatchIn(line).foreach { m =>
+        relations += Relation(relPath, m.group(1), "reexports", "star", "", 1.0)
+      }
+      ExportListRe.findFirstMatchIn(line).foreach { m =>
+        val names = m.group(1).split(",").map(_.trim.split("\\s+as\\s+").last.trim)
+          .filter(_.matches("[A-Za-z_$][\\w$]*"))
+        val from = Option(m.group(2))
+        from.foreach(f => relations += Relation(relPath, f, "reexports", "named", "", 1.0))
+        names.foreach { n =>
+          relations += Relation(relPath, n, "exports", if (from.isDefined) "reexport" else "named", "", 1.0)
+        }
       }
       // findFirstMatchIn: these regexes are prefixes of the line (Scala's
       // `case Regex(..)` would demand a full-line match)

@@ -95,6 +95,24 @@ class ParserSpec extends AnyFunSuite {
     assert(rels.contains(("Widget", "extends", "Base")))
   }
 
+  test("js: export surface — named lists, aliased names, star and named re-exports") {
+    val js =
+      """export { alpha, beta as gamma };
+        |export * from './core';
+        |export { delta } from './other';
+        |""".stripMargin
+    val r = JsParser.parse("mod.ts", js)
+    val rels = r.relations.map(x => (x.fromEntity, x.relationType, x.toEntity, x.importType)).toSet
+    // named export list: alias exports the PUBLIC name, not the local one
+    assert(rels.contains(("mod.ts", "exports", "alpha", "named")))
+    assert(rels.contains(("mod.ts", "exports", "gamma", "named")))
+    assert(!rels.exists(t => t._3 == "beta"), "local alias source must not leak as an export")
+    // star + named re-exports keep the module edge for the import graph
+    assert(rels.contains(("mod.ts", "reexports", "./core", "star")))
+    assert(rels.contains(("mod.ts", "reexports", "./other", "named")))
+    assert(rels.contains(("mod.ts", "exports", "delta", "reexport")))
+  }
+
   test("ts: methods inside classes, arrow fields, plain fields, decorators, impl chunks") {
     val ts =
       """@Component
