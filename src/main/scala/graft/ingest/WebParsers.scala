@@ -297,13 +297,37 @@ object HtmlParser {
   private val LinkRe = """<a[^>]*\bhref\s*=\s*["']([^"']+)["']""".r
   private val ClassRefRe = """\bclass\s*=\s*["']([^"']+)["']""".r
   private val StyleRe = """(?s)<style[^>]*>(.*?)</style>""".r
+  private val TitleRe = """(?s)<title[^>]*>(.*?)</title>""".r
+  private val MetaDescRe = """<meta[^>]*\bname\s*=\s*["']description["'][^>]*\bcontent\s*=\s*["']([^"']*)["']""".r
+  private val HeadingRe = """(?s)<h([1-6])[^>]*>(.*?)</h\1>""".r
+  private val SrcRe = """<(?:script|img)[^>]*\bsrc\s*=\s*["']([^"']+)["']""".r
+  private val TagStripRe = """<[^>]*>""".r
 
   def parse(relPath: String, content: String): ParserResult = {
     val entities = ArrayBuffer[Entity]()
     val relations = ArrayBuffer[Relation]()
     val lines = content.split("\n", -1)
-    entities += Entity(relPath, "file", relPath, 1, lines.length,
-      Seq(s"HTML file with ${lines.length} lines"), "", "")
+    // document-level metadata rides the file entity's observations
+    // (reference: analysis/html_parser.py title/meta extraction)
+    val fileObs = ArrayBuffer[String](s"HTML file with ${lines.length} lines")
+    TitleRe.findFirstMatchIn(content).foreach(m =>
+      fileObs += s"title: ${TagStripRe.replaceAllIn(m.group(1), "").trim.take(120)}")
+    MetaDescRe.findFirstMatchIn(content).foreach(m =>
+      fileObs += s"description: ${m.group(1).trim.take(160)}")
+    entities += Entity(relPath, "file", relPath, 1, lines.length, fileObs.toSeq, "", "")
+    // heading outline as documentation entities — the HTML twin of the
+    // markdown section parse
+    HeadingRe.findAllMatchIn(content).toSeq.take(50).foreach { m =>
+      val text = TagStripRe.replaceAllIn(m.group(2), "").trim.take(120)
+      if (text.nonEmpty) {
+        entities += Entity(text, "documentation", relPath, 1, 1,
+          Seq(s"h${m.group(1)} heading: $text"), "", "")
+        relations += Relation(relPath, text, "contains", "", "", 1.0)
+      }
+    }
+    SrcRe.findAllMatchIn(content).map(_.group(1)).toSeq.distinct.take(100).foreach { src =>
+      relations += Relation(relPath, src, "references", "asset", "", 1.0)
+    }
     // inline <style> blocks run through the CSS parser
     // (reference: analysis/html_parser.py inline-CSS extraction)
     StyleRe.findAllMatchIn(content).zipWithIndex.foreach { case (m, si) =>
@@ -345,6 +369,8 @@ object CssParser {
   private val IdRe = """#([A-Za-z_][\w-]*)""".r
   private val VarRe = """--([\w-]+)\s*:""".r
   private val ImportRe = """@import\s+(?:url\()?["']?([^"')]+)""".r
+  private val MediaRe = """@media\s+([^{]+)\{""".r
+  private val KeyframesRe = """@keyframes\s+([A-Za-z_][\w-]*)""".r
 
   def parse(relPath: String, content: String): ParserResult = {
     val entities = ArrayBuffer[Entity]()
@@ -368,6 +394,16 @@ object CssParser {
     }
     ImportRe.findAllMatchIn(content).map(_.group(1)).toSeq.distinct.foreach { im =>
       relations += Relation(relPath, im, "imports", "css", "", 1.0)
+    }
+    // @keyframes are named, referencable definitions; @media conditions
+    // are responsive-design structure (reference css_parser at-rule walk)
+    KeyframesRe.findAllMatchIn(noComments).map(_.group(1)).toSeq.distinct.take(100).foreach { k =>
+      entities += Entity(s"@keyframes $k", "function", relPath, 1, 1,
+        Seq(s"css animation: $k"), "", "")
+      relations += Relation(relPath, s"@keyframes $k", "contains", "", "", 1.0)
+    }
+    MediaRe.findAllMatchIn(noComments).map(_.group(1).trim).toSeq.distinct.take(50).foreach { q =>
+      relations += Relation(relPath, s"@media $q", "uses", "media_query", "", 0.8)
     }
     ParserResult(relPath, Ids.sha256Hex(content), entities.toSeq, relations.toSeq, Seq.empty, Seq.empty)
   }

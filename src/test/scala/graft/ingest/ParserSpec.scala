@@ -328,6 +328,25 @@ class ParserSpec extends AnyFunSuite {
     assert(rels.contains(("uses", ".btn")))
   }
 
+  test("html: title/meta ride the file entity; headings become documentation; asset srcs referenced") {
+    val html =
+      """<html><head><title>My <b>Page</b></title>
+        |<meta name="description" content="a demo page">
+        |<script src="app.js"></script></head>
+        |<body><h1>Welcome</h1><h2 class="sub">Details</h2>
+        |<img src="logo.png"></body></html>
+        |""".stripMargin
+    val r = HtmlParser.parse("page.html", html)
+    val fileEnt = r.entities.find(_.entityType == "file").get
+    assert(fileEnt.observations.contains("title: My Page"), "tags stripped from the title")
+    assert(fileEnt.observations.contains("description: a demo page"))
+    val heads = r.entities.filter(_.entityType == "documentation").map(_.name)
+    assert(heads == Seq("Welcome", "Details"))
+    val rels = r.relations.map(x => (x.relationType, x.toEntity, x.importType)).toSet
+    assert(rels.contains(("references", "app.js", "asset")))
+    assert(rels.contains(("references", "logo.png", "asset")))
+  }
+
   test("css: compound selectors, @media nesting, no hex-color false ids") {
     val css =
       """/* .commented { } */
@@ -350,6 +369,18 @@ class ParserSpec extends AnyFunSuite {
       !names.contains("#123456")) // declaration colors are not ids
     assert(!names.contains(".commented")) // comments stripped
     assert(r.relations.exists(x => x.relationType == "imports" && x.toEntity == "theme.css"))
+  }
+
+  test("css: keyframes are named entities, media queries are recorded conditions") {
+    val css =
+      """@keyframes spin { from { transform: rotate(0); } to { transform: rotate(360deg); } }
+        |@media (prefers-color-scheme: dark) { body { background: #000; } }
+        |""".stripMargin
+    val r = CssParser.parse("anim.css", css)
+    assert(r.entities.map(_.name).contains("@keyframes spin"))
+    assert(r.relations.exists(x => x.relationType == "uses"
+      && x.importType == "media_query"
+      && x.toEntity == "@media (prefers-color-scheme: dark)"))
   }
 
   test("python: pandas/pathlib/requests/config/xml file-op families (typed names)") {
