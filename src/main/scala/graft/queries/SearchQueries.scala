@@ -51,6 +51,20 @@ object SearchQueries {
           sum(when(col("x") === 0.0, 1L).otherwise(0L)).as("n_zero"))
         .orderBy(col("dim"))),
 
+    // Margin-based bitext mining (Artetxe & Schwenk ratio margin):
+    // mutual-best pairs between the even/odd vec_id halves, hub-normalized
+    // by top-2 neighborhood means. The target side broadcasts; ranking
+    // windows partition per sentence id. Scale path: IVF-bucket both
+    // sides first (q30), same margin math per bucket.
+    "q168_bitext_mine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.search.BitextMine.mine(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 2, marginThreshold = 1.0)
+        .orderBy(col("margin").desc, col("src_id")).limit(50)
+    }),
+
     // §2.4 dense top-k: codegen'd cosine + TakeOrderedAndProject.
     "q13_knn_cosine" -> ((s, dir) =>
       KnnSearch.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -434,6 +448,28 @@ object SearchQueries {
         |       coalesce(pt.avg_overlap, 10.0) AS avg_overlap,
         |       CAST(coalesce(pt.min_overlap, 10) AS BIGINT) AS min_overlap
         |FROM energy LEFT JOIN pt USING (d) ORDER BY dim""".stripMargin,
+
+    "q168_bitext_mine" ->
+      """WITH a AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 2 = 1),
+        |pairs AS (
+        |  SELECT src_id, tgt_id,
+        |         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |  FROM a, b
+        |), r AS (
+        |  SELECT src_id, tgt_id, cos,
+        |         row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rna,
+        |         row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rnb
+        |  FROM pairs
+        |), ma AS (SELECT src_id, avg(cos) AS ma FROM r WHERE rna <= 2 GROUP BY src_id),
+        |mb AS (SELECT tgt_id, avg(cos) AS mb FROM r WHERE rnb <= 2 GROUP BY tgt_id)
+        |SELECT src_id, tgt_id, cos,
+        |       round(cos / ((ma + mb) / 2), 6) AS margin
+        |FROM r JOIN ma USING (src_id) JOIN mb USING (tgt_id)
+        |WHERE rna = 1 AND rnb = 1 AND round(cos / ((ma + mb) / 2), 6) >= 1.0
+        |ORDER BY margin DESC, src_id LIMIT 50""".stripMargin,
 
     "q13_knn_cosine" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)

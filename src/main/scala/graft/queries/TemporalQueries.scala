@@ -45,7 +45,20 @@ object TemporalQueries {
     "q152_recrawl" -> ((s, dir) =>
       graft.operators.Recrawl.schedule(Tables.events(s, dir),
         "event_type", "user_id", "ts")
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // SCD2 dimension build: the events log compressed to per-user state
+    // runs with [valid_from, valid_to) validity. Validity bounds surface
+    // as integer epoch-µs so the hash compare never touches float/zone
+    // timestamp formatting (the q47 gap_us discipline).
+    "q167_scd2" -> ((s, dir) =>
+      graft.operators.Scd2.build(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"),
+          col("version"), col("is_current"))
+        .orderBy(col("user_id"), col("version")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -83,6 +96,24 @@ object TemporalQueries {
         |       CAST(max(gap) AS BIGINT) AS max_gap_s,
         |       CAST(max(s) AS BIGINT) AS last_seen_s,
         |       CAST(max(s) + ceil(round(avg(gap), 4)) AS BIGINT) AS next_due_s
-        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q167_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), chg AS (
+        |  SELECT user_id, event_type, ts, event_id
+        |  FROM c WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, event_type AS state,
+        |       CAST(epoch_us(ts) AS BIGINT) AS from_us,
+        |       CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS to_us,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       (lead(ts) OVER w IS NULL) AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin
   )
 }

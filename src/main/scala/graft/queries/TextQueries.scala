@@ -21,6 +21,27 @@ object TextQueries {
   val BlockMild: Seq[String] = Seq("merge", "hash", "batch")
 
   def defs: Map[String, Q] = Map(
+    // The published Gopher rule battery with per-rule verdicts (which
+    // rule rejected how much of each source). Chrome is synthesized onto
+    // the clean corpus deterministically (the q143 discipline) so every
+    // rule actually bites: bullet lines on doc_id%5, '#' symbol runs on
+    // %7, ellipsis line-ends on %9, numeric tokens on %11.
+    "q169_gopher_rules" -> ((s, dir) => {
+      val noisy = Tables.documents(s, dir).select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit("\n- bullet item\n- second bullet")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" ## # ##")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit("\ntrailing thought...")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" 123 456 789 101 112")).otherwise(lit("")))
+          .as("text"))
+      graft.functions.GopherRules.report(noisy, "source", "text",
+          minWords = 10, maxWords = 100000, minStopwords = 1)
+        .orderBy(col("source"))
+    }),
+
     // Vocabulary concentration curve: share of total token mass covered
     // by the top-N tokens, N ∈ {1, 5, 10, 20} — the tokenizer-design
     // companion to q78's Zipf slope. Ranking runs over the VOCAB count
@@ -618,6 +639,57 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q169_gopher_rules" ->
+      """WITH noisy AS (
+        |  SELECT source,
+        |         text
+        |         || CASE WHEN doc_id % 5 = 0 THEN chr(10)||'- bullet item'||chr(10)||'- second bullet' ELSE '' END
+        |         || CASE WHEN doc_id % 7 = 0 THEN ' ## # ##' ELSE '' END
+        |         || CASE WHEN doc_id % 9 = 0 THEN chr(10)||'trailing thought...' ELSE '' END
+        |         || CASE WHEN doc_id % 11 = 0 THEN ' 123 456 789 101 112' ELSE '' END AS t
+        |  FROM documents
+        |), m AS (
+        |  SELECT source,
+        |         list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS w,
+        |         string_split(t, chr(10)) AS lines, t
+        |  FROM noisy
+        |), d AS (
+        |  SELECT source,
+        |         len(w) AS n_words,
+        |         CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mwl,
+        |         (len(t) - len(regexp_replace(t, '#', '', 'g')))
+        |           + (len(t) - len(regexp_replace(t, '\.\.\.', '', 'g'))) / 3 AS n_sym,
+        |         len(lines) AS n_lines,
+        |         len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS n_bullet,
+        |         len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ellipsis,
+        |         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |         len(list_filter(list_distinct(list_transform(w, x -> lower(x))),
+        |             x -> x IN ('the','and','of','to','in','it'))) AS n_stop
+        |  FROM m
+        |), f AS (
+        |  SELECT source,
+        |         (n_words >= 10 AND n_words <= 100000) AS r_words,
+        |         (mwl >= 3.0 AND mwl <= 10.0) AS r_mwl,
+        |         (n_sym / n_words <= 0.1) AS r_symbol,
+        |         (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9) AS r_bullet,
+        |         (CAST(n_ellipsis AS DOUBLE) / n_lines <= 0.3) AS r_ellipsis,
+        |         (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS r_alpha,
+        |         (n_stop >= 1) AS r_stop
+        |  FROM d
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN r_words THEN 1 ELSE 0 END) AS BIGINT) AS n_r_words,
+        |       CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_r_mwl,
+        |       CAST(sum(CASE WHEN r_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_r_symbol,
+        |       CAST(sum(CASE WHEN r_bullet THEN 1 ELSE 0 END) AS BIGINT) AS n_r_bullet,
+        |       CAST(sum(CASE WHEN r_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS n_r_ellipsis,
+        |       CAST(sum(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_r_alpha,
+        |       CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_r_stop,
+        |       CAST(sum(CASE WHEN r_words AND r_mwl AND r_symbol AND r_bullet
+        |                      AND r_ellipsis AND r_alpha AND r_stop
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
     "q165_coverage_curve" ->
       """WITH counts AS (
         |  SELECT w, count(*) AS c FROM (
