@@ -22,6 +22,30 @@ object CorpusQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def defs: Map[String, Q] = Map(
+    // eTLD+1 registration-domain rollup (the Mozilla PSL longest-match
+    // algorithm) over synthetic multi-level hosts that exercise
+    // multi-label suffixes (co.uk), private registries (github.io), bare
+    // suffixes, and no-match TLDs. The oracle states suffix and etld1 in
+    // closed form per doc_id residue (the q55 URL discipline). The suffix
+    // list broadcasts; the host table only shuffles for the final rollup.
+    "q170_etld" -> ((s, dir) => {
+      val hosts = Tables.documents(s, dir).select(
+        when(col("doc_id") % 12 === 5, lit("github.io"))
+          .when(col("doc_id") % 12 === 11, lit("router.localdomain"))
+          .when(col("doc_id") % 6 === 0,
+            concat(lit("a"), col("doc_id") % 10, lit(".example.com")))
+          .when(col("doc_id") % 6 === 1, lit("b.c.example.co.uk"))
+          .when(col("doc_id") % 6 === 2,
+            concat(lit("site"), col("doc_id") % 5, lit(".github.io")))
+          .when(col("doc_id") % 6 === 3, lit("x.y.ministry.gov"))
+          .otherwise(concat(lit("blog"), col("doc_id") % 3, lit(".example.org")))
+          .as("host"))
+      graft.functions.PublicSuffix.registrableDomain(hosts, "host")
+        .groupBy(col("suffix"), col("etld1"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("suffix"), col("etld1"))
+    }),
+
     // Population-Stability-Index drift between two deterministic halves
     // of the corpus over width-50 n_chars bins (the per-bin "where did
     // the distribution move" companion to q134's KS test). Fixed integer
@@ -825,6 +849,29 @@ object CorpusQueries {
     "CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),1,15)) AS BIGINT) % 10000"
 
   def oracles: Map[String, String] = Map(
+    "q170_etld" ->
+      """WITH e AS (
+        |  SELECT CASE
+        |           WHEN doc_id % 12 = 5 THEN 'github.io'
+        |           WHEN doc_id % 12 = 11 THEN NULL
+        |           WHEN doc_id % 6 = 0 THEN 'com'
+        |           WHEN doc_id % 6 = 1 THEN 'co.uk'
+        |           WHEN doc_id % 6 = 2 THEN 'github.io'
+        |           WHEN doc_id % 6 = 3 THEN 'gov'
+        |           ELSE 'org' END AS suffix,
+        |         CASE
+        |           WHEN doc_id % 12 = 5 OR doc_id % 12 = 11 THEN NULL
+        |           WHEN doc_id % 6 = 0 THEN 'example.com'
+        |           WHEN doc_id % 6 = 1 THEN 'example.co.uk'
+        |           WHEN doc_id % 6 = 2 THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '.github.io'
+        |           WHEN doc_id % 6 = 3 THEN 'ministry.gov'
+        |           ELSE 'example.org' END AS etld1
+        |  FROM documents
+        |)
+        |SELECT suffix, etld1, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM e GROUP BY suffix, etld1
+        |ORDER BY suffix NULLS FIRST, etld1 NULLS FIRST""".stripMargin,
+
     "q150_psi_drift" ->
       """WITH b AS (
         |  SELECT (CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 50) AS in_a,

@@ -14,6 +14,17 @@ object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def defs: Map[String, Q] = Map(
+    // Sorted-neighborhood blocking (Hernández & Stolfo SNM): block by
+    // first token, sort within block, Jaccard each doc against its sort
+    // predecessor only — n-1 comparisons per block instead of the B²
+    // candidate products of the MinHash/PPJoin family. Micro-averaged
+    // with integer sufficient statistics so no float sum crosses engines.
+    "q172_sorted_neighbors" -> ((s, dir) =>
+      graft.dedup.SortedNeighbors.report(Tables.documents(s, dir),
+          "doc_id", "text",
+          lower(split(col("text"), "\\s+")(0)), threshold = 0.5)
+        .orderBy(col("block"))),
+
     // Exact-substring dedup signal (Lee et al. 2022): per-doc fraction of
     // token positions covered by cross-doc duplicated 8-grams. Gram-hash
     // partial agg + semi-join back; bounded 8× position fan-out; never
@@ -206,6 +217,33 @@ object DedupQueries {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q172_sorted_neighbors" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         lower(string_split_regex(text, '\s+')[1]) AS block,
+        |         list_sort(list_distinct(list_filter(
+        |           string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> len(x) > 1))) AS t
+        |  FROM documents
+        |), lagged AS (
+        |  SELECT block, t,
+        |         lag(t) OVER (PARTITION BY block ORDER BY text, doc_id) AS pt
+        |  FROM d
+        |), j AS (
+        |  SELECT block,
+        |         CASE WHEN pt IS NOT NULL THEN len(list_intersect(t, pt)) END AS n_inter,
+        |         CASE WHEN pt IS NOT NULL
+        |              THEN len(t) + len(pt) - len(list_intersect(t, pt)) END AS n_union
+        |  FROM lagged
+        |)
+        |SELECT block, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(n_inter) AS BIGINT) AS n_pairs,
+        |       CAST(sum(CASE WHEN CAST(n_inter AS DOUBLE) / n_union >= 0.5
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |       round(CAST(sum(n_inter) AS DOUBLE) / sum(n_union), 6) AS micro_jaccard,
+        |       round(max(CAST(n_inter AS DOUBLE) / n_union), 6) AS max_jaccard
+        |FROM j GROUP BY block ORDER BY block""".stripMargin,
+
     "q163_dedup_survivorship" ->
       s"""WITH $minhashCtes,
          |lpairs AS (

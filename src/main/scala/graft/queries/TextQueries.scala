@@ -21,6 +21,15 @@ object TextQueries {
   val BlockMild: Seq[String] = Seq("merge", "hash", "batch")
 
   def defs: Map[String, Q] = Map(
+    // Cloze training-pair builder: the ⌈n/2⌉-th token of every document
+    // masked and reported as the answer. Pure HOF map pass (zero
+    // shuffles); the mask position is a function of token count only, so
+    // the oracle replays the identical dataset (q145's zero-RNG rule).
+    "q171_cloze" -> ((s, dir) =>
+      graft.operators.ClozeBuilder.build(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // The published Gopher rule battery with per-rule verdicts (which
     // rule rejected how much of each source). Chrome is synthesized onto
     // the clean corpus deterministically (the q143 discipline) so every
@@ -639,6 +648,20 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q171_cloze" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+        |         (len(w) + 1) // 2 AS k
+        |  FROM t WHERE len(w) >= 3
+        |)
+        |SELECT doc_id, n_tokens, w[k] AS answer,
+        |       array_to_string(list_concat(list_concat(w[1:k-1], ['<mask>']), w[k+1:]), ' ') AS masked
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "q169_gopher_rules" ->
       """WITH noisy AS (
         |  SELECT source,
