@@ -49,4 +49,8 @@ object LogisticQuality {
   /** σ(w·x) ≥ 0.5 ⇔ w·x ≥ 0 — the decision column, pure codegen. */
   def predictPos(w: Seq[Double], xCols: Seq[String]): Column =
     dot(w, xCols) >= lit(0.0)
+
+  /** σ(w·x) itself — the probability column for calibration audits. */
+  def predictProb(w: Seq[Double], xCols: Seq[String]): Column =
+    lit(1.0) / (lit(1.0) + exp(-dot(w, xCols)))
 }

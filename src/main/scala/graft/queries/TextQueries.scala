@@ -21,6 +21,53 @@ object TextQueries {
   val BlockMild: Seq[String] = Seq("merge", "hash", "batch")
 
   def defs: Map[String, Q] = Map(
+    // Good–Turing missing mass + Chao1 richness over word TRIGRAMS (the
+    // unigram vocabulary here is tiny and saturated; the trigram space is
+    // where unseen-mass estimation is a real question). Two stacked
+    // integer partial aggs; the report is four integers + two divisions.
+    "q173_good_turing" -> ((s, dir) => {
+      val t = graft.search.Bm25.tokens(col("text"))
+      val grams = transform(
+        sequence(lit(1), greatest(size(t) - 2, lit(0))),
+        i => array_join(slice(t, i, lit(3)), " "))
+      graft.functions.GoodTuring.report(Tables.documents(s, dir), grams)
+    }),
+
+    // Language-ID evaluated against the labeled lang column: per-class
+    // precision/recall/F1 via the harmonic identity 2TP/(pred+actual) —
+    // integer sums, single divisions. The grid is classes², tiny at any
+    // corpus scale.
+    "q174_langid_eval" -> ((s, dir) =>
+      graft.operators.ClassifierEval.perClass(
+          Tables.documents(s, dir).select(col("lang"),
+            TextOps.langGuess(col("text")).as("guess")),
+          "lang", "guess")
+        .orderBy(col("cls"))),
+
+    // Calibration audit of the en-stopword-ratio scorer: p = min(1, 4 ×
+    // en-stopword token share) against the labeled en flag — reliability
+    // bins + per-bin Brier mass. p is an exact integer ratio 6dp-rounded
+    // before binning, so bin membership is engine-exact by construction.
+    "q175_calibration" -> ((s, dir) => {
+      val t = graft.search.Bm25.tokens(col("text"))
+      val scored = Tables.documents(s, dir).select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        least(lit(1.0),
+          lit(4.0) * size(filter(t, w => w.isInCollection(Stopwords)))
+            / greatest(size(t), lit(1))).as("p"))
+      graft.operators.Calibration.report(scored, "p", "y", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
+    // Heaps-law vocabulary-growth fit at 8 doc-id checkpoints: V(N)≈K·N^β
+    // with first-occurrence logic instead of running state (a token's
+    // checkpoint membership is min(doc_id) < c — conditional aggs against
+    // a broadcast 8-row table, no prefix window).
+    "q176_heaps_law" -> ((s, dir) =>
+      graft.functions.HeapsLaw.fit(Tables.documents(s, dir), "doc_id",
+          graft.search.Bm25.tokens(col("text")), checkpoints = 8)
+        .orderBy(col("ck"))),
+
     // Cloze training-pair builder: the ⌈n/2⌉-th token of every document
     // masked and reported as the answer. Pure HOF map pass (zero
     // shuffles); the mask position is a function of token count only, so
@@ -558,6 +605,36 @@ object TextQueries {
     if (profile.isEmpty) "0"
     else s"len(list_filter(w, t -> t IN (${profile.map(p => s"'$p'").mkString(", ")})))"
 
+  /** Shared DuckDB replay of the q142 logistic fit: feature CTE `f`
+    * (lang, y, x0..x2) + three unrolled 6dp-rounded GD steps ending in
+    * `w3c` (w0, w1, w2) — reused by the q175 calibration oracle.
+    */
+  private[queries] val logregFitCte: String =
+    """f AS (
+      |  SELECT lang, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      |         1.0 AS x0, n_chars / 553.0 AS x1,
+      |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) / 100.0 AS x2
+      |  FROM documents
+      |), w0c AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+      |g1 AS (
+      |  SELECT round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS g0,
+      |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1), 6) AS g1,
+      |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2), 6) AS g2
+      |  FROM f, w0c
+      |), w1c AS (SELECT w0 + g0 AS w0, w1 + g1 AS w1, w2 + g2 AS w2 FROM w0c, g1),
+      |g2 AS (
+      |  SELECT round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS g0,
+      |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1), 6) AS g1,
+      |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2), 6) AS g2
+      |  FROM f, w1c
+      |), w2c AS (SELECT w0 + g0 AS w0, w1 + g1 AS w1, w2 + g2 AS w2 FROM w1c, g2),
+      |g3 AS (
+      |  SELECT round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS g0,
+      |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1), 6) AS g1,
+      |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2), 6) AS g2
+      |  FROM f, w2c
+      |), w3c AS (SELECT w0 + g0 AS w0, w1 + g1 AS w1, w2 + g2 AS w2 FROM w2c, g3)""".stripMargin
+
   private[queries] val langGuessSql: String = {
     val ordered = TextOps.LangProfiles.sortBy(_._1)
     val scores = ordered.map { case (l, p) => l -> langScoreSql(p) }
@@ -648,6 +725,93 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q173_good_turing" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |         x -> len(x) > 1) AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |         i -> array_to_string(t[i:i+2], ' '))) AS w
+        |  FROM toks
+        |), c AS (SELECT w, count(*) AS c FROM g GROUP BY w)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS vocab,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / sum(c), 6) AS p_unseen,
+        |       CASE WHEN sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0 THEN
+        |         round(count(*) + sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |               * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |               / (2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)), 4)
+        |       END AS chao1
+        |FROM c""".stripMargin,
+
+    "q174_langid_eval" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS w
+         |  FROM documents
+         |), p AS (SELECT lang AS cls_a, $langGuessSql AS cls_p FROM d),
+         |grid AS (SELECT cls_a, cls_p, count(*) AS n FROM p GROUP BY 1, 2),
+         |a AS (SELECT cls_a AS cls, sum(n) AS n_actual FROM grid GROUP BY 1),
+         |pr AS (SELECT cls_p AS cls, sum(n) AS n_pred FROM grid GROUP BY 1),
+         |tp AS (SELECT cls_a AS cls, n AS tp FROM grid WHERE cls_a = cls_p)
+         |SELECT cls,
+         |       CAST(coalesce(n_actual, 0) AS BIGINT) AS n_actual,
+         |       CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+         |       CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+         |       CASE WHEN coalesce(n_pred, 0) > 0
+         |            THEN round(coalesce(tp, 0) * 1.0 / n_pred, 6) END AS "precision",
+         |       CASE WHEN coalesce(n_actual, 0) > 0
+         |            THEN round(coalesce(tp, 0) * 1.0 / n_actual, 6) END AS recall,
+         |       CASE WHEN coalesce(n_pred, 0) + coalesce(n_actual, 0) > 0
+         |            THEN round(2.0 * coalesce(tp, 0)
+         |                 / (coalesce(n_pred, 0) + coalesce(n_actual, 0)), 6) END AS f1
+         |FROM a FULL JOIN pr USING (cls) LEFT JOIN tp USING (cls)
+         |ORDER BY cls""".stripMargin,
+
+    "q175_calibration" ->
+      """WITH scored AS (
+        |  SELECT CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+        |         round(least(1.0,
+        |           4.0 * len(list_filter(
+        |                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> len(x) > 1),
+        |                   x -> x IN ('the','a','of','and','or','in','on','is','to','it')))
+        |             / greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                 x -> len(x) > 1)), 1)), 6) AS p
+        |  FROM documents
+        |), b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y FROM scored)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(y) AS BIGINT) AS n_pos,
+        |       round(avg(p), 6) AS mean_pred,
+        |       round(sum(y) / count(*), 6) AS frac_pos,
+        |       round(sum((p - y) * (p - y)), 6) AS brier_sum
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q176_heaps_law" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> len(x) > 1)) AS w
+        |  FROM documents
+        |), perdoc AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1),
+        |fd AS (SELECT w, min(doc_id) AS fd FROM toks GROUP BY 1),
+        |mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |cps AS (SELECT CAST(floor((mx + 1) * k / 8) AS BIGINT) AS ck
+        |        FROM mx, (SELECT unnest(generate_series(1, 8)) AS k)),
+        |n AS (SELECT ck, sum(nt) AS n_tokens FROM perdoc, cps WHERE doc_id < ck GROUP BY ck),
+        |v AS (SELECT ck, count(*) AS vocab FROM fd, cps WHERE fd < ck GROUP BY ck),
+        |grid AS (SELECT ck, n_tokens, vocab, ln(n_tokens) AS x, ln(vocab) AS y
+        |         FROM n JOIN v USING (ck)),
+        |ols AS (SELECT CAST(count(*) AS DOUBLE) AS m, sum(x) AS sx, sum(y) AS sy,
+        |               sum(x * y) AS sxy, sum(x * x) AS sxx FROM grid),
+        |fit AS (SELECT (m * sxy - sx * sy) / (m * sxx - sx * sx) AS b, m, sx, sy FROM ols)
+        |SELECT ck, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+        |       round(b, 6) AS beta, round((sy - b * sx) / m, 6) AS log_k
+        |FROM grid, fit ORDER BY ck""".stripMargin,
+
     "q171_cloze" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -851,30 +1015,7 @@ object TextQueries {
     // IEEE double sequence the Spark side runs (dot product left-assoc,
     // 1.0/(1.0+exp(-z)), 6dp-rounded gradient averages)
     "q142_logreg" ->
-      """WITH f AS (
-        |  SELECT lang, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-        |         1.0 AS x0, n_chars / 553.0 AS x1,
-        |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) / 100.0 AS x2
-        |  FROM documents
-        |), w0c AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
-        |g1 AS (
-        |  SELECT round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS g0,
-        |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1), 6) AS g1,
-        |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2), 6) AS g2
-        |  FROM f, w0c
-        |), w1c AS (SELECT w0 + g0 AS w0, w1 + g1 AS w1, w2 + g2 AS w2 FROM w0c, g1),
-        |g2 AS (
-        |  SELECT round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS g0,
-        |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1), 6) AS g1,
-        |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2), 6) AS g2
-        |  FROM f, w1c
-        |), w2c AS (SELECT w0 + g0 AS w0, w1 + g1 AS w1, w2 + g2 AS w2 FROM w1c, g2),
-        |g3 AS (
-        |  SELECT round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x0), 6) AS g0,
-        |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x1), 6) AS g1,
-        |         round(avg((y - 1.0/(1.0+exp(-(w0*x0 + w1*x1 + w2*x2)))) * x2), 6) AS g2
-        |  FROM f, w2c
-        |), w3c AS (SELECT w0 + g0 AS w0, w1 + g1 AS w1, w2 + g2 AS w2 FROM w2c, g3)
+      s"""WITH $logregFitCte
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(CASE WHEN w0*x0 + w1*x1 + w2*x2 >= 0 THEN 1 END) AS BIGINT) AS n_pred_en,
         |       round(w0, 6) AS w0, round(w1, 6) AS w1, round(w2, 6) AS w2
