@@ -68,6 +68,42 @@ object TextQueries {
           graft.search.Bm25.tokens(col("text")), checkpoints = 8)
         .orderBy(col("ck"))),
 
+    // Hill tail-index of the token-frequency distribution — the
+    // order-statistics companion to q78's OLS Zipf slope, estimated from
+    // the top-20 frequencies only. Ranking runs over the vocab count
+    // table.
+    "q177_hill_tail" -> ((s, dir) =>
+      graft.functions.HillTail.estimate(Tables.documents(s, dir),
+        graft.search.Bm25.tokens(col("text")), k = 20)),
+
+    // Term burstiness (Church–Gale VMR): variance-to-mean of per-doc
+    // counts with zero-docs included — via integer sufficient statistics
+    // Q/S − S/D, so the zeros never materialize and no float sum crosses
+    // engines. Separates topical terms from flat background beyond raw
+    // frequency.
+    "q178_burstiness" -> ((s, dir) =>
+      graft.functions.Burstiness.report(Tables.documents(s, dir), "doc_id",
+          graft.search.Bm25.tokens(col("text")), topK = 20)
+        .orderBy(col("total").desc, col("w"))),
+
+    // T5-style span-corruption pairs: the middle ~15% token span cut to
+    // the target, sentinel left in the input. Deterministic span
+    // geometry (pure function of n) — the q171 cloze discipline at span
+    // granularity.
+    "q179_span_corruption" -> ((s, dir) =>
+      graft.operators.SpanCorruption.build(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Padding-waste audit for length-bucketed batching (width-64 buckets,
+    // 512 truncation): per bucket, real vs padded token volume. All
+    // integer arithmetic.
+    "q180_padding_waste" -> ((s, dir) =>
+      graft.operators.PaddingWaste.report(Tables.documents(s, dir),
+          graft.search.Bm25.tokens(col("text")),
+          bucketWidth = 64, maxLen = 512)
+        .orderBy(col("bucket_len"))),
+
     // Cloze training-pair builder: the ⌈n/2⌉-th token of every document
     // masked and reported as the answer. Pure HOF map pass (zero
     // shuffles); the mask position is a function of token count only, so
@@ -725,6 +761,80 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q177_hill_tail" ->
+      """WITH c AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 1)) AS w FROM documents)
+        |  GROUP BY w
+        |), r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM c
+        |), t AS (SELECT c AS x_k1 FROM r WHERE rk = 21)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |       CAST(max(x_k1) AS BIGINT) AS x_k1,
+        |       CASE WHEN sum(ln(c * 1.0 / x_k1)) > 0
+        |            THEN round(20 / sum(ln(c * 1.0 / x_k1)), 6) END AS alpha,
+        |       round(sum(ln(c * 1.0 / x_k1)) / 20, 6) AS inv_alpha
+        |FROM r, t WHERE rk <= 20""".stripMargin,
+
+    "q178_burstiness" ->
+      """WITH pd AS (
+        |  SELECT doc_id, w, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 1)) AS w FROM documents)
+        |  GROUP BY doc_id, w
+        |), d AS (SELECT count(*) AS d FROM documents),
+        |t AS (
+        |  SELECT w, sum(c) AS total, count(*) AS df, sum(c * c) AS q FROM pd GROUP BY w
+        |), r AS (
+        |  SELECT w, total, df, q,
+        |         row_number() OVER (ORDER BY total DESC, w) AS rk
+        |  FROM t
+        |)
+        |SELECT w, CAST(total AS BIGINT) AS total, CAST(df AS BIGINT) AS df,
+        |       round(total * 1.0 / d, 6) AS mean,
+        |       round(q * 1.0 / total - total * 1.0 / d, 6) AS vmr
+        |FROM r, d WHERE rk <= 20 ORDER BY total DESC, w""".stripMargin,
+
+    "q179_span_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+        |         greatest(1, CAST(floor(len(w) * 0.15) AS BIGINT)) AS sl
+        |  FROM t WHERE len(w) >= 7
+        |), s AS (
+        |  SELECT doc_id, w, n_tokens, sl,
+        |         CAST(floor((n_tokens - sl) / 2) + 1 AS BIGINT) AS ss
+        |  FROM g
+        |)
+        |SELECT doc_id, n_tokens, ss AS span_start, sl AS span_len,
+        |       array_to_string(list_concat(list_concat(
+        |         w[1:ss-1], ['<extra_id_0>']), w[ss+sl:]), ' ') AS inputs,
+        |       '<extra_id_0> ' || array_to_string(w[ss:ss+sl-1], ' ') AS targets
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q180_padding_waste" ->
+      """WITH l AS (
+        |  SELECT least(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> len(x) > 1)), 512) AS len,
+        |         greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> len(x) > 1)) - 512, 0) AS overflow
+        |  FROM documents
+        |), b AS (
+        |  SELECT CAST(floor((len + 63) / 64) * 64 AS BIGINT) AS bucket_len, len, overflow
+        |  FROM l
+        |)
+        |SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_seqs,
+        |       CAST(sum(len) AS BIGINT) AS n_real,
+        |       CAST(max(bucket_len) * count(*) AS BIGINT) AS n_padded,
+        |       CAST(sum(overflow) AS BIGINT) AS n_truncated,
+        |       round((max(bucket_len) * count(*) - sum(len)) * 1.0
+        |             / (max(bucket_len) * count(*)), 6) AS waste_frac
+        |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin,
+
     "q173_good_turing" ->
       """WITH toks AS (
         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
