@@ -169,10 +169,84 @@ object MultimodalQueries {
           col("sumG").as("sum_g"),
           col("sumB").as("sum_b"))
         .orderBy(col("media_id"))
+    }),
+
+    // Perceptual-dup clustering over REAL decoded rasters: three visual
+    // families (solid / descending gradient / parity stripes) whose
+    // 56-bit dHash is closed-form from the generator (solids → 0,
+    // gradients → all-ones, stripes → the sampled-parity bit pattern as
+    // a function of width alone). The oracle re-derives every hash from
+    // the formula — agreement proves the PNG decode + integer grid
+    // sampling read actual pixels.
+    "q181_image_phash" -> ((s, _) => {
+      import s.implicits._
+      val media = s.range(NumImages).map(i => syntheticPhashImage(i.longValue))
+      graft.mm.PerceptualHash.imageClusters(media)
+        .orderBy(col("hash"))
     })
   )
 
+  /** Deterministic raster for the q181 perceptual-hash gate, family
+    * i mod 3: solid color (dHash 0), descending gray gradient (all 56
+    * bits), or x-parity stripes (bits = sampled-column parity pattern,
+    * a pure function of width).
+    */
+  def syntheticPhashImage(i: Long): MediaRow = {
+    val w = 8 + (i % 24).toInt
+    val h = 8 + ((i * 3) % 24).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = (i % 3) match {
+          case 0 =>
+            (((i * 5) % 256).toInt << 16) | (((i * 11) % 256).toInt << 8) |
+              ((i * 17) % 256).toInt
+          case 1 =>
+            val s = 255 - x * 255 / (w - 1)
+            (s << 16) | (s << 8) | s
+          case _ =>
+            val s = if (x % 2 == 0) 255 else 0
+            (s << 16) | (s << 8) | s
+        }
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    MediaRow(i, "image", Multimodal.encodePng(img), Map("gen" -> "phash"))
+  }
+
   def oracles: Map[String, String] = Map(
+    // every hash restated from the generator formula: solids are flat
+    // (no gradient bits), gradients strictly descend at every sampled
+    // column (all 8x7 bits), stripes depend only on the parity of the
+    // nearest-neighbor sampled columns x*(w-1)//7. The row pattern
+    // repeats identically across the 8 sample rows, so the 56-bit hash
+    // is rowPattern * sum(128^y) = B * 567382630219905.
+    "q181_image_phash" ->
+      """WITH img AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |f AS (SELECT i, i % 3 AS fam, 8 + (i % 24) AS w FROM img),
+        |sb AS (
+        |  SELECT f.i,
+        |         sum(CASE WHEN ((x * (w - 1)) // 7) % 2 = 0
+        |                   AND (((x + 1) * (w - 1)) // 7) % 2 = 1
+        |                  THEN 1 << x ELSE 0 END) AS b
+        |  FROM f, (SELECT unnest(generate_series(0, 6)) AS x) xs
+        |  WHERE fam = 2 GROUP BY f.i
+        |), h AS (
+        |  SELECT i, CASE WHEN fam = 0 THEN 0
+        |                 WHEN fam = 1 THEN 72057594037927935
+        |                 ELSE (SELECT b FROM sb WHERE sb.i = f.i) * 567382630219905
+        |            END AS hash
+        |  FROM f
+        |)
+        |SELECT CAST(hash AS BIGINT) AS hash,
+        |       CAST(count(*) AS BIGINT) AS n_images,
+        |       CAST(min(i) AS BIGINT) AS min_id
+        |FROM h GROUP BY hash ORDER BY hash""".stripMargin,
+
     // q51's closed form: the tar/grouping layer must hand the codec the
     // exact PNG bytes for these sums to come out right.
     "q64_wds_decode" ->

@@ -47,6 +47,17 @@ object TemporalQueries {
         "event_type", "user_id", "ts")
         .orderBy(col("event_type"))),
 
+    // Session co-visitation: items (the props k-value) seen together in
+    // one 30-min-gap session, support = distinct sessions per unordered
+    // pair. Sessionize window partitions per user; the pair self-join
+    // keys on session id with fan-out bounded by session size².
+    "q182_covisitation" -> ((s, dir) =>
+      graft.operators.Covisitation.topPairs(
+        Tables.events(s, dir)
+          .withColumn("item",
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")),
+        "user_id", "ts", "event_id", "item", gapSec = 1800L, k = 25)),
+
     // SCD2 dimension build: the events log compressed to per-user state
     // runs with [valid_from, valid_to) validity. Validity bounds surface
     // as integer epoch-µs so the hash compare never touches float/zone
@@ -97,6 +108,31 @@ object TemporalQueries {
         |       CAST(max(s) AS BIGINT) AS last_seen_s,
         |       CAST(max(s) + ceil(round(avg(gap), 4)) AS BIGINT) AS next_due_s
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q182_covisitation" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, item, s,
+        |         CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+        |), sn AS (
+        |  SELECT user_id, item,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM g
+        |), si AS (
+        |  SELECT DISTINCT user_id || '#' || sess_no AS sid, item FROM sn
+        |)
+        |SELECT a.item AS item_a, b.item AS item_b,
+        |       CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM si a JOIN si b ON a.sid = b.sid AND a.item < b.item
+        |GROUP BY 1, 2
+        |ORDER BY n_sessions DESC, item_a, item_b LIMIT 25""".stripMargin,
 
     "q167_scd2" ->
       """WITH c AS (
