@@ -34,7 +34,7 @@ object SparkEntry {
     graft.queries.EngineQueries.defs ++ graft.queries.ChatQueries.defs ++
     graft.queries.IndexBenchQueries.defs ++ graft.queries.PipelineQueries.defs ++
     graft.queries.TemporalQueries.defs ++ graft.queries.MultimodalQueries.defs ++
-    graft.queries.CorpusQueries.defs
+    graft.queries.CorpusQueries.defs ++ graft.queries.AnalyticsQueries.defs
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -49,5 +49,6 @@ object SparkEntry {
     graft.queries.DedupQueries.oracles ++ graft.queries.TextQueries.oracles ++
     graft.queries.EngineQueries.oracles ++ graft.queries.ChatQueries.oracles ++
     graft.queries.PipelineQueries.oracles ++ graft.queries.TemporalQueries.oracles ++
-    graft.queries.MultimodalQueries.oracles ++ graft.queries.CorpusQueries.oracles
+    graft.queries.MultimodalQueries.oracles ++ graft.queries.CorpusQueries.oracles ++
+    graft.queries.AnalyticsQueries.oracles
 }

@@ -25,6 +25,36 @@ object Augment {
     * md5 of the surviving token sequence. Positions are 1-based (matching
     * SQL lambda indexing).
     */
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): split each
+    * document at two pivots into (prefix, middle, suffix) and emit the
+    * PSM reordering `<PRE>prefix<SUF>suffix<MID>middle`, teaching an
+    * autoregressive model to infill. Pivots are derived from the doc id
+    * by integer arithmetic — one pivot per third of the text — so the
+    * transform is idempotent and engine-portable like [[tokenDropout]]
+    * (an RNG split would make every re-run a different corpus).
+    *
+    * Pure per-row codegen projection (substring + concat): zero
+    * shuffles, scan-bound at 100 TB.
+    */
+  def fim(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val len = length(col(textCol)).cast("long")
+    val third = greatest(expr(s"length(`$textCol`) div 3").cast("long"), lit(1L))
+    // pivots land in the 2nd and 3rd thirds: split1 ∈ [third+1, 2·third]
+    val split1 = third + lit(1L) + pmod(col("_id") * 37L, third)
+    val split2 = third * 2L + lit(1L) + pmod(col("_id") * 53L, third)
+    docs.select(col(idCol).cast("long").as("_id"), col(textCol))
+      .select(col("_id").as("doc_id"),
+        len.as("n_chars"),
+        split1.as("sp1"), split2.as("sp2"),
+        concat(lit("<PRE>"),
+          col(textCol).substr(lit(1L), split1 - 1),
+          lit("<SUF>"),
+          col(textCol).substr(split2, len),
+          lit("<MID>"),
+          col(textCol).substr(split1, split2 - split1)).as("fim"))
+  }
+
   def tokenDropout(docs: DataFrame, idCol: String, textCol: String,
                    outOf: Int): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
