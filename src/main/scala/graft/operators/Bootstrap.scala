@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic bootstrap confidence intervals — the resampling answer
+  * to "how stable is this per-group mean", without an RNG. Each of `b`
+  * replicas reweights every row by 0/1/2 copies using two independent
+  * bits of the engine's portable md5 derivation (mean weight 1, variance
+  * 1/2 — the half-sample-or-double scheme), so any engine and any retry
+  * reproduces the exact same replicas (the [[graft.functions.Splits]] /
+  * Augment discipline: `rand()` resampling is a lineage nightmare).
+  *
+  * Scale shape: one `b`-way explode (map-side, fans out before the ONLY
+  * shuffle, which partial-aggregates to groups×`b` rows), then order
+  * statistics over the `b`-row replica table per group. Nothing driver-
+  * side, no unbounded window — the replica table is metadata-sized.
+  */
+object Bootstrap {
+
+  /** Per `groupCol`: unweighted mean of `valueCol`, plus the 2nd / `b`−1-th
+    * order statistics of the `b` replica means as the CI envelope
+    * (≈ 94% coverage at b=32). Means rounded to 4 dp.
+    */
+  def meanCi(df: DataFrame, groupCol: String, idCol: String,
+             valueCol: String, b: Int = 32): DataFrame = {
+    require(b >= 4, "need at least 4 replicas for the 2nd/(b-1)th envelope")
+    val reps = df
+      .select(col(groupCol), col(idCol), col(valueCol))
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("h",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          col("b").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("w", (col("h") % 2) + (expr("h div 2") % 2))
+    val means = reps.groupBy(col(groupCol), col("b"))
+      .agg((sum(col("w") * col(valueCol)) / sum(col("w"))).as("mb"))
+    val rn = Window.partitionBy(col(groupCol)).orderBy(col("mb"), col("b"))
+    val ranked = means.withColumn("rn", row_number().over(rn))
+    val ci = ranked.groupBy(col(groupCol))
+      .agg(round(min(when(col("rn") === 2, col("mb"))), 4).as("ci_lo"),
+        round(min(when(col("rn") === b - 1, col("mb"))), 4).as("ci_hi"))
+    val base = df.groupBy(col(groupCol))
+      .agg(round(avg(col(valueCol)), 4).as("mean_v"),
+        count(lit(1)).as("n"))
+    base.join(ci, groupCol :: Nil)
+      .select(col(groupCol), col("n"), col("mean_v"), col("ci_lo"), col("ci_hi"))
+  }
+}

@@ -132,7 +132,36 @@ object AnalyticsQueries {
           round(pow(col("v0") / col("n0") + col("v1") / col("n1"), 2)
             / (pow(col("v0") / col("n0"), 2) / (col("n0") - 1)
               + pow(col("v1") / col("n1"), 2) / (col("n1") - 1)), 2).as("df_welch"))
-    })
+    }),
+
+    // Kneser-Ney smoothed bigram LM: top-25 bigrams with interpolated
+    // continuation-count probabilities.
+    "q191_kneser_ney" -> ((s, dir) =>
+      graft.functions.KneserNey.bigramProbs(
+        Tables.documents(s, dir), "text", k = 25)),
+
+    // Markov removal-effect attribution over user journeys (absorb at
+    // first purchase; 12 fixed propagation rounds, oracle-unrolled).
+    "q192_attribution" -> ((s, dir) => {
+      val trans = graft.operators.MarkovAttribution.transitions(
+        Tables.events(s, dir), "user_id", "ts", "event_id",
+        "event_type", convType = "purchase")
+      graft.operators.MarkovAttribution.removalEffects(s, trans)
+    }),
+
+    // Deterministic bootstrap CI of mean event value per type (32
+    // hash-weighted replicas, 2nd/31st order-statistic envelope).
+    "q193_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Bootstrap.meanCi(Tables.events(s, dir),
+          "event_type", "event_id", "value")
+        .orderBy(col("event_type"))),
+
+    // Cross-source quantile normalization of document length onto the
+    // pooled corpus distribution, integer-exact positions.
+    "q194_quantile_norm" -> ((s, dir) =>
+      graft.operators.QuantileNorm.normalize(Tables.documents(s, dir),
+          "source", "doc_id", "n_chars")
+        .orderBy(col("doc_id")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -304,6 +333,117 @@ object AnalyticsQueries {
         |       round((m1d - m0d) / sqrt(v0 / n0 + v1 / n1), 4) AS t_welch,
         |       round(pow(v0 / n0 + v1 / n1, 2)
         |             / (pow(v0 / n0, 2) / (n0 - 1) + pow(v1 / n1, 2) / (n1 - 1)), 2) AS df_welch
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q191_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT u['a'] AS a, u['b'] AS b FROM (
+        |    SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |           i -> {'a': t[i], 'b': t[i+1]})) AS u
+        |    FROM toks)
+        |), cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+        |ctx AS (SELECT a, sum(cab) AS ca, count(*) AS n1r FROM cab GROUP BY a),
+        |cont AS (SELECT b, count(*) AS n1l FROM cab GROUP BY b),
+        |ty AS (SELECT count(*) AS tt FROM cab)
+        |SELECT cab.a, cab.b, CAST(cab.cab AS BIGINT) AS cab,
+        |       round(greatest(cab.cab - 0.75, 0.0) / ctx.ca
+        |             + 0.75 * ctx.n1r / ctx.ca * (CAST(cont.n1l AS DOUBLE) / ty.tt), 6) AS pkn
+        |FROM cab JOIN ctx USING (a) JOIN cont USING (b) CROSS JOIN ty
+        |ORDER BY cab DESC, a, b LIMIT 25""".stripMargin,
+
+    "q192_attribution" -> {
+      // the q183/q67 unrolling discipline: 12 fixed mass-propagation
+      // rounds per chain (base + one removal chain per channel), CTEs
+      // generated mechanically
+      val prolog =
+        """WITH e AS (
+          |  SELECT user_id, event_type, event_id,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          |  FROM events
+          |), c AS (
+          |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+          |              OVER (PARTITION BY user_id) AS cvrn
+          |  FROM e
+          |), k AS (
+          |  SELECT user_id, rn, cvrn,
+          |         CASE WHEN rn = cvrn THEN 'CONV' ELSE event_type END AS state,
+          |         max(rn) OVER (PARTITION BY user_id) AS lastrn
+          |  FROM c WHERE cvrn IS NULL OR rn <= cvrn
+          |), st AS (
+          |  SELECT coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY rn), 'START') AS src,
+          |         state AS dst
+          |  FROM k
+          |  UNION ALL
+          |  SELECT state, 'NULL' FROM k WHERE cvrn IS NULL AND rn = lastrn
+          |), tc AS (SELECT src, dst, count(*) AS n FROM st GROUP BY 1, 2),
+          |tp AS (SELECT src, dst, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p FROM tc),
+          |tb AS (SELECT src, dst, p FROM tp
+          |       UNION ALL SELECT 'CONV', 'CONV', 1.0 UNION ALL SELECT 'NULL', 'NULL', 1.0)""".stripMargin
+      def chain(tag: String, table: String): String =
+        s", m${tag}0 AS (SELECT 'START' AS state, 1.0 AS m)" +
+          (1 to 12).map(i =>
+            s", m$tag$i AS (SELECT t.dst AS state, sum(m.m * t.p) AS m" +
+              s" FROM m$tag${i - 1} m JOIN $table t ON t.src = m.state GROUP BY t.dst)").mkString
+      val channels = Seq("click", "error", "signup", "view")
+      val removals = channels.zipWithIndex.map { case (ch, i) =>
+        s""", t$i AS (SELECT src, CASE WHEN dst = '$ch' THEN 'NULL' ELSE dst END AS dst,
+           |          sum(p) AS p FROM tp WHERE src <> '$ch' GROUP BY 1, 2),
+           |tb$i AS (SELECT src, dst, p FROM t$i
+           |         UNION ALL SELECT 'CONV', 'CONV', 1.0 UNION ALL SELECT 'NULL', 'NULL', 1.0)""".stripMargin +
+          chain(s"r$i", s"tb$i")
+      }.mkString
+      val finals = channels.zipWithIndex.map { case (ch, i) =>
+        s"""SELECT '$ch' AS channel,
+           |  round((SELECT m FROM mb12 WHERE state = 'CONV'), 6) AS p_conv,
+           |  round(coalesce((SELECT m FROM mr${i}12 WHERE state = 'CONV'), 0), 6) AS p_removed,
+           |  round(((SELECT m FROM mb12 WHERE state = 'CONV')
+           |         - coalesce((SELECT m FROM mr${i}12 WHERE state = 'CONV'), 0))
+           |        / (SELECT m FROM mb12 WHERE state = 'CONV'), 6) AS removal_effect""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      prolog + chain("b", "tb") + removals + "\n" + finals + "\nORDER BY channel"
+    },
+
+    "q193_bootstrap_ci" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id, unnest(generate_series(0, 31)) AS b
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, value, b,
+        |         CAST(('0x' || substr(md5(event_id || ':' || b), 1, 15)) AS BIGINT) AS h
+        |  FROM r
+        |), ww AS (SELECT event_type, value, b, (h % 2) + ((h // 2) % 2) AS w FROM w),
+        |mb AS (SELECT event_type, b, sum(w * value) / sum(w) AS mb FROM ww GROUP BY 1, 2),
+        |rk AS (SELECT event_type, b, mb,
+        |       row_number() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn FROM mb),
+        |ci AS (SELECT event_type,
+        |       round(min(CASE WHEN rn = 2 THEN mb END), 4) AS ci_lo,
+        |       round(min(CASE WHEN rn = 31 THEN mb END), 4) AS ci_hi
+        |       FROM rk GROUP BY 1),
+        |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         round(avg(value), 4) AS mean_v FROM events GROUP BY 1)
+        |SELECT base.event_type, base.n, base.mean_v, ci.ci_lo, ci.ci_hi
+        |FROM base JOIN ci USING (event_type) ORDER BY event_type""".stripMargin,
+
+    "q194_quantile_norm" ->
+      """WITH rws AS (SELECT source, doc_id, n_chars FROM documents),
+        |tot AS (SELECT count(*) AS n_all FROM rws),
+        |sn AS (SELECT source, count(*) AS n_src FROM rws GROUP BY 1),
+        |rk AS (SELECT source, doc_id, n_chars,
+        |       row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rank_src
+        |       FROM rws),
+        |grid AS (SELECT n_chars AS v, count(*) AS c FROM rws GROUP BY 1),
+        |g2 AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum_hi,
+        |       sum(c) OVER (ORDER BY v) - c + 1 AS cum_lo FROM grid),
+        |p AS (SELECT rk.source, rk.doc_id, rk.n_chars, rk.rank_src, sn.n_src,
+        |      CASE WHEN sn.n_src = 1 THEN (tot.n_all + 1) // 2
+        |           ELSE ((rk.rank_src - 1) * (tot.n_all - 1)) // (sn.n_src - 1) + 1 END AS p
+        |      FROM rk JOIN sn USING (source) CROSS JOIN tot)
+        |SELECT p.source, p.doc_id, p.n_chars, CAST(p.rank_src AS BIGINT) AS rank_src,
+        |       CAST(p.n_src AS BIGINT) AS n_src, g2.v AS norm_value
+        |FROM p JOIN g2 ON p.p >= g2.cum_lo AND p.p <= g2.cum_hi
+        |ORDER BY doc_id""".stripMargin
   )
 }
