@@ -18,16 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Covisitation {
 
-  /** Top-k item pairs by distinct-session support. Output: `item_a` <
-    * `item_b`, `n_sessions`.
+  /** The per-session DISTINCT item sets — (sid, item) — shared by the
+    * pair miner below and the association-rule statistics
+    * ([[AssociationRules]]).
     */
-  def topPairs(events: DataFrame, userCol: String, tsCol: String,
-               tieCol: String, itemCol: String,
-               gapSec: Long, k: Int): DataFrame = {
+  def sessionItems(events: DataFrame, userCol: String, tsCol: String,
+                   tieCol: String, itemCol: String, gapSec: Long): DataFrame = {
     val ts = graft.core.Tables.requireTimestamp(events, tsCol)
     val secs = (unix_micros(col(tsCol)) / 1000000L).cast("long")
     val w = Window.partitionBy(col(userCol)).orderBy(col("s"), col(tieCol))
-    val sess = ts
+    ts
       .select(col(userCol), col(tieCol), col(itemCol).as("item"), secs.as("s"))
       .withColumn("prev", lag(col("s"), 1).over(w))
       .withColumn("new_sess",
@@ -37,7 +37,15 @@ object Covisitation {
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(concat_ws("#", col(userCol), col("sess_no")).as("sid"), col("item"))
       .distinct()
+  }
 
+  /** Top-k item pairs by distinct-session support. Output: `item_a` <
+    * `item_b`, `n_sessions`.
+    */
+  def topPairs(events: DataFrame, userCol: String, tsCol: String,
+               tieCol: String, itemCol: String,
+               gapSec: Long, k: Int): DataFrame = {
+    val sess = sessionItems(events, userCol, tsCol, tieCol, itemCol, gapSec)
     sess.as("a").join(sess.as("b"),
         col("a.sid") === col("b.sid") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))

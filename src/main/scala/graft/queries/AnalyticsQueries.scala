@@ -161,7 +161,17 @@ object AnalyticsQueries {
     "q194_quantile_norm" -> ((s, dir) =>
       graft.operators.QuantileNorm.normalize(Tables.documents(s, dir),
           "source", "doc_id", "n_chars")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Directed association rules (confidence + lift) over the q182
+    // session baskets — min co-session support 2, top-40 by lift.
+    "q195_assoc_rules" -> ((s, dir) =>
+      graft.operators.AssociationRules.rules(
+        Tables.events(s, dir)
+          .withColumn("item",
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")),
+        "user_id", "ts", "event_id", "item",
+        gapSec = 1800L, minSupport = 2L, k = 40))
   )
 
   def oracles: Map[String, String] = Map(
@@ -444,6 +454,40 @@ object AnalyticsQueries {
         |SELECT p.source, p.doc_id, p.n_chars, CAST(p.rank_src AS BIGINT) AS rank_src,
         |       CAST(p.n_src AS BIGINT) AS n_src, g2.v AS norm_value
         |FROM p JOIN g2 ON p.p >= g2.cum_lo AND p.p <= g2.cum_hi
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q195_assoc_rules" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, item, s,
+        |         CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+        |), sn AS (
+        |  SELECT user_id, item,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM g
+        |), si AS (
+        |  SELECT DISTINCT user_id || '#' || sess_no AS sid, item FROM sn
+        |), isup AS (SELECT item, count(*) AS n_item FROM si GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT sid) AS n_total FROM si),
+        |pr AS (
+        |  SELECT a.item AS antecedent, b.item AS consequent, count(*) AS n_ab
+        |  FROM si a JOIN si b ON a.sid = b.sid AND a.item <> b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT pr.antecedent, pr.consequent, CAST(pr.n_ab AS BIGINT) AS n_ab,
+        |       CAST(ia.n_item AS BIGINT) AS n_a, CAST(ib.n_item AS BIGINT) AS n_b,
+        |       CAST(tot.n_total AS BIGINT) AS n_total,
+        |       round(CAST(pr.n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+        |       round(CAST(pr.n_ab AS DOUBLE) * tot.n_total / (ia.n_item * ib.n_item), 6) AS lift
+        |FROM pr JOIN isup ia ON pr.antecedent = ia.item
+        |        JOIN isup ib ON pr.consequent = ib.item CROSS JOIN tot
+        |ORDER BY lift DESC, confidence DESC, antecedent, consequent LIMIT 40""".stripMargin
   )
 }
