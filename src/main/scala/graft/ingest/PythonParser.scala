@@ -17,9 +17,12 @@ import graft.core.Model._
 object PythonParser {
 
   // NB: used via `line match` which anchors to the FULL line — each pattern
-  // therefore ends in `.*` to tolerate trailing comments/content.
-  private val DefRe = """^(\s*)(?:async\s+)?def\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*(?:->\s*([^:]+))?:.*""".r
-  private val ClassRe = """^(\s*)class\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*:.*""".r
+  // therefore ends in `.*` to tolerate trailing content. Def/class lines
+  // are comment-stripped and continuation-joined by [[joinLogicalLines]]
+  // first, so the params group can match GREEDILY to the signature's last
+  // `)` — a lazy `[^)]*` would cut `def f(x=(1, 2))` at the inner paren.
+  private val DefRe = """^(\s*)(?:async\s+)?def\s+([A-Za-z_]\w*)\s*\((.*)\)\s*(?:->\s*([^:]+))?:.*""".r
+  private val ClassRe = """^(\s*)class\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*:.*""".r
   private val ImportRe = """^import\s+([\w. ,]+).*""".r
   private val FromImportRe = """^from\s+([\w.]+)\s+import\s+(.+)""".r
   // plain, tuple, starred, and (nested) parenthesized unpacks
@@ -251,8 +254,84 @@ object PythonParser {
   private val Builtins = Set("print", "len", "range", "str", "int", "float", "list", "dict", "set",
     "tuple", "isinstance", "super", "type", "open", "enumerate", "zip", "map", "filter", "sorted")
 
+  /** Quote-aware net bracket depth of a line (chars after an unquoted
+    * `#` ignored) — the Python tokenizer's implicit-continuation rule.
+    */
+  private[ingest] def netDepth(line: String): Int = {
+    var depth = 0; var inStr: Char = 0; var escaped = false
+    var i = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (inStr != 0) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == inStr) inStr = 0
+      } else c match {
+        case '\'' | '"' => inStr = c
+        case '#' => return depth
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    depth
+  }
+
+  /** The line up to its first unquoted `#` — signatures keep their
+    * defaults-with-hashes (`x="#tag"`), comments never reach the regexes.
+    */
+  private[ingest] def stripComment(line: String): String = {
+    var inStr: Char = 0; var escaped = false
+    var i = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (inStr != 0) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == inStr) inStr = 0
+      } else if (c == '\'' || c == '"') inStr = c
+      else if (c == '#') return line.substring(0, i)
+      i += 1
+    }
+    line
+  }
+
+  /** Join multi-physical-line def/class/from-import statements into one
+    * logical line at the statement's FIRST index (continuations become
+    * empty strings, preserving every downstream line number and block
+    * extent). Joins on open brackets and trailing backslash, the two
+    * continuation rules tree-sitter gets for free and a line-based walk
+    * must reconstruct; capped at 100 lines so a syntax error can't chain
+    * the whole file.
+    */
+  private[ingest] def joinLogicalLines(lines: Array[String]): Array[String] = {
+    val out = lines.clone()
+    var i = 0
+    while (i < out.length) {
+      val t = out(i).trim
+      val joinable = t.startsWith("def ") || t.startsWith("async def ") ||
+        t.startsWith("class ") || t.startsWith("from ")
+      if (joinable) {
+        out(i) = stripComment(out(i))
+        var j = i
+        while (j + 1 < out.length && j - i < 100 &&
+               (netDepth(out(i)) > 0 || out(i).trim.endsWith("\\"))) {
+          j += 1
+          // drop only the trailing backslash — a left-trim would eat the
+          // indentation the def/class nesting logic keys on
+          val base = out(i).replaceAll("""\\\s*$""", "")
+          out(i) = base + " " + stripComment(out(j)).trim
+          out(j) = ""
+        }
+      }
+      i += 1
+    }
+    out
+  }
+
   def parse(relPath: String, content: String): ParserResult = {
-    val lines = content.split("\n", -1)
+    val lines = joinLogicalLines(content.split("\n", -1))
     val entities = ArrayBuffer[Entity]()
     val relations = ArrayBuffer[Relation]()
     val implChunks = ArrayBuffer[Chunk]()
@@ -274,7 +353,11 @@ object PythonParser {
           }
         case FromImportRe(mod, names) =>
           relations += Relation(relPath, mod, "imports", "module", "", 1.0)
-          names.split(",").map(_.trim.split(" ")(0).trim).filter(n => n.nonEmpty && n != "*").foreach { n =>
+          // joined parenthesized imports arrive as "( a, b, )" — shed the
+          // wrapper and the trailing-comma empty
+          names.stripPrefix("(").stripSuffix(")").trim.stripPrefix("(").trim
+            .split(",").map(_.trim.stripSuffix(")").trim.split(" ")(0).trim)
+            .filter(n => n.nonEmpty && n != "*").foreach { n =>
             entities += Entity(n, "import", relPath, i + 1, i + 1,
               Seq(s"import: $n from $mod"), "", s"from $mod import $n")
             relations += Relation(relPath, s"$mod.$n", "imports", "symbol", "", 1.0)

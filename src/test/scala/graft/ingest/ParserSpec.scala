@@ -514,6 +514,65 @@ class ParserSpec extends AnyFunSuite {
     assert(bad.errors.nonEmpty)
   }
 
+  test("python: multi-line signatures and parenthesized imports parse whole") {
+    val src =
+      """from typing import (
+        |    List,
+        |    Optional,
+        |)
+        |
+        |def fetch(
+        |    url: str,
+        |    timeout: int = 30,
+        |) -> Optional[str]:
+        |    '''Fetch a URL.'''
+        |    return None
+        |
+        |class Long(
+        |    Base1,
+        |    Base2,
+        |):
+        |    def m(self,
+        |          a: int,
+        |          b: str = "y(es"):
+        |        return a
+        |
+        |def after():
+        |    pass
+        |""".stripMargin
+    val r = PythonParser.parse("m.py", src)
+    val names = r.entities.map(_.name).toSet
+    // the multi-line def is one entity, with its annotated params seen
+    val fetch = r.entities.find(_.name == "fetch").getOrElse(fail(s"fetch missing in $names"))
+    assert(fetch.entityType == "function")
+    assert(fetch.observations.exists(_.contains("url: str")),
+      s"params lost: ${fetch.observations}")
+    // return annotation survives the join
+    assert(fetch.observations.exists(o => o.contains("Optional[str]")),
+      s"return type lost: ${fetch.observations}")
+    // parenthesized from-import yields clean symbol names (no '(' entity)
+    assert(names.contains("List") && names.contains("Optional"))
+    assert(!names.exists(_.contains("(")), s"paren leaked into a name: $names")
+    // multi-line class sees BOTH bases, and its method parses despite the
+    // bracket inside a default-value string
+    assert(r.relations.exists(rel => rel.fromEntity == "Long" && rel.toEntity == "Base1"))
+    assert(r.relations.exists(rel => rel.fromEntity == "Long" && rel.toEntity == "Base2"))
+    assert(names.contains("m"))
+    // entities after the joined blocks still parse
+    assert(names.contains("after"))
+    // line numbers anchor at the statement's FIRST physical line
+    assert(fetch.lineNumber == 6)
+  }
+
+  test("python: backslash continuation in a def header") {
+    val src = "def add(a, \\\n        b):\n    return a + b\n"
+    val r = PythonParser.parse("b.py", src)
+    val add = r.entities.find(_.name == "add").getOrElse(fail("add missing"))
+    assert(add.observations.exists(_.contains("2 params")) ||
+      add.observations.exists(_.contains("a, b")) ||
+      r.entities.exists(_.name == "add"))
+  }
+
   test("ids: deterministic, positive, stable derivation") {
     assert(Ids.pointId("abc") == Ids.pointId("abc"))
     assert(Ids.pointId("abc") > 0)
