@@ -171,7 +171,14 @@ object AnalyticsQueries {
           .withColumn("item",
             regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")),
         "user_id", "ts", "event_id", "item",
-        gapSec = 1800L, minSupport = 2L, k = 40))
+        gapSec = 1800L, minSupport = 2L, k = 40)),
+
+    // Jaro-Winkler record linkage over part names blocked by brand —
+    // the native codegen comparator vs DuckDB's built-in.
+    "q196_jaro_linkage" -> ((s, dir) =>
+      graft.dedup.JaroLinkage.report(Tables.part(s, dir),
+          "p_partkey", "p_name", col("p_brand"))
+        .orderBy(col("block")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -488,6 +495,24 @@ object AnalyticsQueries {
         |       round(CAST(pr.n_ab AS DOUBLE) * tot.n_total / (ia.n_item * ib.n_item), 6) AS lift
         |FROM pr JOIN isup ia ON pr.antecedent = ia.item
         |        JOIN isup ib ON pr.consequent = ib.item CROSS JOIN tot
-        |ORDER BY lift DESC, confidence DESC, antecedent, consequent LIMIT 40""".stripMargin
+        |ORDER BY lift DESC, confidence DESC, antecedent, consequent LIMIT 40""".stripMargin,
+
+    "q196_jaro_linkage" ->
+      """WITH x AS (
+        |  SELECT p_brand AS block, p_partkey, p_name,
+        |         lag(p_name) OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey) AS prev
+        |  FROM part
+        |), s AS (
+        |  SELECT block,
+        |         CASE WHEN prev IS NOT NULL
+        |              THEN round(jaro_winkler_similarity(p_name, prev), 6) END AS jw
+        |  FROM x
+        |)
+        |SELECT block, CAST(count(*) AS BIGINT) AS n_recs,
+        |       CAST(count(jw) AS BIGINT) AS n_pairs,
+        |       CAST(sum(CASE WHEN jw >= 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_match_lo,
+        |       CAST(sum(CASE WHEN jw >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_match_hi,
+        |       max(jw) AS max_jw
+        |FROM s GROUP BY block ORDER BY block""".stripMargin
   )
 }

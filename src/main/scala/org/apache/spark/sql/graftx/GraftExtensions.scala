@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedIntersectAtLeast(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
+        JaroWinklerSim(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => {

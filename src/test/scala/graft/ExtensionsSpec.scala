@@ -34,6 +34,9 @@ class ExtensionsSpec extends AnyFunSuite {
     val inter = spark.sql(
       "SELECT sorted_intersect_size(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n").head().getInt(0)
     assert(inter == 2)
+    val jw = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS j").head().getDouble(0)
+    assert(math.abs(jw - 0.961111) < 1e-6)
   }
 
   test("sorted_intersect_at_least: interpreted == codegen on abort, exact, and boundary paths") {
