@@ -178,7 +178,13 @@ object AnalyticsQueries {
     "q196_jaro_linkage" -> ((s, dir) =>
       graft.dedup.JaroLinkage.report(Tables.part(s, dir),
           "p_partkey", "p_name", col("p_brand"))
-        .orderBy(col("block")))
+        .orderBy(col("block"))),
+
+    // Detrended weekday seasonality (7-day centered MA, integer devs).
+    "q197_weekday_seasonal" -> ((s, dir) =>
+      graft.operators.SeasonalDecompose.weekday(Tables.events(s, dir),
+          "event_type", "ts")
+        .orderBy(col("event_type"), col("dow")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -513,6 +519,24 @@ object AnalyticsQueries {
         |       CAST(sum(CASE WHEN jw >= 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_match_lo,
         |       CAST(sum(CASE WHEN jw >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_match_hi,
         |       max(jw) AS max_jw
-        |FROM s GROUP BY block ORDER BY block""".stripMargin
+        |FROM s GROUP BY block ORDER BY block""".stripMargin,
+
+    "q197_weekday_seasonal" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, day, x,
+        |         sum(x) OVER w AS s7, count(*) OVER w AS n7
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |)
+        |SELECT event_type, CAST(day % 7 AS BIGINT) AS dow,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       round(CAST(sum(7 * x - s7) AS DOUBLE) / (7.0 * count(*)), 4) AS seasonal_dev,
+        |       round(CAST(sum(x) AS DOUBLE) / count(*), 4) AS mean_x
+        |FROM t WHERE n7 = 7
+        |GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin
   )
 }
