@@ -168,8 +168,7 @@ object AnalyticsQueries {
     "q195_assoc_rules" -> ((s, dir) =>
       graft.operators.AssociationRules.rules(
         Tables.events(s, dir)
-          .withColumn("item",
-            regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")),
+          .withColumn("item", Tables.extractLongProp(col("props"), "k")),
         "user_id", "ts", "event_id", "item",
         gapSec = 1800L, minSupport = 2L, k = 40)),
 

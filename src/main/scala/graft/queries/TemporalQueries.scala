@@ -54,8 +54,7 @@ object TemporalQueries {
     "q182_covisitation" -> ((s, dir) =>
       graft.operators.Covisitation.topPairs(
         Tables.events(s, dir)
-          .withColumn("item",
-            regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")),
+          .withColumn("item", Tables.extractLongProp(col("props"), "k")),
         "user_id", "ts", "event_id", "item", gapSec = 1800L, k = 25)),
 
     // SCD2 dimension build: the events log compressed to per-user state
