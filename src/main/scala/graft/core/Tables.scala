@@ -86,5 +86,26 @@ object Tables {
     nullif(regexp_extract(props, "\"" + key + "\": (\\d+)", 1), lit("")).cast("long")
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** The r7 TIMESTAMP_NTZ incident, applied forward: a regenerated
+    * embeddings.parquet could plausibly arrive as `array<double>` (or a
+    * 32-bit label) and would kill every ANN/dedup gate at ANALYSIS time.
+    * Normalize the vector to `array<float>` and the label to int here,
+    * in the one place that knows the layout.
+    */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = table(spark, sfDir, "embeddings")
+    val vecNorm = raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(_, _) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other => throw new IllegalArgumentException(
+        s"embeddings.embedding must be an array column; got $other")
+    }
+    vecNorm.schema("label").dataType match {
+      case IntegerType => vecNorm
+      case _ => vecNorm.withColumn("label", col("label").cast(IntegerType))
+    }
+  }
 }

@@ -59,6 +59,24 @@ class TablesSpec extends SparkSpec {
     assert(dim > 0, "embeddings must carry a non-empty vector column")
   }
 
+  test("embeddings normalize to array<float> + int label even if the writer drifts") {
+    assume(haveData, s"$sfDir not present")
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(emb.schema("embedding").dataType === ArrayType(FloatType, containsNull = true)
+      || emb.schema("embedding").dataType === ArrayType(FloatType, containsNull = false),
+      s"got ${emb.schema("embedding").dataType}")
+    assert(emb.schema("label").dataType === IntegerType)
+    // a double-typed regeneration must normalize through the same loader path
+    val tmp = java.nio.file.Files.createTempDirectory("emb_drift").toString
+    import spark.implicits._
+    Seq((1L, Seq(0.5d, 0.25d), 3L)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val drifted = Tables.embeddings(spark, tmp)
+    assert(drifted.schema("embedding").dataType.asInstanceOf[ArrayType].elementType === FloatType)
+    assert(drifted.schema("label").dataType === IntegerType)
+    assert(drifted.select(element_at(col("embedding"), 1)).collect()(0).getFloat(0) == 0.5f)
+  }
+
   test("normalizeTimestamp: INT64-nanos-as-long, NTZ-us and LTZ-us encodings of the same data normalize to identical rows") {
     import spark.implicits._
     val base = Seq(
