@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mann-Whitney U rank-sum test (Mann & Whitney 1947; Wilcoxon 1945) —
+  * the non-parametric twin of the q190 Welch t: "does variant B's value
+  * distribution stochastically dominate A's", robust to the heavy tails
+  * and outliers that wreck a means test on raw metrics.
+  *
+  * Numeric discipline: ranks come from the DISTINCT-VALUE grid (q118 —
+  * raw rows are never globally sorted); midranks are exact multiples of
+  * ½ and every partial rank-sum stays an exactly-representable multiple
+  * of ½ below 2^53, so the sum is order-independent across engines and
+  * partitions (the same argument as the integer sufficient statistics,
+  * extended to halves). The tie-corrected normal approximation is one
+  * float formula at the output edge.
+  */
+object RankTests {
+
+  /** One-row Mann-Whitney report for `valueCol` split by boolean-ish
+    * `groupCol` (0 vs 1): group sizes, rank sum and U for group 1, the
+    * tie-corrected z (4 dp), and the common-language effect size
+    * `U1/(n0·n1)` (4 dp).
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).cast("int").as("g"),
+      col(valueCol).cast("double").as("v"))
+    // distinct-value grid with per-group counts and midranks
+    val grid = rows.groupBy(col("v"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"))
+    val byV = Window.orderBy(col("v")) // grid-sized single-task window
+    val ranked = grid
+      .withColumn("cumBefore",
+        coalesce(sum(col("c")).over(byV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("midrank", col("cumBefore") + (col("c") + 1).cast("double") / 2)
+    val agg = ranked.agg(
+      sum(col("c")).as("nTot"),
+      sum(col("c1")).as("n1"),
+      sum(col("midrank") * col("c1")).as("r1"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tieSum"))
+    agg.select(
+        (col("nTot") - col("n1")).as("n0"), col("n1"), col("r1"), col("nTot"),
+        col("tieSum"))
+      .select(col("n0"), col("n1"),
+        (col("r1") - col("n1").cast("double") * (col("n1") + 1) / 2).as("u1d"),
+        col("nTot"), col("tieSum"), col("r1"))
+      .withColumn("_var",
+        col("n0").cast("double") * col("n1") / 12
+          * ((col("nTot") + 1)
+            - col("tieSum").cast("double") / (col("nTot") * (col("nTot") - 1))))
+      .select(col("n0"), col("n1"),
+        col("r1").as("rank_sum_1"),
+        col("u1d").as("u1"),
+        // degenerate inputs (all-tied values, an empty group) zero the
+        // variance — NULL, not an ANSI divide-by-zero
+        when(col("_var") > 0,
+          round((col("u1d") - col("n0").cast("double") * col("n1") / 2)
+            / sqrt(col("_var")), 4)).as("z"),
+        when(col("n0") > 0 && col("n1") > 0,
+          round(col("u1d") / (col("n0").cast("double") * col("n1")), 4)).as("effect"))
+  }
+}

@@ -183,7 +183,25 @@ object AnalyticsQueries {
     "q197_weekday_seasonal" -> ((s, dir) =>
       graft.operators.SeasonalDecompose.weekday(Tables.events(s, dir),
           "event_type", "ts")
-        .orderBy(col("event_type"), col("dow")))
+        .orderBy(col("event_type"), col("dow"))),
+
+    // Theil-Sen robust slope: median pairwise slope over the day grid.
+    "q198_theil_sen" -> ((s, dir) =>
+      graft.operators.RobustStats.theilSen(Tables.events(s, dir),
+          "event_type", "ts")
+        .orderBy(col("event_type"))),
+
+    // CUSUM changepoint: integer n·prefix−k·total peak per event type.
+    "q199_changepoint" -> ((s, dir) =>
+      graft.operators.RobustStats.cusumChangepoint(Tables.events(s, dir),
+          "event_type", "ts")
+        .orderBy(col("event_type"))),
+
+    // Mann-Whitney U between user-parity variants on event value.
+    "q200_mann_whitney" -> ((s, dir) =>
+      graft.operators.RankTests.mannWhitney(
+        Tables.events(s, dir).withColumn("g", col("user_id") % 2),
+        "g", "value"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -536,6 +554,81 @@ object AnalyticsQueries {
         |       round(CAST(sum(7 * x - s7) AS DOUBLE) / (7.0 * count(*)), 4) AS seasonal_dev,
         |       round(CAST(sum(x) AS DOUBLE) / count(*), 4) AS mean_x
         |FROM t WHERE n7 = 7
-        |GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin
+        |GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin,
+
+    "q198_theil_sen" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.event_type, a.day AS d1, b.day AS d2,
+        |         CAST(b.x - a.x AS DOUBLE) / (b.day - a.day) AS slope
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY slope, d1, d2) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS np
+        |  FROM p
+        |)
+        |SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+        |       round(avg(slope), 6) AS slope_ts
+        |FROM r WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q199_changepoint" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, day,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |         sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+        |         count(*) OVER (PARTITION BY event_type) AS n,
+        |         sum(x) OVER (PARTITION BY event_type) AS total
+        |  FROM d
+        |), sc AS (
+        |  SELECT *, abs(n * prefix - k * total) AS absd,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY abs(n * prefix - k * total) DESC, day) AS rn
+        |  FROM s
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(day AS BIGINT) AS cp_day,
+        |       CAST(k AS BIGINT) AS cp_index, CAST(absd AS BIGINT) AS cusum_peak,
+        |       round(CAST(absd AS DOUBLE) / (CAST(n AS DOUBLE) * total), 6) AS peak_share
+        |FROM sc WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q200_mann_whitney" ->
+      """WITH r AS (SELECT CAST(user_id % 2 AS INT) AS g, value AS v FROM events),
+        |grid AS (
+        |  SELECT v, count(*) AS c,
+        |         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM r GROUP BY v
+        |), rk AS (
+        |  SELECT v, c, c1,
+        |         coalesce(sum(c) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumBefore
+        |  FROM grid
+        |), m AS (
+        |  SELECT cumBefore + (c + 1.0) / 2 AS midrank, c, c1 FROM rk
+        |), a AS (
+        |  SELECT sum(c) AS nTot, sum(c1) AS n1, sum(midrank * c1) AS r1,
+        |         sum(c * c * c - c) AS tieSum
+        |  FROM m
+        |)
+        |, v AS (
+        |  SELECT *, CAST(nTot - n1 AS DOUBLE) * n1 / 12
+        |            * ((nTot + 1) - CAST(tieSum AS DOUBLE) / (nTot * (nTot - 1))) AS var
+        |  FROM a
+        |)
+        |SELECT CAST(nTot - n1 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |       r1 AS rank_sum_1,
+        |       r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2 AS u1,
+        |       CASE WHEN var > 0 THEN
+        |         round((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2
+        |                - CAST(nTot - n1 AS DOUBLE) * n1 / 2) / sqrt(var), 4) END AS z,
+        |       CASE WHEN nTot - n1 > 0 AND n1 > 0 THEN
+        |         round((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
+        |               / (CAST(nTot - n1 AS DOUBLE) * n1), 4) END AS effect
+        |FROM v""".stripMargin
   )
 }
