@@ -7,7 +7,11 @@ import graft.core.Tables
 /** Analytics-pipeline operators gated round 8: graph cores (q183),
   * TextRank keyphrases (q184), readability (q185), EWMA smoothing
   * (q186), fill-in-the-middle augmentation (q187), Benford audit
-  * (q188), l-diversity (q189), and A/B hypothesis tests (q190).
+  * (q188), l-diversity (q189), A/B hypothesis tests (q190), Kneser-Ney
+  * LM (q191), Markov attribution (q192), bootstrap CIs (q193),
+  * quantile normalization (q194), association rules (q195),
+  * Jaro-Winkler linkage (q196), weekday seasonality (q197), Theil-Sen
+  * (q198), CUSUM changepoints (q199), and Mann-Whitney U (q200).
   *
   * Numeric discipline throughout: counts stay integer, distinct counts
   * are exact, float formulas are written in the SAME shape on both
@@ -86,10 +90,9 @@ object AnalyticsQueries {
     // degenerate here, every user converts and the pooled-variance z
     // denominator is exactly 0, which ANSI mode turns into a
     // DIVIDE_BY_ZERO even for doubles). Two-proportion z on conversion
-    // + Welch's t on
-    // per-user event counts, all from exact integer sufficient
-    // statistics (Σx, Σx² as int64 — no Welford fold, no order
-    // dependence), formulas applied once at the output edge.
+    // + Welch's t on per-user event counts, all from exact integer
+    // sufficient statistics (Σx, Σx² as int64 — no Welford fold, no
+    // order dependence), formulas applied once at the output edge.
     "q190_abtest" -> ((s, dir) => {
       val u = Tables.events(s, dir)
         .groupBy(col("user_id"))
@@ -149,8 +152,8 @@ object AnalyticsQueries {
       graft.operators.MarkovAttribution.removalEffects(s, trans)
     }),
 
-    // Deterministic bootstrap CI of mean event value per type (32
-    // hash-weighted replicas, 2nd/31st order-statistic envelope).
+    // Deterministic bootstrap CI of mean event value per type (30
+    // hash-weighted replicas, 2nd/29th order-statistic envelope).
     "q193_bootstrap_ci" -> ((s, dir) =>
       graft.operators.Bootstrap.meanCi(Tables.events(s, dir),
           "event_type", "event_id", "value")
@@ -447,20 +450,28 @@ object AnalyticsQueries {
     },
 
     "q193_bootstrap_ci" ->
-      """WITH r AS (
-        |  SELECT event_type, value, event_id, unnest(generate_series(0, 31)) AS b
+      """WITH h AS (
+        |  SELECT event_type, value, event_id,
+        |         CAST(('0x' || substr(md5(event_id || ':0'), 1, 15)) AS BIGINT) AS h0,
+        |         CAST(('0x' || substr(md5(event_id || ':1'), 1, 15)) AS BIGINT) AS h1
         |  FROM events
-        |), w AS (
+        |), r AS (
+        |  SELECT event_type, value, h0, h1, unnest(generate_series(0, 29)) AS b
+        |  FROM h
+        |), ww AS (
         |  SELECT event_type, value, b,
-        |         CAST(('0x' || substr(md5(event_id || ':' || b), 1, 15)) AS BIGINT) AS h
+        |         ((CASE WHEN b < 15 THEN h0 ELSE h1 END
+        |           // (1::BIGINT << ((b % 15) * 2))) % 2)
+        |         + ((CASE WHEN b < 15 THEN h0 ELSE h1 END
+        |           // (1::BIGINT << ((b % 15) * 2 + 1))) % 2) AS w
         |  FROM r
-        |), ww AS (SELECT event_type, value, b, (h % 2) + ((h // 2) % 2) AS w FROM w),
+        |),
         |mb AS (SELECT event_type, b, sum(w * value) / sum(w) AS mb FROM ww GROUP BY 1, 2),
         |rk AS (SELECT event_type, b, mb,
         |       row_number() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn FROM mb),
         |ci AS (SELECT event_type,
         |       round(min(CASE WHEN rn = 2 THEN mb END), 4) AS ci_lo,
-        |       round(min(CASE WHEN rn = 31 THEN mb END), 4) AS ci_hi
+        |       round(min(CASE WHEN rn = 29 THEN mb END), 4) AS ci_hi
         |       FROM rk GROUP BY 1),
         |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |         round(avg(value), 4) AS mean_v FROM events GROUP BY 1)
