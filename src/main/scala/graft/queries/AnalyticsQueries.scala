@@ -204,7 +204,19 @@ object AnalyticsQueries {
     "q200_mann_whitney" -> ((s, dir) =>
       graft.operators.RankTests.mannWhitney(
         Tables.events(s, dir).withColumn("g", col("user_id") % 2),
-        "g", "value"))
+        "g", "value")),
+
+    // Chi-square independence: event mix (type) × user-parity variant.
+    "q201_chi2_indep" -> ((s, dir) =>
+      graft.operators.Contingency.chiSquare(
+        Tables.events(s, dir).withColumn("variant", col("user_id") % 2),
+        "event_type", "variant")),
+
+    // Gini concentration of document length per source.
+    "q202_gini" -> ((s, dir) =>
+      graft.operators.Gini.coefficient(Tables.documents(s, dir),
+          "source", "n_chars")
+        .orderBy(col("source")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -640,6 +652,57 @@ object AnalyticsQueries {
         |       CASE WHEN nTot - n1 > 0 AND n1 > 0 THEN
         |         round((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
         |               / (CAST(nTot - n1 AS DOUBLE) * n1), 4) END AS effect
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+
+    "q201_chi2_indep" ->
+      """WITH cells AS (
+        |  SELECT event_type AS r, user_id % 2 AS c, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), rm AS (SELECT r, sum(n) AS nr FROM cells GROUP BY 1),
+        |cm AS (SELECT c, sum(n) AS nc FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn, count(DISTINCT r) AS nrows,
+        |        count(DISTINCT c) AS ncols FROM cells),
+        |dense AS (
+        |  SELECT rm.r, cm.c, rm.nr, cm.nc, coalesce(cells.n, 0) AS n
+        |  FROM rm CROSS JOIN cm LEFT JOIN cells USING (r, c)
+        |),
+        |sc AS (
+        |  SELECT tot.nrows, tot.ncols, tot.nn,
+        |         pow(dense.n - CAST(dense.nr AS DOUBLE) * dense.nc / tot.nn, 2)
+        |           / (CAST(dense.nr AS DOUBLE) * dense.nc / tot.nn) AS part
+        |  FROM dense CROSS JOIN tot
+        |)
+        |SELECT CAST(nrows AS BIGINT) AS nrows, CAST(ncols AS BIGINT) AS ncols,
+        |       CAST(nn AS BIGINT) AS n,
+        |       round(sum(part), 4) AS chi2,
+        |       CAST((nrows - 1) * (ncols - 1) AS BIGINT) AS dof,
+        |       CASE WHEN least(nrows, ncols) > 1 THEN
+        |         round(sqrt(sum(part) / (nn * (least(nrows, ncols) - 1))), 4) END AS cramers_v
+        |FROM sc GROUP BY nrows, ncols, nn""".stripMargin,
+
+    "q202_gini" ->
+      """WITH grid AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT source, v, c,
+        |         coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumBefore
+        |  FROM grid
+        |), a AS (
+        |  SELECT source, sum(c) AS n, sum(c * v) AS t,
+        |         sum(v * (c * cumBefore + c * (c + 1) // 2)) AS s
+        |  FROM rk GROUP BY 1
+        |), bh AS (
+        |  SELECT rk.source,
+        |         sum(greatest(0, least(rk.c, a.n // 2 - rk.cumBefore)) * rk.v) AS bh
+        |  FROM rk JOIN a USING (source) GROUP BY 1
+        |)
+        |SELECT a.source, CAST(a.n AS BIGINT) AS n_items, CAST(a.t AS BIGINT) AS total,
+        |       CASE WHEN a.t > 0 AND a.n > 0 THEN
+        |         round(2.0 * a.s / (CAST(a.n AS DOUBLE) * a.t)
+        |               - CAST(a.n + 1 AS DOUBLE) / a.n, 6) END AS gini,
+        |       CASE WHEN a.t > 0 THEN round(CAST(bh.bh AS DOUBLE) / a.t, 6) END AS bottom_half_share
+        |FROM a JOIN bh USING (source) ORDER BY a.source""".stripMargin
   )
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ContingencySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("independent margins give chi2 = 0 exactly") {
+    // perfectly proportional 2x2: (a,0)=10 (a,1)=20 (b,0)=30 (b,1)=60
+    val rows = Seq.fill(10)(("a", 0)) ++ Seq.fill(20)(("a", 1)) ++
+      Seq.fill(30)(("b", 0)) ++ Seq.fill(60)(("b", 1))
+    val r = Contingency.chiSquare(rows.toDF("r", "c"), "r", "c").collect().head
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Double]("cramers_v") == 0.0)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Long]("n") == 120L)
+  }
+
+  test("perfect association maxes Cramér's V at 1") {
+    val rows = Seq.fill(25)(("a", 0)) ++ Seq.fill(25)(("b", 1))
+    val r = Contingency.chiSquare(rows.toDF("r", "c"), "r", "c").collect().head
+    assert(r.getAs[Double]("cramers_v") == 1.0)
+    // 2x2 full separation: chi2 = N
+    assert(r.getAs[Double]("chi2") == 50.0)
+  }
+
+  test("hand-computed 2x2: chi2 matches the textbook formula") {
+    // cells: 10, 20 / 20, 10 -> chi2 = N(ad-bc)^2 / (r1 r2 c1 c2)
+    val rows = Seq.fill(10)(("x", 0)) ++ Seq.fill(20)(("x", 1)) ++
+      Seq.fill(20)(("y", 0)) ++ Seq.fill(10)(("y", 1))
+    val r = Contingency.chiSquare(rows.toDF("r", "c"), "r", "c").collect().head
+    val expected = 60.0 * math.pow(10 * 10 - 20 * 20, 2) / (30.0 * 30 * 30 * 30)
+    assert(math.abs(r.getAs[Double]("chi2") - expected) < 1e-4)
+  }
+
+  test("degenerate single-column table yields NULL V, zero dof") {
+    val rows = Seq.fill(10)(("a", 1)) ++ Seq.fill(5)(("b", 1))
+    val r = Contingency.chiSquare(rows.toDF("r", "c"), "r", "c").collect().head
+    assert(r.getAs[Long]("dof") == 0L)
+    assert(r.isNullAt(r.fieldIndex("cramers_v")))
+  }
+}
