@@ -83,7 +83,9 @@ object Tables {
     * props are a certainty, and one row must not kill the job.
     */
   def extractLongProp(props: org.apache.spark.sql.Column, key: String): org.apache.spark.sql.Column =
-    nullif(regexp_extract(props, "\"" + key + "\": (\\d+)", 1), lit("")).cast("long")
+    // \s* around the colon: compact writers emit {"k":7} with no space,
+    // and a whitespace-exact pattern would silently NULL every row
+    nullif(regexp_extract(props, "\"" + key + "\"\\s*:\\s*(\\d+)", 1), lit("")).cast("long")
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
 
@@ -103,7 +105,11 @@ object Tables {
       case other => throw new IllegalArgumentException(
         s"embeddings.embedding must be an array column; got $other")
     }
-    vecNorm.schema("label").dataType match {
+    // label is OPTIONAL: most ANN/dedup consumers are vector-only, and a
+    // regenerated file without the column must not widen the blast
+    // radius from "two label queries fail" to "every embedding gate dies"
+    if (!vecNorm.schema.fieldNames.contains("label")) vecNorm
+    else vecNorm.schema("label").dataType match {
       case IntegerType => vecNorm
       case _ => vecNorm.withColumn("label", col("label").cast(IntegerType))
     }

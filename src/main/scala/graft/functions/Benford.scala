@@ -25,13 +25,24 @@ object Benford {
     * statistic (8 degrees of freedom).
     */
   def digitAudit(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val counts = df
+    val observed = df
       .filter(col(valueCol) >= 1)
       .groupBy(col(groupCol),
         substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
           .cast("int").as("digit"))
       .agg(count(lit(1)).as("obs"))
-    val totals = counts.groupBy(col(groupCol)).agg(sum(col("obs")).as("n"))
+    val totals = observed.groupBy(col(groupCol)).agg(sum(col("obs")).as("n"))
+    // densify to all 9 digits: an UNOBSERVED digit still contributes its
+    // full (0 − n·p)²/(n·p) = n·p to the group's χ² — dropping it
+    // under-reports exactly on the truncated/fabricated distributions
+    // the audit exists to catch (the Contingency structural-zero rule)
+    val digits = totals.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val counts = totals
+      .crossJoin(broadcast(digits))
+      .join(observed, Seq(groupCol, "digit"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .select(col(groupCol), col("digit"), col("obs"))
     counts.join(broadcast(totals), groupCol :: Nil)
       .withColumn("p_benford", log10(lit(1.0) + lit(1.0) / col("digit")))
       .select(col(groupCol), col("digit"), col("obs"),

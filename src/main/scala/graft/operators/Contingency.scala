@@ -45,7 +45,11 @@ object Contingency {
     scored.groupBy(col("nrows"), col("ncols"), col("nn"))
       .agg(sum(col("part")).as("chi2d"))
       .select(col("nrows"), col("ncols"), col("nn").as("n"),
-        round(col("chi2d"), 4).as("chi2"),
+        // a 1×c / r×1 table has no independence question to test —
+        // NULL both statistics (a chi2 of "0.0" would read as
+        // tested-and-passed)
+        when(least(col("nrows"), col("ncols")) > 1,
+          round(col("chi2d"), 4)).as("chi2"),
         ((col("nrows") - 1) * (col("ncols") - 1)).as("dof"),
         when(least(col("nrows"), col("ncols")) > 1,
           round(sqrt(col("chi2d") / (col("nn")

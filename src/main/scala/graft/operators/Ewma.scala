@@ -33,10 +33,7 @@ object Ewma {
   def dailyCounts(events: DataFrame, keyCol: String, tsCol: String,
                   window: Int = 25): DataFrame = {
     require(window >= 1 && window <= 30, s"window $window must keep 2^i exact")
-    val daily = events
-      .groupBy(col(keyCol),
-        expr(s"unix_micros(`$tsCol`) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("x"))
+    val daily = DayGrid.of(events, keyCol, tsCol)
     val fromEnd = Window.partitionBy(col(keyCol)).orderBy(col("day").desc)
     val recent = daily
       .withColumn("_rn", row_number().over(fromEnd))

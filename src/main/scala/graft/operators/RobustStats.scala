@@ -17,12 +17,22 @@ import org.apache.spark.sql.functions._
   * discipline). CUSUM stays fully integer: `D_k = n·prefix_k − k·total`
   * avoids the float mean entirely, so the argmax is exact on any engine.
   */
-object RobustStats {
-
-  private def dayGrid(events: DataFrame, keyCol: String, tsCol: String) =
+/** The shared per-key daily-count grid — the ONE definition of the
+  * epoch-day bucketing the time-series operators (EWMA, seasonality,
+  * Theil-Sen, CUSUM) all collapse onto before any window or self-join.
+  */
+object DayGrid {
+  /** `(keyCol, day, x)` — integer epoch-day (µs div 86400000000) counts. */
+  def of(events: DataFrame, keyCol: String, tsCol: String): DataFrame =
     events.groupBy(col(keyCol),
         expr(s"unix_micros(`$tsCol`) div 86400000000").as("day"))
       .agg(count(lit(1)).as("x"))
+}
+
+object RobustStats {
+
+  private def dayGrid(events: DataFrame, keyCol: String, tsCol: String) =
+    DayGrid.of(events, keyCol, tsCol)
 
   /** Theil-Sen estimator per key: `n_pairs` and the median pairwise
     * slope (6 dp; even pair counts average the two middle slopes, ties

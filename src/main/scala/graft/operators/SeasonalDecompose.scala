@@ -28,10 +28,7 @@ object SeasonalDecompose {
     * raw count for reference.
     */
   def weekday(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
-    val daily = events
-      .groupBy(col(keyCol),
-        expr(s"unix_micros(`$tsCol`) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("x"))
+    val daily = DayGrid.of(events, keyCol, tsCol)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
       .rangeBetween(-3, 3)
     daily

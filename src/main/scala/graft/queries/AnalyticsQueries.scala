@@ -334,13 +334,19 @@ object AnalyticsQueries {
         |         count(*) AS obs
         |  FROM lineitem WHERE l_extendedprice >= 1
         |  GROUP BY 1, 2
-        |), t AS (SELECT l_returnflag, sum(obs) AS n FROM c GROUP BY 1)
-        |SELECT c.l_returnflag, c.digit, CAST(c.obs AS BIGINT) AS obs,
-        |       round(c.obs / t.n, 4) AS share_obs,
-        |       round(log10(1.0 + 1.0 / c.digit), 4) AS share_exp,
-        |       round(pow(c.obs - t.n * log10(1.0 + 1.0 / c.digit), 2)
-        |             / (t.n * log10(1.0 + 1.0 / c.digit)), 6) AS chi2_part
-        |FROM c JOIN t USING (l_returnflag)
+        |), t AS (SELECT l_returnflag, sum(obs) AS n FROM c GROUP BY 1),
+        |dg AS (SELECT unnest(generate_series(1, 9)) AS digit),
+        |dense AS (
+        |  SELECT t.l_returnflag, dg.digit, t.n, coalesce(c.obs, 0) AS obs
+        |  FROM t CROSS JOIN dg
+        |  LEFT JOIN c ON c.l_returnflag = t.l_returnflag AND c.digit = dg.digit
+        |)
+        |SELECT l_returnflag, digit, CAST(obs AS BIGINT) AS obs,
+        |       round(obs / n, 4) AS share_obs,
+        |       round(log10(1.0 + 1.0 / digit), 4) AS share_exp,
+        |       round(pow(obs - n * log10(1.0 + 1.0 / digit), 2)
+        |             / (n * log10(1.0 + 1.0 / digit)), 6) AS chi2_part
+        |FROM dense
         |ORDER BY l_returnflag, digit""".stripMargin,
 
     "q189_ldiversity" ->
@@ -674,7 +680,7 @@ object AnalyticsQueries {
         |)
         |SELECT CAST(nrows AS BIGINT) AS nrows, CAST(ncols AS BIGINT) AS ncols,
         |       CAST(nn AS BIGINT) AS n,
-        |       round(sum(part), 4) AS chi2,
+        |       CASE WHEN least(nrows, ncols) > 1 THEN round(sum(part), 4) END AS chi2,
         |       CAST((nrows - 1) * (ncols - 1) AS BIGINT) AS dof,
         |       CASE WHEN least(nrows, ncols) > 1 THEN
         |         round(sqrt(sum(part) / (nn * (least(nrows, ncols) - 1))), 4) END AS cramers_v

@@ -57,6 +57,14 @@ object StreamDgim {
     if (s.sizes.isEmpty) 0L
     else s.sizes.init.sum + (s.sizes.last + 1) / 2
 
+  /** The ONE insert-then-estimate step both the streaming closure and
+    * the batch replay apply — parity by construction.
+    */
+  private def step(s: DgimState, h: Hit, window: Long): (DgimState, Estimate) = {
+    val next = insert(s, h.time, window)
+    (next, Estimate(h.key, h.time, estimate(next), next.sizes.length))
+  }
+
   /** Per arriving hit: the DGIM estimate of hits in `(t−window, t]`. */
   def counted(hits: Dataset[Hit], window: Long): Dataset[Estimate] = {
     import hits.sparkSession.implicits._
@@ -68,8 +76,9 @@ object StreamDgim {
         (key: String, rows: Iterator[Hit], state: GroupState[DgimState]) =>
           var s = state.getOption.getOrElse(DgimState(Nil, Nil))
           val out = rows.toSeq.sortBy(_.time).map { h =>
-            s = insert(s, h.time, window)
-            Estimate(key, h.time, estimate(s), s.sizes.length)
+            val (next, e) = step(s, h, window)
+            s = next
+            e
           }
           state.update(s)
           out.iterator
@@ -78,11 +87,12 @@ object StreamDgim {
 
   /** Batch replay of the same fold for parity testing and backfill. */
   def batchCounted(hits: Seq[Hit], window: Long): Seq[Estimate] =
-    hits.groupBy(_.key).toSeq.flatMap { case (key, hs) =>
+    hits.groupBy(_.key).toSeq.flatMap { case (_, hs) =>
       var s = DgimState(Nil, Nil)
       hs.sortBy(_.time).map { h =>
-        s = insert(s, h.time, window)
-        Estimate(key, h.time, estimate(s), s.sizes.length)
+        val (next, e) = step(s, h, window)
+        s = next
+        e
       }
     }
 }

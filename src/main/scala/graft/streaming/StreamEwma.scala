@@ -37,6 +37,16 @@ object StreamEwma {
     if (s.nSeen == 0L) EwmaState(x, 1L)
     else EwmaState((x + s.ewma) / 2.0, s.nSeen + 1L)
 
+  /** The ONE forecast-then-fold step both the streaming closure and the
+    * batch replay apply — parity by construction, not by copy-paste.
+    */
+  private def step(s: EwmaState, b: BucketCount): (EwmaState, Forecasted) = {
+    val x = b.n.toDouble
+    val fc = if (s.nSeen == 0L) x else s.ewma
+    val next = fold(s, x)
+    (next, Forecasted(b.key, b.bucket, b.n, fc, x - fc, next.ewma, next.nSeen))
+  }
+
   /** Forecast-then-fold each bucket against its key's running average.
     * Update-mode output: one row per arriving bucket.
     */
@@ -51,11 +61,7 @@ object StreamEwma {
           var s = state.getOption.getOrElse(EwmaState(0.0, 0L))
           // order within the trigger so replay matches event order
           val out = rows.toSeq.sortBy(_.bucket).map { b =>
-            val x = b.n.toDouble
-            val fc = if (s.nSeen == 0L) x else s.ewma
-            val next = fold(s, x)
-            val r = Forecasted(key, b.bucket, b.n, fc, x - fc, next.ewma,
-              next.nSeen)
+            val (next, r) = step(s, b)
             s = next
             r
           }
@@ -66,13 +72,10 @@ object StreamEwma {
 
   /** Batch replay of the same fold for parity testing and backfill. */
   def batchForecasted(buckets: Seq[BucketCount]): Seq[Forecasted] =
-    buckets.groupBy(_.key).toSeq.flatMap { case (key, bs) =>
+    buckets.groupBy(_.key).toSeq.flatMap { case (_, bs) =>
       var s = EwmaState(0.0, 0L)
       bs.sortBy(_.bucket).map { b =>
-        val x = b.n.toDouble
-        val fc = if (s.nSeen == 0L) x else s.ewma
-        val next = fold(s, x)
-        val r = Forecasted(key, b.bucket, b.n, fc, x - fc, next.ewma, next.nSeen)
+        val (next, r) = step(s, b)
         s = next
         r
       }

@@ -12,8 +12,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * author-name matching), sharper than Levenshtein on short names
   * because transpositions and shared prefixes dominate human typos.
   * Standard parameterization: prefix bonus up to 4 chars, scaling
-  * p = 0.1, boost threshold 0.7 — byte-for-byte the definition DuckDB's
-  * `jaro_winkler_similarity` implements, which the q196 oracle leans on.
+  * p = 0.1, boost threshold 0.7 — the same algorithm DuckDB's
+  * `jaro_winkler_similarity` implements. Unit caveat: this kernel walks
+  * UTF-16 code units (proper per-character semantics for the BMP) while
+  * DuckDB walks UTF-8 BYTES, so scores agree exactly on ASCII — the
+  * q196 oracle's domain — but diverge on multi-byte text ("café" vs
+  * "cafe": 0.8833 here, 0.8483 in DuckDB, which over-weights the accent
+  * as two byte mismatches).
   *
   * A Scala UDF would box every candidate pair out of Tungsten; here the
   * kernel is a static JVM method invoked from the generated code, so

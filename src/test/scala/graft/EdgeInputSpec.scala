@@ -55,7 +55,8 @@ class EdgeInputSpec extends SparkSpec {
       (1L, 1L, "{\"k\": 7}"),
       (2L, 2L, "not json at all"),
       (3L, 3L, ""),
-      (4L, 4L, "{\"k\": }")
+      (4L, 4L, "{\"k\": }"),
+      (5L, 5L, "{\"k\":42}") // compact serialization, no space after colon
     ).toDF("user_id", "event_id", "props")
       .select(col("user_id"), col("event_id"),
         timestamp_micros(col("event_id") * 1000000L).as("ts"), col("props"))
@@ -63,7 +64,7 @@ class EdgeInputSpec extends SparkSpec {
     // the extraction itself must not throw under ANSI...
     val items = ev.select(col("item")).collect().map(r =>
       if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
-    assert(items.toSeq == Seq(7L, null, null, null))
+    assert(items.toSeq == Seq(7L, null, null, null, 42L))
     // ...and the downstream basket operators must tolerate the nulls
     val pairs = graft.operators.Covisitation.topPairs(ev, "user_id", "ts",
       "event_id", "item", gapSec = 1800L, k = 10).collect()

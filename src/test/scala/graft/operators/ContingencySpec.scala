@@ -33,10 +33,12 @@ class ContingencySpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("chi2") - expected) < 1e-4)
   }
 
-  test("degenerate single-column table yields NULL V, zero dof") {
+  test("degenerate single-column table yields NULL statistics, zero dof") {
     val rows = Seq.fill(10)(("a", 1)) ++ Seq.fill(5)(("b", 1))
     val r = Contingency.chiSquare(rows.toDF("r", "c"), "r", "c").collect().head
     assert(r.getAs[Long]("dof") == 0L)
     assert(r.isNullAt(r.fieldIndex("cramers_v")))
+    // chi2 must be NULL too — a "0.0" would read as tested-and-passed
+    assert(r.isNullAt(r.fieldIndex("chi2")))
   }
 }
