@@ -324,6 +324,24 @@ object PythonParser {
           out(i) = base + " " + stripComment(out(j)).trim
           out(j) = ""
         }
+        // Runaway guard: a def-looking line inside a docstring/comment
+        // with an unclosed paren ('''Usage: def f(''') would otherwise
+        // chain up to 100 REAL lines into one garbage line and blank the
+        // originals (netDepth's quote walk can't see triple-quotes). If
+        // the joined result isn't actually a statement this walk handles
+        // — a def/class/from-import, or at least a depth-0 line ending in
+        // ':' — undo the join and restore every consumed line.
+        if (j > i) {
+          val jt = out(i).trim
+          val ok = jt match {
+            case DefRe(_, _, _, _) | ClassRe(_, _, _) | FromImportRe(_, _) => true
+            case _ => netDepth(out(i)) == 0 && jt.endsWith(":")
+          }
+          if (!ok) {
+            var k = i
+            while (k <= j) { out(k) = lines(k); k += 1 }
+          }
+        }
       }
       i += 1
     }

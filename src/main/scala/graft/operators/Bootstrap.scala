@@ -45,13 +45,23 @@ object Bootstrap {
       .withColumn("w",
         (expr("h div shiftleft(1L, cast(sh AS int))") % 2)
           + (expr("h div shiftleft(1L, cast(sh + 1 AS int))") % 2))
+    // a replica can draw weight 0 for EVERY row of a small group
+    // ((1/4)^n per replica — near-certain somewhere across a 100 TB run);
+    // such a replica has no mean. NULL it before the division (ANSI
+    // throws DIVIDE_BY_ZERO even for doubles), drop it, and take the
+    // envelope over the replicas that survive.
     val means = reps.groupBy(col(groupCol), col("b"))
-      .agg((sum(col("w") * col(valueCol)) / sum(col("w"))).as("mb"))
-    val rn = Window.partitionBy(col(groupCol)).orderBy(col("mb"), col("b"))
-    val ranked = means.withColumn("rn", row_number().over(rn))
+      .agg(when(sum(col("w")) > 0,
+        sum(col("w") * col(valueCol)) / sum(col("w"))).as("mb"))
+      .where(col("mb").isNotNull)
+    val part = Window.partitionBy(col(groupCol))
+    val rn = part.orderBy(col("mb"), col("b"))
+    val ranked = means
+      .withColumn("rn", row_number().over(rn))
+      .withColumn("cnt", count(lit(1)).over(part))
     val ci = ranked.groupBy(col(groupCol))
       .agg(round(min(when(col("rn") === 2, col("mb"))), 4).as("ci_lo"),
-        round(min(when(col("rn") === b - 1, col("mb"))), 4).as("ci_hi"))
+        round(min(when(col("rn") === col("cnt") - 1, col("mb"))), 4).as("ci_hi"))
     val base = df.groupBy(col(groupCol))
       .agg(round(avg(col(valueCol)), 4).as("mean_v"),
         count(lit(1)).as("n"))

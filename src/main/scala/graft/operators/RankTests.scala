@@ -47,10 +47,13 @@ object RankTests {
       .select(col("n0"), col("n1"),
         (col("r1") - col("n1").cast("double") * (col("n1") + 1) / 2).as("u1d"),
         col("nTot"), col("tieSum"), col("r1"))
+      // the tie term divides by nTot·(nTot−1): a 0/1-row input must flow
+      // to NULL here, BEFORE the division, not blow up under ANSI
       .withColumn("_var",
-        col("n0").cast("double") * col("n1") / 12
-          * ((col("nTot") + 1)
-            - col("tieSum").cast("double") / (col("nTot") * (col("nTot") - 1))))
+        when(col("nTot") > 1,
+          col("n0").cast("double") * col("n1") / 12
+            * ((col("nTot") + 1)
+              - col("tieSum").cast("double") / (col("nTot") * (col("nTot") - 1)))))
       .select(col("n0"), col("n1"),
         col("r1").as("rank_sum_1"),
         col("u1d").as("u1"),

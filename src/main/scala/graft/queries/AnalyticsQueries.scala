@@ -448,6 +448,11 @@ object AnalyticsQueries {
           (1 to 12).map(i =>
             s", m$tag$i AS (SELECT t.dst AS state, sum(m.m * t.p) AS m" +
               s" FROM m$tag${i - 1} m JOIN $table t ON t.src = m.state GROUP BY t.dst)").mkString
+      // COUPLING: the Spark side derives the channel set from the observed
+      // transition matrix; SQL can't unroll a removal chain per unknown
+      // channel, so the oracle pins the generator's current event_type
+      // domain. A regenerated dataset with a new/removed event_type will
+      // (correctly) break this gate — update this list alongside it.
       val channels = Seq("click", "error", "signup", "view")
       val removals = channels.zipWithIndex.map { case (ch, i) =>
         s""", t$i AS (SELECT src, CASE WHEN dst = '$ch' THEN 'NULL' ELSE dst END AS dst,
@@ -484,12 +489,16 @@ object AnalyticsQueries {
         |           // (1::BIGINT << ((b % 15) * 2 + 1))) % 2) AS w
         |  FROM r
         |),
-        |mb AS (SELECT event_type, b, sum(w * value) / sum(w) AS mb FROM ww GROUP BY 1, 2),
+        |mb AS (SELECT event_type, b,
+        |       CASE WHEN sum(w) > 0 THEN sum(w * value) / sum(w) END AS mb
+        |       FROM ww GROUP BY 1, 2),
+        |mb2 AS (SELECT * FROM mb WHERE mb IS NOT NULL),
         |rk AS (SELECT event_type, b, mb,
-        |       row_number() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn FROM mb),
+        |       row_number() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn,
+        |       count(*) OVER (PARTITION BY event_type) AS cnt FROM mb2),
         |ci AS (SELECT event_type,
         |       round(min(CASE WHEN rn = 2 THEN mb END), 4) AS ci_lo,
-        |       round(min(CASE WHEN rn = 29 THEN mb END), 4) AS ci_hi
+        |       round(min(CASE WHEN rn = cnt - 1 THEN mb END), 4) AS ci_hi
         |       FROM rk GROUP BY 1),
         |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |         round(avg(value), 4) AS mean_v FROM events GROUP BY 1)
@@ -519,7 +528,7 @@ object AnalyticsQueries {
       """WITH e AS (
         |  SELECT user_id, event_id,
         |         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
-        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
+        |         TRY_CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(\d+)', 1), '') AS BIGINT) AS item
         |  FROM events
         |), g AS (
         |  SELECT user_id, event_id, item, s,

@@ -112,7 +112,7 @@ object TemporalQueries {
       """WITH e AS (
         |  SELECT user_id, event_id,
         |         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
-        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item
+        |         TRY_CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(\d+)', 1), '') AS BIGINT) AS item
         |  FROM events
         |), g AS (
         |  SELECT user_id, event_id, item, s,
