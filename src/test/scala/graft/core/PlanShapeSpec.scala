@@ -1,0 +1,181 @@
+package graft.core
+
+import graft.{PlanDump, SparkEntry, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, RDDScanExec, SerializeFromObjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+/** Machine-asserted physical-plan shapes for the load-bearing "want:"
+  * properties in PLANS.md — the BucketedJoinSpec pattern generalized.
+  *
+  * Every gate's ANSWER is protected by the DuckDB oracle; nothing protects
+  * its PLAN. A BroadcastHashJoin silently regressing to SortMergeJoin, a
+  * pushed filter lost to a refactor, or a TakeOrderedAndProject decaying
+  * to a global Sort keeps every gate green while the 100 TB story dies.
+  * This suite executes each audited query at sf0.001 (AQE on, the gate
+  * environment) and asserts the shape property itself, so a plan
+  * regression fails CI instead of waiting for the next human plan audit.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Run the gate, finalize AQE, return the flattened node seq. */
+  private def nodes(name: String): Seq[SparkPlan] = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    PlanDump.flatten(df.queryExecution.executedPlan)
+  }
+
+  private def count[T](ns: Seq[SparkPlan])(pf: PartialFunction[SparkPlan, T]): Int =
+    ns.count(pf.isDefinedAt)
+
+  private def shuffles(ns: Seq[SparkPlan]): Int =
+    count(ns) { case s: ShuffleExchangeExec => s }
+
+  private def quadratic(ns: Seq[SparkPlan]): Int =
+    count(ns) { case _: CartesianProductExec => () } +
+      count(ns) { case _: BroadcastNestedLoopJoinExec => () }
+
+  test("q2_join_dim: dims broadcast, fact never sort-merge-joins, one shuffle") {
+    val ns = nodes("q2_join_dim")
+    assert(count(ns) { case _: BroadcastHashJoinExec => () } >= 3)
+    assert(count(ns) { case _: SortMergeJoinExec => () } == 0)
+    assert(quadratic(ns) == 0)
+    assert(shuffles(ns) <= 1, "only the groupBy may shuffle")
+  }
+
+  test("q117_star_join: every dim arm is a BroadcastHashJoin, one shuffle") {
+    val ns = nodes("q117_star_join")
+    assert(count(ns) { case _: BroadcastHashJoinExec => () } >= 4)
+    assert(count(ns) { case _: SortMergeJoinExec => () } == 0)
+    assert(shuffles(ns) <= 1)
+  }
+
+  test("q161_local_supplier: dims broadcast onto the fact chain") {
+    val ns = nodes("q161_local_supplier")
+    assert(count(ns) { case _: BroadcastHashJoinExec => () } >= 3)
+    assert(quadratic(ns) == 0)
+    assert(shuffles(ns) <= 2, "groupBy + presentation sort only")
+  }
+
+  test("q3_topk: TakeOrderedAndProject, no global Sort, no shuffle") {
+    val ns = nodes("q3_topk")
+    assert(count(ns) { case _: TakeOrderedAndProjectExec => () } == 1)
+    assert(count(ns) { case _: SortExec => () } == 0)
+    assert(shuffles(ns) == 0)
+  }
+
+  test("q13_knn_cosine: codegen cosine + TakeOrderedAndProject, zero shuffles") {
+    val df = SparkEntry.queries("q13_knn_cosine")(spark, dir)
+    df.collect()
+    val ns = PlanDump.flatten(df.queryExecution.executedPlan)
+    assert(count(ns) { case _: TakeOrderedAndProjectExec => () } == 1)
+    assert(shuffles(ns) == 0)
+    assert(df.queryExecution.executedPlan.toString.contains("cosine_similarity"),
+      "the native CosineSimilarity expression must sit in the plan, not a UDF")
+  }
+
+  test("q72_hard_negatives: probes broadcast once, top-k cut before the exchange") {
+    val ns = nodes("q72_hard_negatives")
+    assert(count(ns) { case _: BroadcastNestedLoopJoinExec => () } == 1,
+      "8 probe rows against ONE corpus scan — exactly one BNLJ")
+    assert(count(ns) { case _: WindowGroupLimitExec => () } >= 1,
+      "rank<=k must compile to WindowGroupLimit (per-partition cut)")
+  }
+
+  test("q109_weighted_sample: A-Res rank filter compiles to WindowGroupLimit") {
+    val ns = nodes("q109_weighted_sample")
+    assert(count(ns) { case _: WindowGroupLimitExec => () } >= 1)
+    assert(shuffles(ns) <= 2)
+  }
+
+  test("q7_scan_filter: filters pushed to parquet, schema pruned") {
+    val ns = nodes("q7_scan_filter")
+    val scans = ns.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1)
+    assert(scans.head.metadata.get("PushedFilters").exists(s => s != "[]" && s.nonEmpty),
+      s"parquet scan must carry pushed filters, got ${scans.head.metadata.get("PushedFilters")}")
+    assert(scans.head.requiredSchema.size <= 3,
+      s"ReadSchema must prune to <=3 columns, got ${scans.head.requiredSchema.size}")
+  }
+
+  test("q19_minhash: signature pipeline materialized once (ExistingRDD output)") {
+    val ns = nodes("q19_minhash")
+    assert(count(ns) { case _: RDDScanExec => () } == 1)
+    assert(count(ns) { case _: BaseJoinExec => () } == 0 && shuffles(ns) == 0,
+      "the banded join ran at build time — the gated plan re-reads the checkpoint")
+  }
+
+  test("q20_simhash: pigeonhole band pipeline materialized once") {
+    val ns = nodes("q20_simhash")
+    assert(count(ns) { case _: RDDScanExec => () } == 1)
+    assert(count(ns) { case _: BaseJoinExec => () } == 0 && shuffles(ns) == 0)
+  }
+
+  test("q43_embed_bucketed: bucket-keyed equi-join, never a cartesian pair scan") {
+    val ns = nodes("q43_embed_bucketed")
+    assert(quadratic(ns) == 0, "sign-bucket self-join must stay an equi-join")
+    val equi = count(ns) { case _: BroadcastHashJoinExec => () } +
+      count(ns) { case _: SortMergeJoinExec => () } +
+      count(ns) { case _: ShuffledHashJoinExec => () }
+    assert(equi >= 1)
+  }
+
+  test("q66_rollup_stats: one Expand serves all grouping sets") {
+    val ns = nodes("q66_rollup_stats")
+    assert(count(ns) { case _: ExpandExec => () } == 1,
+      "three grouping sets must share ONE Expand + HashAggregate pair")
+    assert(shuffles(ns) <= 2, "agg + presentation sort only — not one scan per set")
+  }
+
+  test("q88_winnowing: one JIT'd map pass, zero Exchange anywhere") {
+    val ns = nodes("q88_winnowing")
+    assert(count(ns) { case _: SerializeFromObjectExec => () } == 1)
+    assert(shuffles(ns) == 0)
+    assert(count(ns) { case _: BaseJoinExec => () } == 0)
+  }
+
+  test("q47_asof_join: ONE window over the tagged union, no probe join") {
+    val ns = nodes("q47_asof_join")
+    assert(count(ns) { case _: WindowExec => () } == 1)
+    assert(count(ns) { case _: UnionExec => () } == 1)
+    assert(count(ns) { case _: BaseJoinExec => () } == 0,
+      "as-of resolves inside the window — a range-probe join would re-shuffle")
+    assert(shuffles(ns) == 1)
+  }
+
+  test("q80_salted_join: the hot-key join is keyed on the salt") {
+    val ns = nodes("q80_salted_join")
+    val salted = ns.collect { case j: BaseJoinExec => j }
+      .filter(j => j.leftKeys.mkString(",").contains("_salt") ||
+        j.rightKeys.mkString(",").contains("_salt"))
+    assert(salted.nonEmpty, "join keys must include the _salt column")
+  }
+
+  test("q15_bm25_search: term-df model broadcasts; top-k via TakeOrderedAndProject") {
+    val ns = nodes("q15_bm25_search")
+    assert(count(ns) { case _: BroadcastHashJoinExec => () } >= 1)
+    assert(count(ns) { case _: TakeOrderedAndProjectExec => () } == 1)
+  }
+
+  test("q68_lm_quality: unigram model broadcasts onto the token stream") {
+    val ns = nodes("q68_lm_quality")
+    assert(count(ns) { case _: BroadcastHashJoinExec => () } >= 1)
+    assert(count(ns) { case _: SortMergeJoinExec => () } == 0,
+      "the big token side must never shuffle for the model join")
+    assert(count(ns) { case _: BroadcastNestedLoopJoinExec => () } <= 1,
+      "only the 1-row corpus total may BNLJ")
+  }
+
+  test("q101_bloom_prune: membership is a codegen predicate, not a probe join") {
+    val df = SparkEntry.queries("q101_bloom_prune")(spark, dir)
+    df.collect()
+    val ns = PlanDump.flatten(df.queryExecution.executedPlan)
+    assert(quadratic(ns) == 0)
+    assert(df.queryExecution.executedPlan.toString.contains("might_contain"),
+      "the 1024-bit mask must evaluate as a literal predicate over the scan")
+  }
+}
