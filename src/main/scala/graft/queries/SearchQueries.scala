@@ -320,6 +320,27 @@ object SearchQueries {
             .otherwise(0L)).as("n_matched"),
           sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("n_unvectored"),
           sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_orphan_vecs"))
+    }),
+
+    // The SCALE path for q168 made load-bearing (r8 verdict's one `weak`):
+    // index the src side in its q30 IVF home cell, multi-probe the tgt
+    // side into its 4 nearest cells, and run the Artetxe-Schwenk margin
+    // mining PER CELL — the candidate product is an equi-join on the cell
+    // key (one shuffle per side), never the corpus×corpus crossJoin.
+    // nprobe dials recall vs candidate volume (FAISS-style);
+    // BitextRecallSpec floors recall vs exact q168 at two probe depths.
+    "q203_bitext_bucketed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = IvfAnn.centroids(emb, "vec_id", "embedding", 16)
+      graft.search.BitextMine.mineBucketed(
+          IvfAnn.assign(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", cents),
+          IvfAnn.assignProbed(emb.filter(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", cents, nprobe = 4),
+          "vec_id", "embedding", "cluster", k = 2, marginThreshold = 1.0)
+        .select(col("bucket").cast("long").as("bucket"), col("src_id"),
+          col("tgt_id"), col("cos"), col("margin"))
+        .orderBy(col("margin").desc, col("src_id"), col("tgt_id")).limit(50)
     })
   )
 
@@ -803,6 +824,37 @@ object SearchQueries {
         |       CAST(count(*) FILTER (WHERE d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL) AS BIGINT) AS n_matched,
         |       CAST(count(*) FILTER (WHERE e.vec_id IS NULL) AS BIGINT) AS n_unvectored,
         |       CAST(count(*) FILTER (WHERE d.doc_id IS NULL) AS BIGINT) AS n_orphan_vecs
-        |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin
+        |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
+
+    // q30's seeded-centroid assignment (src: home cell rn=1; tgt:
+    // multi-probe rn<=4), then q168's margin math scoped per cell —
+    // windows and neighborhood means partition by (cluster, id).
+    "q203_bitext_bucketed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cluster, v AS centroid FROM e ORDER BY vec_id LIMIT 16),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cluster, e.v,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cluster) AS rn
+        |  FROM e CROSS JOIN cents c
+        |),
+        |a AS (SELECT cluster, vec_id AS src_id, v FROM ranked WHERE rn = 1 AND vec_id % 2 = 0),
+        |b AS (SELECT cluster, vec_id AS tgt_id, v FROM ranked WHERE rn <= 4 AND vec_id % 2 = 1),
+        |pairs AS (
+        |  SELECT a.cluster, src_id, tgt_id,
+        |         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |  FROM a JOIN b USING (cluster)
+        |), r AS (
+        |  SELECT cluster, src_id, tgt_id, cos,
+        |         row_number() OVER (PARTITION BY cluster, src_id ORDER BY cos DESC, tgt_id) AS rna,
+        |         row_number() OVER (PARTITION BY cluster, tgt_id ORDER BY cos DESC, src_id) AS rnb
+        |  FROM pairs
+        |), ma AS (SELECT cluster, src_id, avg(cos) AS ma FROM r WHERE rna <= 2 GROUP BY cluster, src_id),
+        |mb AS (SELECT cluster, tgt_id, avg(cos) AS mb FROM r WHERE rnb <= 2 GROUP BY cluster, tgt_id)
+        |SELECT CAST(r.cluster AS BIGINT) AS bucket, src_id, tgt_id, cos,
+        |       round(cos / ((ma + mb) / 2), 6) AS margin
+        |FROM r JOIN ma USING (cluster, src_id) JOIN mb USING (cluster, tgt_id)
+        |WHERE rna = 1 AND rnb = 1 AND round(cos / ((ma + mb) / 2), 6) >= 1.0
+        |ORDER BY margin DESC, src_id, tgt_id LIMIT 50""".stripMargin
   )
 }

@@ -61,4 +61,46 @@ object BitextMine {
       .filter(col("margin") >= marginThreshold)
       .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"))
   }
+
+  /** The 100 TB composition [[mine]]'s header promises: both sides carry a
+    * cluster/bucket column (IVF cell from [[IvfAnn.assign]], or an LSH
+    * band) and mining runs PER BUCKET — the candidate product is an
+    * equi-join on the bucket key, so the plan shuffles each side once on
+    * the bucket and never materializes the corpus×corpus product. Margin
+    * math is [[mine]]'s, with neighborhoods (mutual ranks and top-k means)
+    * scoped to the cell — the approximation that buys the scale-out.
+    *
+    * Output adds the bucket column; recall vs exact mining is floored by
+    * `BitextRecallSpec` and the composition is gated end-to-end by q203.
+    */
+  def mineBucketed(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
+                   bucketCol: String, k: Int = 2, marginThreshold: Double = 1.0): DataFrame = {
+    val a = src.select(col(bucketCol).as("bucket"), col(idCol).as("src_id"),
+      col(vecCol).as("_va"))
+    val b = tgt.select(col(bucketCol).as("bucket"), col(idCol).as("tgt_id"),
+      col(vecCol).as("_vb"))
+    val pairs = a.join(b, "bucket")
+      .select(col("bucket"), col("src_id"), col("tgt_id"),
+        round(VectorOps.cosine(col("_va"), col("_vb")), 6).as("cos"))
+
+    val bySrc = Window.partitionBy(col("bucket"), col("src_id"))
+      .orderBy(col("cos").desc, col("tgt_id"))
+    val byTgt = Window.partitionBy(col("bucket"), col("tgt_id"))
+      .orderBy(col("cos").desc, col("src_id"))
+    val ranked = pairs
+      .withColumn("rna", row_number().over(bySrc))
+      .withColumn("rnb", row_number().over(byTgt))
+
+    val ma = ranked.filter(col("rna") <= k)
+      .groupBy(col("bucket"), col("src_id")).agg(avg(col("cos")).as("ma"))
+    val mb = ranked.filter(col("rnb") <= k)
+      .groupBy(col("bucket"), col("tgt_id")).agg(avg(col("cos")).as("mb"))
+
+    ranked.filter(col("rna") === 1 && col("rnb") === 1)
+      .join(ma, Seq("bucket", "src_id")).join(mb, Seq("bucket", "tgt_id"))
+      .withColumn("margin",
+        round(col("cos") / ((col("ma") + col("mb")) / lit(2.0)), 6))
+      .filter(col("margin") >= marginThreshold)
+      .select(col("bucket"), col("src_id"), col("tgt_id"), col("cos"), col("margin"))
+  }
 }

@@ -40,6 +40,24 @@ object IvfAnn {
       .drop("_rn", "_ccos", "centroid")
   }
 
+  /** Multi-probe assignment: each vector is replicated into its `nprobe`
+    * nearest cells (rank 1 = its home cell). The query-side half of an
+    * IVF composition joins on ALL probed cells while the indexed side
+    * stays in its home cell — the FAISS-style recall/candidate-volume
+    * dial. Output multiplies the input by nprobe, so use it on the
+    * (smaller) probing side only.
+    */
+  def assignProbed(emb: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
+                   nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_ccos").desc, col("cluster").asc)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("_ccos", VectorOps.cosine(col(vecCol), col("centroid")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .drop("_rn", "_ccos", "centroid")
+  }
+
   /** Probed ANN top-k over the seeded centroid table. */
   def topK(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
            k: Int, numClusters: Int, nprobe: Int): DataFrame =
