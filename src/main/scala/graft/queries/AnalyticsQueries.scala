@@ -216,7 +216,51 @@ object AnalyticsQueries {
     "q202_gini" -> ((s, dir) =>
       graft.operators.Gini.coefficient(Tables.documents(s, dir),
           "source", "n_chars")
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // The StreamEwma fold gated end-to-end: the distributed batch replay
+    // (flatMapGroups sharing the streaming closure's exact step) emits
+    // the full forecast-then-fold trajectory per event type over its
+    // daily counts; the oracle replays the same fold as a recursive CTE.
+    // α=1/2 keeps every operand dyadic, so the doubles agree bit-for-bit.
+    "q204_ewma_replay" -> ((s, dir) => {
+      import s.implicits._
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type").as("key"), col("bucket"), col("n"))
+        .as[graft.streaming.StreamEwma.BucketCount]
+      graft.streaming.StreamEwma.batchForecastedDs(buckets).toDF()
+        .select(col("key"), col("bucket"), col("n"),
+          round(col("forecast"), 6).as("forecast"),
+          round(col("err"), 6).as("err"),
+          round(col("ewma"), 6).as("ewma"),
+          col("nSeen").as("n_seen"))
+        .orderBy(col("key"), col("bucket"))
+    }),
+
+    // The StreamDgim fold gated end-to-end: per (event_type, ISO-week)
+    // key, the hour ticks that saw events stream through the DGIM
+    // insert/cascade/expire/estimate step (window = 48 hour-ticks); the
+    // oracle replays the identical bucket algebra in a recursive CTE
+    // with the cascade unrolled as lateral list rewrites. Integer-only —
+    // a bit-exact replay of approximate-counting state.
+    "q205_dgim_replay" -> ((s, dir) => {
+      import s.implicits._
+      val hits = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("t"))
+        .distinct()
+        .select(concat(col("event_type"), lit("#"),
+            expr("CAST(t div 168 AS string)")).as("key"),
+          col("t").as("time"))
+        .as[graft.streaming.StreamDgim.Hit]
+      graft.streaming.StreamDgim.batchCountedDs(hits, window = 48L).toDF()
+        .select(col("key"), col("time").as("t"),
+          col("estimate"), col("nBuckets").cast("long").as("n_buckets"))
+        .orderBy(col("key"), col("t"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -718,6 +762,94 @@ object AnalyticsQueries {
         |         round(2.0 * a.s / (CAST(a.n AS DOUBLE) * a.t)
         |               - CAST(a.n + 1 AS DOUBLE) / a.n, 6) END AS gini,
         |       CASE WHEN a.t > 0 THEN round(CAST(bh.bh AS DOUBLE) / a.t, 6) END AS bottom_half_share
-        |FROM a JOIN bh USING (source) ORDER BY a.source""".stripMargin
+        |FROM a JOIN bh USING (source) ORDER BY a.source""".stripMargin,
+
+    // Recursive-CTE replay of StreamEwma.step (the q92/q126 discipline):
+    // base row per key = empty state; each iteration advances every key
+    // one bucket through the SAME forecast-then-fold arithmetic. All
+    // operands are dyadic rationals, so DOUBLE agrees bit-for-bit.
+    "q204_ewma_replay" ->
+      """WITH RECURSIVE
+        |d AS (SELECT event_type AS key, epoch_us(ts) // 86400000000 AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2),
+        |s AS (SELECT key, bucket, n,
+        |             row_number() OVER (PARTITION BY key ORDER BY bucket) AS rn
+        |      FROM d),
+        |f AS (
+        |  SELECT key, 0::BIGINT AS rn, CAST(0 AS DOUBLE) AS ewma,
+        |         0::BIGINT AS n_seen, 0::BIGINT AS bucket, 0::BIGINT AS n,
+        |         CAST(0 AS DOUBLE) AS forecast
+        |  FROM (SELECT DISTINCT key FROM s)
+        |  UNION ALL
+        |  SELECT s.key, s.rn,
+        |         CASE WHEN f.n_seen = 0 THEN CAST(s.n AS DOUBLE)
+        |              ELSE (s.n + f.ewma) / 2 END,
+        |         f.n_seen + 1, s.bucket, s.n,
+        |         CASE WHEN f.n_seen = 0 THEN CAST(s.n AS DOUBLE) ELSE f.ewma END
+        |  FROM f JOIN s ON s.key = f.key AND s.rn = f.rn + 1
+        |)
+        |SELECT key, bucket, n, round(forecast, 6) AS forecast,
+        |       round(n - forecast, 6) AS err, round(ewma, 6) AS ewma, n_seen
+        |FROM f WHERE rn >= 1 ORDER BY key, bucket""".stripMargin,
+
+    "q205_dgim_replay" -> dgimReplaySql
   )
+
+  /** Max one-insert cascade depth the q205 oracle unrolls: a 48-tick
+    * window holds bucket sizes ≤32, so a single insert chains at most 6
+    * oldest-pair merges (1→2→4→8→16→32); 9 adds safety margin.
+    */
+  private val CascadeLevels = 9
+
+  /** Recursive-CTE replay of StreamDgim.step: state = (sizes, times)
+    * lists newest-first; each iteration prepends the size-1 bucket, then
+    * [[CascadeLevels]] lateral rewrites each apply ONE oldest-pair merge
+    * (exactly the Scala walk's restart-from-head semantics), then expiry
+    * keeps in-window buckets and the estimate counts full buckets plus
+    * half the oldest — integer-only, so the replay is bit-exact.
+    */
+  private lazy val dgimReplaySql: String = {
+    val cascade = new StringBuilder
+    var ps = "i0.s0"
+    var pt = "i0.t0"
+    for (lvl <- 1 to CascadeLevels) {
+      cascade.append(
+        s"""  CROSS JOIN LATERAL (SELECT list_filter(range(1, len($ps)-1),
+           |      i -> $ps[i] = $ps[i+1] AND $ps[i+1] = $ps[i+2])[1] AS idx) x$lvl
+           |  CROSS JOIN LATERAL (SELECT
+           |      CASE WHEN x$lvl.idx IS NULL THEN $ps
+           |           ELSE $ps[1:x$lvl.idx] || [2*$ps[x$lvl.idx+1]] || $ps[x$lvl.idx+3:] END AS s,
+           |      CASE WHEN x$lvl.idx IS NULL THEN $pt
+           |           ELSE $pt[1:x$lvl.idx] || [$pt[x$lvl.idx+1]] || $pt[x$lvl.idx+3:] END AS tm) c$lvl
+           |""".stripMargin)
+      ps = s"c$lvl.s"
+      pt = s"c$lvl.tm"
+    }
+    s"""WITH RECURSIVE
+       |h AS (SELECT key, t, row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+       |      FROM (SELECT event_type || '#' || CAST(t // 168 AS VARCHAR) AS key, t
+       |            FROM (SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS t
+       |                  FROM events))),
+       |f AS (
+       |  SELECT key, 0::BIGINT AS rn, []::BIGINT[] AS s, []::BIGINT[] AS tm,
+       |         0::BIGINT AS t, 0::BIGINT AS est, 0::BIGINT AS nb
+       |  FROM (SELECT DISTINCT key FROM h)
+       |  UNION ALL
+       |  SELECT f.key, h.rn, m.s2, m.tm2, h.t,
+       |         CAST(coalesce(list_sum(m.s2[1:len(m.s2)-1]), 0)
+       |              + (m.s2[len(m.s2)]+1)//2 AS BIGINT) AS est,
+       |         CAST(len(m.s2) AS BIGINT) AS nb
+       |  FROM f
+       |  JOIN h ON h.key = f.key AND h.rn = f.rn + 1
+       |  CROSS JOIN LATERAL (SELECT list_prepend(1::BIGINT, f.s) AS s0,
+       |                             list_prepend(h.t, f.tm) AS t0) i0
+       |$cascade  CROSS JOIN LATERAL (SELECT list_filter(range(1, len($ps)+1),
+       |      i -> $pt[i] > h.t - 48) AS kp) e0
+       |  CROSS JOIN LATERAL (SELECT list_transform(e0.kp, i -> $ps[i]) AS s2,
+       |                             list_transform(e0.kp, i -> $pt[i]) AS tm2) m
+       |)
+       |SELECT key, t, est AS estimate, nb AS n_buckets
+       |FROM f WHERE rn >= 1 ORDER BY key, t""".stripMargin
+  }
 }

@@ -85,6 +85,25 @@ object StreamDgim {
       }
   }
 
+  /** DISTRIBUTED batch replay of the same fold — the backfill shape, and
+    * the q205 oracle surface: one `flatMapGroups` per key applying the
+    * identical [[step]] in time order. State stays the O(log² N) bucket
+    * list; each group holds that key's hit sequence (bounded by the tick
+    * horizon, not the corpus), so the replay shuffles once on the key and
+    * folds in one pass.
+    */
+  def batchCountedDs(hits: Dataset[Hit], window: Long): Dataset[Estimate] = {
+    import hits.sparkSession.implicits._
+    hits.groupByKey(_.key).flatMapGroups { (_: String, rows: Iterator[Hit]) =>
+      var s = DgimState(Nil, Nil)
+      rows.toSeq.sortBy(_.time).map { h =>
+        val (next, e) = step(s, h, window)
+        s = next
+        e
+      }.iterator
+    }
+  }
+
   /** Batch replay of the same fold for parity testing and backfill. */
   def batchCounted(hits: Seq[Hit], window: Long): Seq[Estimate] =
     hits.groupBy(_.key).toSeq.flatMap { case (_, hs) =>

@@ -70,6 +70,26 @@ object StreamEwma {
       }
   }
 
+  /** DISTRIBUTED batch replay of the same fold — the backfill shape, and
+    * the q204 oracle surface: one `flatMapGroups` per key applying the
+    * identical [[step]] in bucket order. State is two numbers per key and
+    * each group holds one row per observed bucket (the forecast horizon),
+    * so a 100 TB backfill shuffles each key's daily counts once and folds
+    * them in one pass — no window over the horizon, no recomputed
+    * weights.
+    */
+  def batchForecastedDs(buckets: Dataset[BucketCount]): Dataset[Forecasted] = {
+    import buckets.sparkSession.implicits._
+    buckets.groupByKey(_.key).flatMapGroups { (_: String, rows: Iterator[BucketCount]) =>
+      var s = EwmaState(0.0, 0L)
+      rows.toSeq.sortBy(_.bucket).map { b =>
+        val (next, r) = step(s, b)
+        s = next
+        r
+      }.iterator
+    }
+  }
+
   /** Batch replay of the same fold for parity testing and backfill. */
   def batchForecasted(buckets: Seq[BucketCount]): Seq[Forecasted] =
     buckets.groupBy(_.key).toSeq.flatMap { case (_, bs) =>

@@ -63,4 +63,15 @@ class StreamDgimSpec extends SparkSpec {
       assert(streamed == replayed)
     } finally q.stop()
   }
+
+  test("distributed batch replay (q205 surface) equals the driver-side fold") {
+    val window = 64L
+    val data = (1L to 300L).filter(_ % 3 != 0).map(Hit("a", _)) ++
+      (5L to 100L by 5).map(Hit("b", _))
+    val ds = batchCountedDs(spark.createDataset(data), window).collect()
+      .map(e => (e.key, e.time) -> (e.estimate, e.nBuckets)).toMap
+    val seq = batchCounted(data, window)
+      .map(e => (e.key, e.time) -> (e.estimate, e.nBuckets)).toMap
+    assert(ds == seq)
+  }
 }

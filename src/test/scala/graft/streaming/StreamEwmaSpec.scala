@@ -54,6 +54,10 @@ class StreamEwmaSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getAs[Double]("ewma")).toMap
       assert(streamed(("a", 4L)).ewma == batch("a")) // 5.0: the spec'd spike value
       assert(streamed(("b", 1L)).ewma == batch("b"))
+      // and the DISTRIBUTED replay (the q204 gate surface) agrees exactly
+      val ds = batchForecastedDs(spark.createDataset(data)).collect()
+        .map(r => (r.key, r.bucket) -> r).toMap
+      assert(ds == replayed, "Dataset replay vs driver-side replay drift")
     } finally q.stop()
   }
 
