@@ -218,6 +218,51 @@ object AnalyticsQueries {
           "source", "n_chars")
         .orderBy(col("source"))),
 
+    // T-digest bounded-error gate: the digest's centroid layout depends
+    // on Spark's partition merge order (documented t-digest property), so
+    // no value-replay oracle exists — instead BOTH engines compute the
+    // exact per-type quantiles (the hash-matched half) and the Spark side
+    // additionally checks its digest estimate's RANK error against the k1
+    // envelope (one centroid span, 2π·sqrt(q(1−q))/δ, + interpolation
+    // slack). The oracle pins bound_ok=TRUE, so an envelope violation
+    // hash-mismatches the gate. The exact percentile here is the gate's
+    // validation half (q108 discipline) — the operator under test is the
+    // mergeable sketch.
+    "q206_tdigest_bound" -> ((s, dir) => {
+      import graft.functions.TDigestSketch
+      val qsSeq = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val digests = TDigestSketch.sketch(ev, "event_type", "v")
+      val qs = s.createDataFrame(qsSeq.map(Tuple1.apply)).toDF("q")
+      // 4 groups × 5 quantiles — the digest read is 20 tiny rows, far off
+      // the hot path, so a scalar udf over the sketch array is fine here
+      val qfn = udf((d: Seq[Double], q: Double) =>
+        TDigestSketch.quantile(d.toArray, q))
+      val est = digests.crossJoin(broadcast(qs))
+        .select(col("grp").as("event_type"), col("q"),
+          qfn(col("digest"), col("q")).as("est"))
+      val cdf = ev.join(broadcast(est), "event_type")
+        .groupBy(col("event_type"), col("q"), col("est"))
+        .agg((sum(when(col("v") < col("est"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("lo"),
+          (sum(when(col("v") <= col("est"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("hi"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(expr(s"percentile(v, array(${qsSeq.mkString(",")}))").as("_eq"))
+        .select(col("event_type"), posexplode(col("_eq")).as(Seq("_i", "exact_v")))
+        .select(col("event_type"),
+          element_at(typedLit(qsSeq), col("_i") + 1).as("q"), col("exact_v"))
+      cdf.join(exact, Seq("event_type", "q"))
+        .select(col("event_type"), col("q"),
+          round(col("exact_v"), 6).as("exact_q"),
+          (when(col("q").between(col("lo"), col("hi")), 0.0)
+            .otherwise(least(abs(col("q") - col("lo")), abs(col("q") - col("hi"))))
+            <= lit(2.0 * math.Pi) * sqrt(col("q") * (lit(1.0) - col("q")))
+                 / TDigestSketch.Compression + lit(0.005)).as("bound_ok"))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
     // The StreamEwma fold gated end-to-end: the distributed batch replay
     // (flatMapGroups sharing the streaming closure's exact step) emits
     // the full forecast-then-fold trajectory per event type over its
@@ -763,6 +808,19 @@ object AnalyticsQueries {
         |               - CAST(a.n + 1 AS DOUBLE) / a.n, 6) END AS gini,
         |       CASE WHEN a.t > 0 THEN round(CAST(bh.bh AS DOUBLE) / a.t, 6) END AS bottom_half_share
         |FROM a JOIN bh USING (source) ORDER BY a.source""".stripMargin,
+
+    // exact quantiles only (type-7 interpolation = Spark `percentile`);
+    // bound_ok is pinned TRUE — the Spark side computes the digest's rank
+    // error, and a violation breaks the hash.
+    "q206_tdigest_bound" ->
+      """WITH qq AS (
+        |  SELECT event_type,
+        |         unnest([0.05, 0.25, 0.5, 0.75, 0.95]) AS q,
+        |         unnest(quantile_cont(value, [0.05, 0.25, 0.5, 0.75, 0.95])) AS exact_v
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, q, round(exact_v, 6) AS exact_q, TRUE AS bound_ok
+        |FROM qq ORDER BY event_type, q""".stripMargin,
 
     // Recursive-CTE replay of StreamEwma.step (the q92/q126 discipline):
     // base row per key = empty state; each iteration advances every key
