@@ -48,6 +48,7 @@ object SparkEntry {
   ) ++ graft.queries.RelationalQueries.oracles ++ graft.queries.SearchQueries.oracles ++
     graft.queries.DedupQueries.oracles ++ graft.queries.TextQueries.oracles ++
     graft.queries.EngineQueries.oracles ++ graft.queries.ChatQueries.oracles ++
+    graft.queries.IndexBenchQueries.oracles ++
     graft.queries.PipelineQueries.oracles ++ graft.queries.TemporalQueries.oracles ++
     graft.queries.MultimodalQueries.oracles ++ graft.queries.CorpusQueries.oracles ++
     graft.queries.AnalyticsQueries.oracles

@@ -66,7 +66,61 @@ object IndexBenchQueries {
        |""".stripMargin
   }
 
+  /** One shared index of the synthetic repo for the q207-q209 sub-gates:
+    * the pipeline is deterministic, so indexing once per JVM and reading
+    * the store from three gates changes nothing about what is asserted —
+    * q32 keeps its own fresh end-to-end run (it IS the timing gate).
+    */
+  private val shared = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def indexedStore(s: SparkSession): String =
+    shared.computeIfAbsent("store", _ => {
+      val repo = Files.createTempDirectory("graft_synth_repo_sub").toString
+      val store = Files.createTempDirectory("graft_synth_store_sub").toString
+      writeSyntheticRepo(repo)
+      GraftEngine(s, store).index(repo)
+      store
+    })
+
   def defs: Map[String, Q] = Map(
+    // q32's deterministic chunk census as a HASH gate (golden-value
+    // oracle: the synthetic repo and the whole pipeline are
+    // deterministic, so the exact histogram is pinned in SQL literals —
+    // any parser/chunker/dedup regression breaks the hash, not just a
+    // row count).
+    "q207_index_chunks" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      graft.index.IndexStore.readChunks(s, indexedStore(s))
+        .groupBy(col("chunkType").as("chunk_type"),
+          col("entityType").as("entity_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("chunk_type"), col("entity_type"))
+    }),
+
+    // The deterministic sha256-derived point ids, pinned: the 12
+    // lexicographically-smallest chunk ids with their type and entity.
+    // Catches any drift in id derivation, name normalization, or chunk
+    // identity — the reference's idempotent-upsert contract.
+    "q208_index_ids" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      graft.index.IndexStore.readChunks(s, indexedStore(s))
+        .select(col("pointId").cast("long").as("point_id"),
+          col("chunkId").as("chunk_id"),
+          col("chunkType").as("chunk_type"),
+          col("entityName").as("entity_name"))
+        .orderBy(col("point_id")).limit(12)
+    }),
+
+    // The top-5 hybrid (RRF) ranking for q32's own search query, with
+    // scores — the full dense+sparse+fusion stack pinned end-to-end.
+    "q209_index_top5" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      val engine = GraftEngine(s, indexedStore(s))
+      engine.searchSimilar("aggregating items total", "hybrid", limit = 5)
+        .select(col("entityName").as("entity_name"),
+          round(col("rrf_score"), 6).as("score"))
+        .orderBy(col("score").desc, col("entity_name"))
+    }),
+
     "q32_index_e2e" -> ((s, _) => {
       import s.implicits._
       val repo = Files.createTempDirectory("graft_synth_repo").toString
@@ -89,5 +143,60 @@ object IndexBenchQueries {
         ("parse_errors", res.errors.length.toLong)
       ).toDF("metric", "value")
     })
+  )
+
+  /** GOLDEN-VALUE oracles for the q207-q209 sub-gates. The synthetic repo
+    * and the whole pipeline are deterministic (verified identical across
+    * JVMs and scale factors — the inputs don't touch the sf tables at
+    * all), so the expected outputs are pinned as SQL literals: DuckDB
+    * renders the golden table, the driver hash-compares as usual, and any
+    * parser/chunker/id/fusion regression breaks the hash. q32 itself
+    * stays rows-only — it is the wall-clock e2e shell.
+    */
+  def oracles: Map[String, String] = Map(
+    "q207_index_chunks" ->
+      """SELECT * FROM (VALUES
+        |  ('implementation', 'class', CAST(120 AS BIGINT)),
+        |  ('implementation', 'documentation', CAST(30 AS BIGINT)),
+        |  ('implementation', 'function', CAST(240 AS BIGINT)),
+        |  ('implementation', 'method', CAST(120 AS BIGINT)),
+        |  ('metadata', 'class', CAST(120 AS BIGINT)),
+        |  ('metadata', 'constant', CAST(120 AS BIGINT)),
+        |  ('metadata', 'documentation', CAST(120 AS BIGINT)),
+        |  ('metadata', 'file', CAST(151 AS BIGINT)),
+        |  ('metadata', 'function', CAST(240 AS BIGINT)),
+        |  ('metadata', 'import', CAST(240 AS BIGINT)),
+        |  ('metadata', 'method', CAST(120 AS BIGINT)),
+        |  ('metadata', 'module', CAST(1 AS BIGINT)),
+        |  ('relation', 'relation', CAST(1026 AS BIGINT))
+        |) t(chunk_type, entity_type, n)
+        |ORDER BY chunk_type, entity_type""".stripMargin,
+
+    "q208_index_ids" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(266155346222042 AS BIGINT), 'mod024.py::helper_24_a::implementation', 'implementation', 'helper_24_a'),
+        |  (CAST(625256465206305 AS BIGINT), 'mod067.py::Processor67::metadata', 'metadata', 'Processor67'),
+        |  (CAST(777746730319696 AS BIGINT), 'doc22.md::Notes::metadata', 'metadata', 'Notes'),
+        |  (CAST(892098438760639 AS BIGINT), 'doc05.md::contains::Guide 5 (+2 more)', 'relation', 'doc05.md'),
+        |  (CAST(2400913409433717 AS BIGINT), 'helper_59_a::calls::helper_58_a', 'relation', 'helper_59_a'),
+        |  (CAST(2938206401396796 AS BIGINT), 'mod077.py::LIMIT_77::metadata', 'metadata', 'LIMIT_77'),
+        |  (CAST(3421972256052454 AS BIGINT), 'mod077.py::mod077.py::metadata', 'metadata', 'mod077.py'),
+        |  (CAST(3531084482508865 AS BIGINT), 'mod018.py::os::metadata', 'metadata', 'os'),
+        |  (CAST(3917625911134196 AS BIGINT), 'mod002.py::run::metadata', 'metadata', 'run'),
+        |  (CAST(3957581275269635 AS BIGINT), 'mod067.py::run::implementation', 'implementation', 'run'),
+        |  (CAST(4053954644755425 AS BIGINT), 'mod062.py::helper_62_b::metadata', 'metadata', 'helper_62_b'),
+        |  (CAST(4450248684002044 AS BIGINT), 'mod000.py::helper_0_a::implementation', 'implementation', 'helper_0_a')
+        |) t(point_id, chunk_id, chunk_type, entity_name)
+        |ORDER BY point_id""".stripMargin,
+
+    "q209_index_top5" ->
+      """SELECT * FROM (VALUES
+        |  ('helper_18_b', CAST(0.010994 AS DOUBLE)),
+        |  ('helper_39_b', CAST(0.009347 AS DOUBLE)),
+        |  ('Processor102', CAST(0.008197 AS DOUBLE)),
+        |  ('helper_0_b', CAST(0.008197 AS DOUBLE)),
+        |  ('helper_1_b', CAST(0.008065 AS DOUBLE))
+        |) t(entity_name, score)
+        |ORDER BY score DESC, entity_name""".stripMargin
   )
 }
