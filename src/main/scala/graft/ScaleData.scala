@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a ~10× "sf1" copy of the driver's sf0.1 testdata into a
+  * scratch directory (default /tmp/graft_sf1) for the scaling-exponent
+  * audit ([[BenchScaling]]) — sf0.1 can hide O(n²) creep that only a
+  * third decade exposes.
+  *
+  * RELATIONAL tables (lineitem/orders/customer/part/supplier/events)
+  * replicate 10× with foreign-key-consistent key offsets (replica ·
+  * 10⁹), so joins keep their selectivity and group counts scale with the
+  * data — exactly how these tables grow in the real generator. region/
+  * nation are fixed dimensions and copy through. documents/embeddings
+  * copy UNCHANGED: replicating text or vectors manufactures cross-replica
+  * (near-)duplicates that inflate every dedup/ANN bucket 10× — a workload
+  * the real generator does not produce — so text/embedding gates are
+  * audited on the genuine sf0.01→sf0.1 decade instead (their tables grow
+  * 10×/4× there).
+  */
+object ScaleData {
+
+  val Replicas = 10
+  val KeyStride = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(t: String, keyCols: Seq[String]): DataFrame = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      base.crossJoin(spark.range(Replicas).select(col("id").as("_rep")))
+        .select(base.columns.map { c =>
+          if (keyCols.contains(c)) (col(c) + col("_rep") * KeyStride).as(c)
+          else col(c)
+        }: _*)
+    }
+
+    val plans: Seq[(String, DataFrame)] = Seq(
+      "region" -> spark.read.parquet(s"$src/region.parquet"),
+      "nation" -> spark.read.parquet(s"$src/nation.parquet"),
+      "supplier" -> replicate("supplier", Seq("s_suppkey")),
+      "part" -> replicate("part", Seq("p_partkey")),
+      "customer" -> replicate("customer", Seq("c_custkey")),
+      "orders" -> replicate("orders", Seq("o_orderkey", "o_custkey")),
+      "lineitem" -> replicate("lineitem",
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      "events" -> replicate("events", Seq("event_id", "user_id")),
+      "documents" -> spark.read.parquet(s"$src/documents.parquet"),
+      "embeddings" -> spark.read.parquet(s"$src/embeddings.parquet")
+    )
+    plans.foreach { case (t, df) =>
+      df.coalesce(4).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scale] wrote $t")
+    }
+    spark.stop()
+  }
+}
