@@ -170,6 +170,18 @@ class PlanShapeSpec extends SparkSpec {
       "only the 1-row corpus total may BNLJ")
   }
 
+  test("q203_bitext_bucketed: the pair product is an equi-join on the cell") {
+    val ns = nodes("q203_bitext_bucketed")
+    assert(count(ns) { case _: CartesianProductExec => () } == 0,
+      "the corpus halves must never cartesian-product")
+    val equi = count(ns) { case _: SortMergeJoinExec => () } +
+      count(ns) { case _: ShuffledHashJoinExec => () } +
+      count(ns) { case _: BroadcastHashJoinExec => () }
+    assert(equi >= 1, "cell-keyed equi-join must carry the candidate product")
+    assert(count(ns) { case _: BroadcastNestedLoopJoinExec => () } <= 3,
+      "only the 16-row centroid assignment broadcasts may BNLJ")
+  }
+
   test("q101_bloom_prune: membership is a codegen predicate, not a probe join") {
     val df = SparkEntry.queries("q101_bloom_prune")(spark, dir)
     df.collect()
