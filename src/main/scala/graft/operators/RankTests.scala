@@ -65,4 +65,48 @@ object RankTests {
         when(col("n0") > 0 && col("n1") > 0,
           round(col("u1d") / (col("n0").cast("double") * col("n1")), 4)).as("effect"))
   }
+
+  /** Kendall τ-b (Kendall 1938; tie correction per Kendall 1945) between
+    * two pre-BINNED integer metrics, per group — the rank-correlation
+    * companion to q79's Pearson r: monotone-association strength that
+    * ignores the metric's shape entirely.
+    *
+    * Scale discipline: concordant/discordant pairs come from a self-join
+    * of the (group, xb, yb) CELL GRID, never of raw rows — callers bin
+    * the metrics first, so the grid (and the pair term) is bounded by the
+    * bin domain, not the corpus (the q198 day-grid argument). Everything
+    * is int64 until τ's one division at the edge; the counts themselves
+    * are gate-hashable integers.
+    */
+  def kendallTauB(binned: DataFrame, grpCol: String): DataFrame = {
+    val cells = binned.groupBy(col(grpCol), col("xb"), col("yb"))
+      .agg(count(lit(1)).as("c"))
+    val cd = cells.as("a")
+      .join(cells.as("b"),
+        col(s"a.$grpCol") === col(s"b.$grpCol") &&
+          (col("a.xb") < col("b.xb") ||
+            (col("a.xb") === col("b.xb") && col("a.yb") < col("b.yb"))))
+      .select(col(s"a.$grpCol").as(grpCol),
+        (col("a.c") * col("b.c")).as("m"),
+        ((col("b.xb") - col("a.xb")) * (col("b.yb") - col("a.yb"))).as("prod"))
+      .groupBy(col(grpCol))
+      .agg(sum(when(col("prod") > 0, col("m")).otherwise(0L)).as("nc"),
+        sum(when(col("prod") < 0, col("m")).otherwise(0L)).as("nd"))
+    val tot = cells.groupBy(col(grpCol)).agg(sum(col("c")).as("n"))
+      .withColumn("n0", col("n") * (col("n") - 1) / 2)
+    val tx = cells.groupBy(col(grpCol), col("xb")).agg(sum(col("c")).as("cx"))
+      .groupBy(col(grpCol)).agg(sum(col("cx") * (col("cx") - 1) / 2).as("n1"))
+    val ty = cells.groupBy(col(grpCol), col("yb")).agg(sum(col("c")).as("cy"))
+      .groupBy(col(grpCol)).agg(sum(col("cy") * (col("cy") - 1) / 2).as("n2"))
+    tot.join(cd, Seq(grpCol), "left").join(tx, Seq(grpCol)).join(ty, Seq(grpCol))
+      .select(col(grpCol), col("n"),
+        coalesce(col("nc"), lit(0L)).as("concordant"),
+        coalesce(col("nd"), lit(0L)).as("discordant"),
+        // all-tied-in-x or -in-y groups zero a factor — NULL, not ANSI error
+        when(col("n0") > col("n1") && col("n0") > col("n2"),
+          round((coalesce(col("nc"), lit(0L)) - coalesce(col("nd"), lit(0L)))
+              .cast("double")
+            / sqrt((col("n0") - col("n1")).cast("double")
+              * (col("n0") - col("n2")).cast("double")), 6)).as("tau_b"))
+  }
 }

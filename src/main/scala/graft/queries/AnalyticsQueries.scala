@@ -218,6 +218,63 @@ object AnalyticsQueries {
           "source", "n_chars")
         .orderBy(col("source"))),
 
+    // Kendall τ-b rank correlation between doc length and token count per
+    // source (the monotone-association twin of q79's Pearson r). Metrics
+    // are BINNED first (n_chars÷64, tokens÷16) so the concordance pair
+    // join runs over the bounded cell grid, never raw doc pairs — the
+    // q198/q200 grid discipline. Integer C/D/n counts hash exactly; τ is
+    // one division at the edge.
+    "q210_kendall_tau" -> ((s, dir) => {
+      val binned = Tables.documents(s, dir)
+        .select(col("source"),
+          expr("n_chars div 64").as("xb"),
+          graft.functions.TextOps.wsTokenCount(col("text")).cast("long").as("_y"))
+        .select(col("source"), col("xb"), expr("_y div 16").as("yb"))
+      graft.operators.RankTests.kendallTauB(binned, "source")
+        .orderBy(col("source"))
+    }),
+
+    // Two-proportion z-test + Wilson 95% CIs: click share per user-parity
+    // variant — the categorical-outcome companion to q190's Welch t and
+    // q200's rank test. Sufficient statistics are four integers; the z
+    // and both CIs are closed-form float expressions at the edge.
+    "q212_prop_ztest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select((col("user_id") % 2).cast("long").as("variant"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("hit"))
+      val g = ev.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("hit")).as("k"))
+      // z written as the literal (never sqrt(z²) — a 1-ulp cross-engine
+      // trap); every float expression mirrors the oracle's shape exactly
+      val zl = lit(1.959963984540054)
+      val z2 = zl * zl
+      def phat = col("k").cast("double") / col("n")
+      def halfW = zl * sqrt(phat * (lit(1.0) - phat) / col("n")
+        + z2 / (lit(4.0) * col("n") * col("n")))
+      def center(sign: Double) =
+        round(((col("k") + z2 / 2) / col("n") + lit(sign) * halfW)
+          / (lit(1.0) + z2 / col("n")), 6)
+      val wils = g.select(col("variant"), col("n"), col("k"),
+          round(phat, 6).as("p"),
+          // Wilson score interval: (p̂ + z²/2n ± z·sqrt(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+          center(-1.0).as("wilson_lo"),
+          center(1.0).as("wilson_hi"))
+      val a = wils.filter(col("variant") === 0).select(
+        col("n").as("n0"), col("k").as("k0"), col("p").as("p0"),
+        col("wilson_lo").as("lo0"), col("wilson_hi").as("hi0"))
+      val b = wils.filter(col("variant") === 1).select(
+        col("n").as("n1"), col("k").as("k1"), col("p").as("p1"),
+        col("wilson_lo").as("lo1"), col("wilson_hi").as("hi1"))
+      a.crossJoin(b) // 1 row × 1 row
+        .withColumn("_pp", (col("k0") + col("k1")).cast("double") / (col("n0") + col("n1")))
+        .select(col("n0"), col("k0"), col("p0"), col("lo0"), col("hi0"),
+          col("n1"), col("k1"), col("p1"), col("lo1"), col("hi1"),
+          when(col("_pp") > 0 && col("_pp") < 1,
+            round((col("k1").cast("double") / col("n1") - col("k0").cast("double") / col("n0"))
+              / sqrt(col("_pp") * (lit(1.0) - col("_pp"))
+                * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4)).as("z"))
+    }),
+
     // T-digest bounded-error gate: the digest's centroid layout depends
     // on Spark's partition merge order (documented t-digest property), so
     // no value-replay oracle exists — instead BOTH engines compute the
@@ -808,6 +865,61 @@ object AnalyticsQueries {
         |               - CAST(a.n + 1 AS DOUBLE) / a.n, 6) END AS gini,
         |       CASE WHEN a.t > 0 THEN round(CAST(bh.bh AS DOUBLE) / a.t, 6) END AS bottom_half_share
         |FROM a JOIN bh USING (source) ORDER BY a.source""".stripMargin,
+
+    // same binned cell grid, same pair join, same integer counts
+    "q210_kendall_tau" ->
+      """WITH d AS (
+        |  SELECT source, n_chars // 64 AS xb,
+        |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) // 16 AS yb
+        |  FROM documents),
+        |cells AS (SELECT source, xb, yb, count(*) AS c FROM d GROUP BY 1, 2, 3),
+        |cd AS (
+        |  SELECT a.source,
+        |         sum(CASE WHEN (b.xb - a.xb) * (b.yb - a.yb) > 0 THEN a.c * b.c ELSE 0 END) AS nc,
+        |         sum(CASE WHEN (b.xb - a.xb) * (b.yb - a.yb) < 0 THEN a.c * b.c ELSE 0 END) AS nd
+        |  FROM cells a JOIN cells b ON a.source = b.source
+        |    AND (a.xb < b.xb OR (a.xb = b.xb AND a.yb < b.yb))
+        |  GROUP BY 1),
+        |tot AS (SELECT source, sum(c) AS n, sum(c) * (sum(c) - 1) // 2 AS n0 FROM cells GROUP BY 1),
+        |tx AS (SELECT source, sum(cx * (cx - 1) // 2) AS n1
+        |       FROM (SELECT source, xb, sum(c) AS cx FROM cells GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (SELECT source, sum(cy * (cy - 1) // 2) AS n2
+        |       FROM (SELECT source, yb, sum(c) AS cy FROM cells GROUP BY 1, 2) GROUP BY 1)
+        |SELECT tot.source, CAST(n AS BIGINT) AS n,
+        |       CAST(coalesce(nc, 0) AS BIGINT) AS concordant,
+        |       CAST(coalesce(nd, 0) AS BIGINT) AS discordant,
+        |       CASE WHEN n0 > n1 AND n0 > n2 THEN
+        |         round(CAST(coalesce(nc, 0) - coalesce(nd, 0) AS DOUBLE)
+        |               / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6) END AS tau_b
+        |FROM tot LEFT JOIN cd USING (source) JOIN tx USING (source) JOIN ty USING (source)
+        |ORDER BY tot.source""".stripMargin,
+
+    // identical Wilson/z float shapes; z is the literal on both sides
+    "q212_prop_ztest" ->
+      """WITH e AS (
+        |  SELECT user_id % 2 AS variant,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS hit
+        |  FROM events),
+        |g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(sum(hit) AS BIGINT) AS k
+        |      FROM e GROUP BY 1),
+        |w AS (SELECT variant, n, k,
+        |        round(CAST(k AS DOUBLE) / n, 6) AS p,
+        |        round(((k + 1.959963984540054*1.959963984540054/2) / n
+        |          + (-1.0) * (1.959963984540054 * sqrt(CAST(k AS DOUBLE)/n * (1.0 - CAST(k AS DOUBLE)/n) / n
+        |              + 1.959963984540054*1.959963984540054 / (4.0 * n * n))))
+        |          / (1.0 + 1.959963984540054*1.959963984540054 / n), 6) AS wilson_lo,
+        |        round(((k + 1.959963984540054*1.959963984540054/2) / n
+        |          + 1.0 * (1.959963984540054 * sqrt(CAST(k AS DOUBLE)/n * (1.0 - CAST(k AS DOUBLE)/n) / n
+        |              + 1.959963984540054*1.959963984540054 / (4.0 * n * n))))
+        |          / (1.0 + 1.959963984540054*1.959963984540054 / n), 6) AS wilson_hi
+        |      FROM g),
+        |a AS (SELECT n AS n0, k AS k0, p AS p0, wilson_lo AS lo0, wilson_hi AS hi0 FROM w WHERE variant = 0),
+        |b AS (SELECT n AS n1, k AS k1, p AS p1, wilson_lo AS lo1, wilson_hi AS hi1 FROM w WHERE variant = 1)
+        |SELECT n0, k0, p0, lo0, hi0, n1, k1, p1, lo1, hi1,
+        |       CASE WHEN pp > 0 AND pp < 1 THEN
+        |         round((CAST(k1 AS DOUBLE)/n1 - CAST(k0 AS DOUBLE)/n0)
+        |               / sqrt(pp * (1.0 - pp) * (1.0/n0 + 1.0/n1)), 4) END AS z
+        |FROM (SELECT *, CAST(k0 + k1 AS DOUBLE) / (n0 + n1) AS pp FROM a, b)""".stripMargin,
 
     // exact quantiles only (type-7 interpolation = Spark `percentile`);
     // bound_ok is pinned TRUE — the Spark side computes the digest's rank

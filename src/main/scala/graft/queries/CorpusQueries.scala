@@ -840,6 +840,91 @@ object CorpusQueries {
       }
       val edges = graft.operators.LinkGraph.edges(pages.toDF("uri", "html"), "uri", "html")
       graft.operators.Hits.run(edges, 5).orderBy(col("page"))
+    }),
+
+    // HLL SET ALGEBRA — pairwise source vocabulary overlap from the q96
+    // registers alone: union = register max per pair, intersection =
+    // inclusion-exclusion, Jaccard from the two. The point of mergeable
+    // sketches at 100 TB: cross-shard overlap WITHOUT re-scanning either
+    // side (the exact columns are gate-only validation). Register tables
+    // are 16 rows/source; the pair grid is |sources|² — metadata-sized.
+    "q211_hll_overlap" -> ((s, dir) => {
+      import graft.functions.HllSketch
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(graft.search.Bm25.tokens(col("text"))).as("w"))
+      // one tokenize scan feeds registers AND the exact validation
+      val dw = toks.distinct().localCheckpoint(eager = true)
+      val regs = HllSketch.registers(dw, "source", "w")
+        .localCheckpoint(eager = true) // reused 3x (a-side, b-side, singles)
+      val estS = HllSketch.estimate(regs)
+      val srcs = regs.select(col("grp")).distinct()
+      val pairs = srcs.select(col("grp").as("sa"))
+        .crossJoin(srcs.select(col("grp").as("sb")))
+        .filter(col("sa") < col("sb")) // bounded: |sources|²
+      val tag = concat_ws("|", col("sa"), col("sb"))
+      val unionRegs = HllSketch.merge(
+        pairs.join(regs.withColumnRenamed("grp", "sa"), Seq("sa"))
+          .select(tag.as("grp"), col("j"), col("reg")),
+        pairs.join(regs.withColumnRenamed("grp", "sb"), Seq("sb"))
+          .select(tag.as("grp"), col("j"), col("reg")))
+      val estU = HllSketch.estimate(unionRegs)
+        .select(substring_index(col("grp"), "|", 1).as("sa"),
+          substring_index(col("grp"), "|", -1).as("sb"),
+          col("est").as("est_union"))
+      val exactN = dw.groupBy(col("source")).agg(countDistinct(col("w")).as("nx"))
+      val exactI = dw.as("x").join(dw.as("y"),
+          col("x.w") === col("y.w") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+        .agg(countDistinct(col("x.w")).as("n_exact_inter"))
+      estU
+        .join(estS.select(col("grp").as("sa"), col("est").as("est_a")), Seq("sa"))
+        .join(estS.select(col("grp").as("sb"), col("est").as("est_b")), Seq("sb"))
+        .join(exactI, Seq("sa", "sb"))
+        .join(exactN.select(col("source").as("sa"), col("nx").as("na")), Seq("sa"))
+        .join(exactN.select(col("source").as("sb"), col("nx").as("nb")), Seq("sb"))
+        .withColumn("est_inter", round(col("est_a") + col("est_b") - col("est_union"), 6))
+        .select(col("sa"), col("sb"),
+          col("n_exact_inter"),
+          (col("na") + col("nb") - col("n_exact_inter")).as("n_exact_union"),
+          col("est_union"), col("est_inter"),
+          when(col("est_union") > 0,
+            round(col("est_inter") / col("est_union"), 6)).as("jaccard_est"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
+    // Jensen-Shannon divergence of each source's unigram distribution vs
+    // the REST of the corpus — the symmetric, bounded cousin of q93's KL
+    // (JSD ∈ [0, ln 2], defined even where supports differ, which is
+    // exactly the mixing-report case). Distributions live on the term-
+    // keyed count tables; the source×vocab densify is |sources|×|vocab|
+    // — bounded by the source count, with partial-agg sums per source.
+    "q213_js_divergence" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.TextOps.words(col("text"))).as("t"))
+        .filter(length(col("t")) > 1)
+      val st = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      val ct = toks.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+      val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val n = toks.agg(count(lit(1)).as("n_corpus"))
+      val dense = ns.crossJoin(broadcast(n)) // |sources| rows
+        .crossJoin(ct) // × vocab — the bounded densify
+        .join(st, Seq("source", "t"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("p", col("c").cast("double") / col("n_s"))
+        .withColumn("q", (col("ct") - col("c")).cast("double")
+          / (col("n_corpus") - col("n_s")))
+        .withColumn("m", (col("p") + col("q")) / 2)
+      dense
+        .withColumn("_js",
+          when(col("p") > 0, col("p") * log(col("p") / col("m")) / 2).otherwise(0.0)
+            + when(col("q") > 0, col("q") * log(col("q") / col("m")) / 2).otherwise(0.0))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          sum(when(col("c") > 0, 1L).otherwise(0L)).as("vocab"),
+          round(sum(col("_js")), 6).as("jsd"),
+          round(sum(col("_js")) / math.log(2.0), 6).as("jsd_bits"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1469,6 +1554,92 @@ object CorpusQueries {
         |       CAST(sum(toks) AS BIGINT) AS tokens_kept,
         |       CAST(max(cum) AS BIGINT) AS budget_used
         |FROM c WHERE cum <= 2000
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the q96 register replay, paired: union regs = per-pair max, both
+    // estimates through the identical bias-corrected formula, then
+    // inclusion-exclusion over the ROUNDED estimates (matching Spark)
+    "q211_hll_overlap" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1)) AS w
+        |  FROM documents),
+        |d AS (SELECT DISTINCT source, w FROM t),
+        |h AS (SELECT source, CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) % 2147483647 AS h FROM d),
+        |r AS (SELECT source, h % 16 AS j,
+        |             CASE WHEN h // 16 = 0 THEN 28
+        |                  ELSE 27 - (length(bin(h // 16)) - 1) END AS r
+        |      FROM h),
+        |reg AS (SELECT source, j, max(r) AS reg FROM r GROUP BY source, j),
+        |srcs AS (SELECT DISTINCT source FROM reg),
+        |jj AS (SELECT unnest(generate_series(0, 15)) AS j),
+        |fs AS (SELECT s.source, jj.j, coalesce(reg.reg, 0) AS reg
+        |       FROM srcs s CROSS JOIN jj LEFT JOIN reg ON reg.source = s.source AND reg.j = jj.j),
+        |es AS (SELECT source,
+        |              count(CASE WHEN reg = 0 THEN 1 END) AS nz,
+        |              0.673 * 256 / sum(power(2.0, -reg)) AS raw
+        |       FROM fs GROUP BY source),
+        |e1 AS (SELECT source,
+        |              round(CASE WHEN raw <= 40 AND nz > 0 THEN 16 * ln(16.0 / nz) ELSE raw END, 6) AS est
+        |       FROM es),
+        |prs AS (SELECT a.source AS sa, b.source AS sb FROM srcs a, srcs b WHERE a.source < b.source),
+        |pu AS (SELECT prs.sa, prs.sb, fs.j, max(fs.reg) AS reg
+        |       FROM prs JOIN fs ON fs.source = prs.sa OR fs.source = prs.sb
+        |       GROUP BY 1, 2, 3),
+        |eu AS (SELECT sa, sb,
+        |              count(CASE WHEN reg = 0 THEN 1 END) AS nz,
+        |              0.673 * 256 / sum(power(2.0, -reg)) AS raw
+        |       FROM pu GROUP BY sa, sb),
+        |e2 AS (SELECT sa, sb,
+        |              round(CASE WHEN raw <= 40 AND nz > 0 THEN 16 * ln(16.0 / nz) ELSE raw END, 6) AS est_union
+        |       FROM eu),
+        |nx AS (SELECT source, count(DISTINCT w) AS nx FROM d GROUP BY source),
+        |xi AS (SELECT x.source AS sa, y.source AS sb, count(DISTINCT x.w) AS n_exact_inter
+        |       FROM d x JOIN d y ON x.w = y.w AND x.source < y.source
+        |       GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT e2.sa, e2.sb, xi.n_exact_inter, na.nx + nb.nx - xi.n_exact_inter AS n_exact_union,
+        |         e2.est_union, round(ea.est + eb.est - e2.est_union, 6) AS est_inter
+        |  FROM e2
+        |  JOIN e1 ea ON ea.source = e2.sa
+        |  JOIN e1 eb ON eb.source = e2.sb
+        |  JOIN xi ON xi.sa = e2.sa AND xi.sb = e2.sb
+        |  JOIN nx na ON na.source = e2.sa
+        |  JOIN nx nb ON nb.source = e2.sb)
+        |SELECT sa, sb, CAST(n_exact_inter AS BIGINT) AS n_exact_inter,
+        |       CAST(n_exact_union AS BIGINT) AS n_exact_union,
+        |       est_union, est_inter,
+        |       CASE WHEN est_union > 0 THEN round(est_inter / est_union, 6) END AS jaccard_est
+        |FROM fin ORDER BY sa, sb""".stripMargin,
+
+    // q93's token tables densified over source×vocab; identical float
+    // shape per term: p·ln(p/m)/2 + q·ln(q/m)/2 with m=(p+q)/2. The bits
+    // divisor is the exact double of Scala's math.log(2.0).
+    "q213_js_divergence" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            x -> len(x) > 1)) AS t
+        |  FROM documents),
+        |st AS (SELECT source, t, count(*) AS c FROM t GROUP BY source, t),
+        |ct AS (SELECT t, count(*) AS ct FROM t GROUP BY t),
+        |ns AS (SELECT source, sum(c) AS n_s FROM st GROUP BY source),
+        |n AS (SELECT count(*) AS n_corpus FROM t),
+        |dense AS (
+        |  SELECT ns.source, ct.t, ct.ct, ns.n_s, coalesce(st.c, 0) AS c
+        |  FROM ns CROSS JOIN ct LEFT JOIN st ON st.source = ns.source AND st.t = ct.t),
+        |j AS (
+        |  SELECT source, n_s, c,
+        |         CAST(c AS DOUBLE) / n_s AS p,
+        |         CAST(ct - c AS DOUBLE) / ((SELECT n_corpus FROM n) - n_s) AS q
+        |  FROM dense)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab,
+        |       round(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0.0 END
+        |               + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0.0 END), 6) AS jsd,
+        |       round(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0.0 END
+        |               + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0.0 END)
+        |             / 0.6931471805599453, 6) AS jsd_bits
+        |FROM j GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -41,4 +41,32 @@ class RankTestsSpec extends SparkSpec {
     assert(up.getAs[Double]("z") > 0)
     assert(dn.getAs[Double]("z") < 0)
   }
+
+  private def tau(rows: Seq[(String, Long, Long)]): Map[String, org.apache.spark.sql.Row] =
+    RankTests.kendallTauB(rows.toDF("g", "xb", "yb"), "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("kendall tau-b: perfect monotone = +1, perfect reversal = -1") {
+    val r = tau(
+      (1L to 10L).map(i => ("up", i, i * 3)) ++
+        (1L to 10L).map(i => ("down", i, 100 - i)))
+    assert(r("up").getAs[Double]("tau_b") == 1.0)
+    assert(r("down").getAs[Double]("tau_b") == -1.0)
+    assert(r("up").getAs[Long]("concordant") == 45 &&
+      r("up").getAs[Long]("discordant") == 0)
+  }
+
+  test("kendall tau-b: textbook tied example") {
+    // x = (1,1,2,3), y = (1,2,2,3): C=4, D=0, n0=6, n1=1 (x-pair), n2=1
+    // (y-pair) -> tau_b = 4/sqrt(25) = 0.8
+    val r = tau(Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 2L, 2L), ("g", 3L, 3L)))
+    assert(r("g").getAs[Long]("concordant") == 4)
+    assert(r("g").getAs[Long]("discordant") == 0)
+    assert(r("g").getAs[Double]("tau_b") == 0.8)
+  }
+
+  test("kendall tau-b: degenerate all-tied axis yields NULL, not an error") {
+    val r = tau(Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 1L, 3L)))
+    assert(r("g").isNullAt(r("g").fieldIndex("tau_b")))
+  }
 }
