@@ -275,6 +275,74 @@ object AnalyticsQueries {
                 * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4)).as("z"))
     }),
 
+    // Embedding dimension-correlation audit — the redundancy report a
+    // vector pipeline reads before whitening or Matryoshka truncation
+    // (q151): Pearson r for every dim pair. The d²/2 fan-out is per ROW
+    // and bounded by the dimension (64 → 2016 pairs), never the corpus;
+    // sufficient statistics collapse in ONE (i, j)-keyed partial agg.
+    // Threshold compares the ROUNDED r (round-then-compare discipline).
+    "q214_dim_corr" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("p", "x")))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("i"), col("b.p").as("j"),
+          col("a.x").as("xi"), col("b.x").as("xj"))
+      pairs.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xi")).as("si"), sum(col("xj")).as("sj"),
+          sum(col("xi") * col("xi")).as("sii"),
+          sum(col("xj") * col("xj")).as("sjj"),
+          sum(col("xi") * col("xj")).as("sij"))
+        .withColumn("r",
+          round((col("n") * col("sij") - col("si") * col("sj"))
+            / (sqrt(col("n") * col("sii") - col("si") * col("si"))
+              * sqrt(col("n") * col("sjj") - col("sj") * col("sj"))), 6))
+        .filter(abs(col("r")) >= 0.1)
+        .select((col("i") + 1).cast("long").as("dim_i"),
+          (col("j") + 1).cast("long").as("dim_j"), col("r"))
+        .orderBy(col("dim_i"), col("dim_j"))
+    }),
+
+    // Wald SPRT (Sequential Probability Ratio Test, Wald 1945) on the
+    // click rate per user-parity variant: H0 p=0.4 vs H1 p=0.6,
+    // α=β=0.05. The LLR after n events is k·ln(p1/p0)+(n−k)·ln(q1/q0) —
+    // integer cumsums per variant (one window each), constants baked as
+    // IDENTICAL decimal literals on both sides (libm ln can differ by
+    // 1 ulp between engines), so the first-crossing index is exact.
+    "q215_sprt" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c1 = math.log(0.6 / 0.4) // ln(p1/p0)
+      val c2 = math.log(0.4 / 0.6) // ln((1-p1)/(1-p0))
+      val a = math.log(19.0) // ln((1-β)/α), α=β=0.05
+      val ev = Tables.events(s, dir)
+        .select((col("user_id") % 2).cast("long").as("variant"),
+          expr("unix_micros(ts)").as("us"), col("event_id"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("hit"))
+      val w = Window.partitionBy(col("variant"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val walk = ev
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("k", sum(col("hit")).over(w))
+        .withColumn("llr", col("k") * lit(c1) + (col("n") - col("k")) * lit(c2))
+      val crossed = walk.filter(col("llr") >= a || col("llr") <= -a)
+        .groupBy(col("variant")).agg(min(col("n")).as("cross_n"))
+      val crossSign = walk.join(crossed, Seq("variant"))
+        .filter(col("n") === col("cross_n"))
+        .select(col("variant"), col("cross_n"),
+          when(col("llr") >= a, "reject_h0").otherwise("accept_h0").as("decision"))
+      val fin = walk.groupBy(col("variant"))
+        .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+          round(max(struct(col("n"), col("llr"))).getField("llr"), 4).as("llr_final"))
+      fin.join(crossSign, Seq("variant"), "left")
+        .select(col("variant"), col("n"), col("k"), col("llr_final"),
+          coalesce(col("decision"), lit("continue")).as("decision"),
+          col("cross_n"))
+        .orderBy(col("variant"))
+    }),
+
     // T-digest bounded-error gate: the digest's centroid layout depends
     // on Spark's partition merge order (documented t-digest property), so
     // no value-replay oracle exists — instead BOTH engines compute the
@@ -921,6 +989,31 @@ object AnalyticsQueries {
         |               / sqrt(pp * (1.0 - pp) * (1.0/n0 + 1.0/n1)), 4) END AS z
         |FROM (SELECT *, CAST(k0 + k1 AS DOUBLE) / (n0 + n1) AS pp FROM a, b)""".stripMargin,
 
+    // same (i, j)-keyed sufficient statistics; dims 1-based via
+    // generate_series; threshold on the rounded r
+    "q214_dim_corr" ->
+      """WITH e AS (
+        |  SELECT vec_id, i, CAST(embedding AS DOUBLE[])[i] AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims),
+        |p AS (
+        |  SELECT a.i AS di, b.i AS dj, a.x AS xi, b.x AS xj
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i < b.i),
+        |s AS (
+        |  SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
+        |         sum(xi) AS si, sum(xj) AS sj,
+        |         sum(xi * xi) AS sii, sum(xj * xj) AS sjj,
+        |         sum(xi * xj) AS sij
+        |  FROM p GROUP BY di, dj)
+        |SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
+        |       round((n * sij - si * sj)
+        |             / (sqrt(n * sii - si * si) * sqrt(n * sjj - sj * sj)), 6) AS r
+        |FROM s
+        |WHERE abs(round((n * sij - si * sj)
+        |          / (sqrt(n * sii - si * si) * sqrt(n * sjj - sj * sj)), 6)) >= 0.1
+        |ORDER BY dim_i, dim_j""".stripMargin,
+
+    "q215_sprt" -> sprtSql,
+
     // exact quantiles only (type-7 interpolation = Spark `percentile`);
     // bound_ok is pinned TRUE — the Spark side computes the digest's rank
     // error, and a violation breaks the hash.
@@ -965,6 +1058,42 @@ object AnalyticsQueries {
 
     "q205_dgim_replay" -> dgimReplaySql
   )
+
+  /** The q215 oracle with the SPRT constants rendered from the SAME
+    * Scala doubles the gate uses (shortest round-trip decimal — DuckDB
+    * parses back to the identical bits; computing ln() in each engine
+    * could differ by 1 ulp and shift the crossing index).
+    */
+  private lazy val sprtSql: String = {
+    val c1 = math.log(0.6 / 0.4)
+    val c2 = math.log(0.4 / 0.6)
+    val a = math.log(19.0)
+    s"""WITH ev AS (
+       |  SELECT user_id % 2 AS variant, epoch_us(ts) AS us, event_id,
+       |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS hit
+       |  FROM events),
+       |w AS (
+       |  SELECT variant,
+       |         count(*) OVER win AS n, sum(hit) OVER win AS k
+       |  FROM ev
+       |  WINDOW win AS (PARTITION BY variant ORDER BY us, event_id
+       |                 ROWS UNBOUNDED PRECEDING)),
+       |walk AS (SELECT variant, n, k, k * $c1 + (n - k) * $c2 AS llr FROM w),
+       |crossed AS (SELECT variant, min(n) AS cross_n FROM walk
+       |            WHERE llr >= $a OR llr <= -$a GROUP BY variant),
+       |cs AS (SELECT walk.variant, cross_n,
+       |              CASE WHEN llr >= $a THEN 'reject_h0' ELSE 'accept_h0' END AS decision
+       |       FROM walk JOIN crossed
+       |         ON walk.variant = crossed.variant AND walk.n = crossed.cross_n),
+       |fin AS (SELECT variant, CAST(max(n) AS BIGINT) AS n,
+       |               CAST(max(k) AS BIGINT) AS k,
+       |               round(max_by(llr, n), 4) AS llr_final
+       |        FROM walk GROUP BY variant)
+       |SELECT fin.variant, n, k, llr_final,
+       |       coalesce(decision, 'continue') AS decision,
+       |       CAST(cross_n AS BIGINT) AS cross_n
+       |FROM fin LEFT JOIN cs USING (variant) ORDER BY fin.variant""".stripMargin
+  }
 
   /** Max one-insert cascade depth the q205 oracle unrolls: a 48-tick
     * window holds bucket sizes ≤32, so a single insert chains at most 6
