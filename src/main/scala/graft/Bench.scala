@@ -34,32 +34,52 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
     }
-    // two timed passes, min per query: a single mid-suite sample is exposed
-    // to GC pauses / context-cleaner bursts from earlier queries (round-3
-    // q33/q34 showed 5-7x one-off spikes with unchanged code). min-of-2 is
-    // the standard way to report steady-state. EVERY query gets both
-    // passes — skipping the re-run when the first sample is slow would
-    // lock in exactly the spikes this exists to filter.
+    // N timed passes (default 2), min per query: a single mid-suite sample
+    // is exposed to GC pauses / context-cleaner bursts from earlier queries
+    // (round-3 q33/q34 showed 5-7x one-off spikes with unchanged code).
+    // min-of-N is the standard way to report steady-state. EVERY query gets
+    // every pass — skipping the re-run when the first sample is slow would
+    // lock in exactly the spikes this exists to filter. Local re-pins set
+    // SPARK_GRAFT_BENCH_RUNS=5 for a lower-variance aggregate.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val first = ordered.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
-    val results = ordered.map { case (name, fn) =>
-      val t1 = first(name)
-      // the second pass ALWAYS runs: a first-pass failure may be the very
-      // transient (GC-pause OOM, context-cleaner hiccup) the min-of-2
-      // exists to filter. -1 (machine-detectable failure) only if BOTH fail.
-      val t2 = timeOne(name, fn)
-      val best = if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2)
-      name -> best
+    val passes = (1 to runs).map { _ =>
+      ordered.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    }
+    val results = ordered.map { case (name, _) =>
+      // a pass failure may be the very transient (GC-pause OOM,
+      // context-cleaner hiccup) min-of-N exists to filter. -1
+      // (machine-detectable failure) only if EVERY pass fails.
+      val ok = passes.map(_(name)).filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
     println(json)
     // side-channel: sbt prefixes stdout with [info], which can defeat a
     // strict line parser — the same JSON is always available as a file
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
     catch { case _: Throwable => }
+    // The driver records only the LAST ~2 KB of stdout; the full per-query
+    // map (~5 KB at 215 queries) overflows that, truncating the line's
+    // HEAD and leaving the round artifact unparseable (BENCH_r09.json:
+    // `parsed: null`, 78/215 timings). So the FINAL line is a compact
+    // summary guaranteed to fit: total + the slowest queries that fit a
+    // 1.5 KB budget, plus a pointer to bench_out.json for the full map.
+    val slowest = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val budget = 1500
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowest.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${kept.mkString("{", ",", "}")},"queries_full":"bench_out.json","sf":"$sfDir","runs":$runs,"agg":"min"}"""
+    System.out.flush()
+    println(compact)
+    System.out.flush()
     spark.stop()
   }
 }

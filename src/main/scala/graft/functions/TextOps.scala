@@ -16,9 +16,15 @@ object TextOps {
   def words(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Whitespace token count. */
+  /** Whitespace token count. The splitter is the EXPLICIT class
+    * `[ \t\n\r\f]` — Java's `\s` additionally matches vertical tab \x0B
+    * while DuckDB's RE2 `\s` does not, so a bare `\\s+` here would make a
+    * VT-bearing document count differently in the two engines and break
+    * the hash of every gate that bins on this count (r9 advice). RE2's
+    * `\s` is exactly [\t\n\f\r ], so the oracles keep their `'\s+'`.
+    */
   def wsTokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => length(t) > 0))
+    size(filter(split(text, "[ \t\n\r\f]+"), t => length(t) > 0))
 
   /** BPE-ish subword count: letter runs, digit runs, and single
     * non-alnum-non-space marks each count as one token (a cheap proxy for a

@@ -277,18 +277,23 @@ object AnalyticsQueries {
 
     // Embedding dimension-correlation audit — the redundancy report a
     // vector pipeline reads before whitening or Matryoshka truncation
-    // (q151): Pearson r for every dim pair. The d²/2 fan-out is per ROW
-    // and bounded by the dimension (64 → 2016 pairs), never the corpus;
-    // sufficient statistics collapse in ONE (i, j)-keyed partial agg.
-    // Threshold compares the ROUNDED r (round-then-compare discipline).
+    // (q151): Pearson r for every dim pair. The d²/2 fan-out is built
+    // INSIDE each row (two chained posexplodes over the same array — a
+    // Generate, not a join), so nothing shuffles until the ONE bounded
+    // (i, j)-keyed partial agg (64 dims → 2016 cells; map-side combine
+    // collapses each partition to ≤2016 rows before the exchange). The
+    // r8 draft self-joined the exploded corpus on vec_id — two full
+    // Exchanges to rebuild pairs already present in the row (r9 verdict).
+    // ALL 2016 pairs are emitted (no |r| threshold): the row SET is now
+    // float-independent, and a 1-ulp sum-order wobble can only nudge a
+    // rounded VALUE, never flip rows in or out (r9 advice).
     "q214_dim_corr" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"),
-          posexplode(col("embedding").cast("array<double>")).as(Seq("p", "x")))
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.vec_id") === col("b.vec_id") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("i"), col("b.p").as("j"),
-          col("a.x").as("xi"), col("b.x").as("xj"))
+      val v = Tables.embeddings(s, dir)
+        .select(col("embedding").cast("array<double>").as("v"))
+      val pairs = v
+        .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+        .filter(col("i") < col("j"))
       pairs.groupBy(col("i"), col("j"))
         .agg(count(lit(1)).as("n"),
           sum(col("xi")).as("si"), sum(col("xj")).as("sj"),
@@ -299,7 +304,6 @@ object AnalyticsQueries {
           round((col("n") * col("sij") - col("si") * col("sj"))
             / (sqrt(col("n") * col("sii") - col("si") * col("si"))
               * sqrt(col("n") * col("sjj") - col("sj") * col("sj"))), 6))
-        .filter(abs(col("r")) >= 0.1)
         .select((col("i") + 1).cast("long").as("dim_i"),
           (col("j") + 1).cast("long").as("dim_j"), col("r"))
         .orderBy(col("dim_i"), col("dim_j"))
@@ -327,19 +331,23 @@ object AnalyticsQueries {
         .withColumn("n", count(lit(1)).over(w))
         .withColumn("k", sum(col("hit")).over(w))
         .withColumn("llr", col("k") * lit(c1) + (col("n") - col("k")) * lit(c2))
-      val crossed = walk.filter(col("llr") >= a || col("llr") <= -a)
-        .groupBy(col("variant")).agg(min(col("n")).as("cross_n"))
-      val crossSign = walk.join(crossed, Seq("variant"))
-        .filter(col("n") === col("cross_n"))
-        .select(col("variant"), col("cross_n"),
-          when(col("llr") >= a, "reject_h0").otherwise("accept_h0").as("decision"))
-      val fin = walk.groupBy(col("variant"))
+      // final state AND first crossing in ONE partial agg over the walk:
+      // min(struct(n, decision)) picks the earliest crossing row (n is
+      // unique per variant, so the struct order is total), max(struct(n,
+      // llr)) the final LLR. The r9 draft re-derived `walk` three times
+      // (filter + two joins) — 3 WindowExecs and 2 joins for values one
+      // agg already holds; at 100 TB that is 3 window shuffles of the
+      // event horizon instead of 1 (r10 plan fix, PlanShapeSpec-asserted).
+      walk.groupBy(col("variant"))
         .agg(max(col("n")).as("n"), max(col("k")).as("k"),
-          round(max(struct(col("n"), col("llr"))).getField("llr"), 4).as("llr_final"))
-      fin.join(crossSign, Seq("variant"), "left")
+          round(max(struct(col("n"), col("llr"))).getField("llr"), 4).as("llr_final"),
+          min(when(col("llr") >= a || col("llr") <= -a,
+            struct(col("n").as("cn"),
+              when(col("llr") >= a, "reject_h0").otherwise("accept_h0").as("d"))))
+            .as("_cross"))
         .select(col("variant"), col("n"), col("k"), col("llr_final"),
-          coalesce(col("decision"), lit("continue")).as("decision"),
-          col("cross_n"))
+          coalesce(col("_cross.d"), lit("continue")).as("decision"),
+          col("_cross.cn").as("cross_n"))
         .orderBy(col("variant"))
     }),
 
@@ -989,15 +997,17 @@ object AnalyticsQueries {
         |               / sqrt(pp * (1.0 - pp) * (1.0/n0 + 1.0/n1)), 4) END AS z
         |FROM (SELECT *, CAST(k0 + k1 AS DOUBLE) / (n0 + n1) AS pp FROM a, b)""".stripMargin,
 
-    // same (i, j)-keyed sufficient statistics; dims 1-based via
-    // generate_series; threshold on the rounded r
+    // same (i, j)-keyed sufficient statistics, pairs built in-row from the
+    // doubly-unnested array (dims 1-based); ALL 2016 pairs emitted
     "q214_dim_corr" ->
-      """WITH e AS (
-        |  SELECT vec_id, i, CAST(embedding AS DOUBLE[])[i] AS x
-        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims),
-        |p AS (
-        |  SELECT a.i AS di, b.i AS dj, a.x AS xi, b.x AS xj
-        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i < b.i),
+      """WITH p AS (
+        |  SELECT di.i AS di, dj.i AS dj,
+        |         CAST(embedding AS DOUBLE[])[di.i] AS xi,
+        |         CAST(embedding AS DOUBLE[])[dj.i] AS xj
+        |  FROM embeddings,
+        |       (SELECT unnest(generate_series(1, 64)) AS i) di,
+        |       (SELECT unnest(generate_series(1, 64)) AS i) dj
+        |  WHERE di.i < dj.i),
         |s AS (
         |  SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
         |         sum(xi) AS si, sum(xj) AS sj,
@@ -1008,8 +1018,6 @@ object AnalyticsQueries {
         |       round((n * sij - si * sj)
         |             / (sqrt(n * sii - si * si) * sqrt(n * sjj - sj * sj)), 6) AS r
         |FROM s
-        |WHERE abs(round((n * sij - si * sj)
-        |          / (sqrt(n * sii - si * si) * sqrt(n * sjj - sj * sj)), 6)) >= 0.1
         |ORDER BY dim_i, dim_j""".stripMargin,
 
     "q215_sprt" -> sprtSql,

@@ -19,6 +19,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   */
 object StreamDgim {
 
+  /** A hit has no payload beyond its tick: within a key group, rows tied
+    * on `time` are value-identical, so the time sort below is a total
+    * order over row VALUES and the fold is replay-stable by construction
+    * (the StreamEwma tiebreak concern does not arise here).
+    */
   case class Hit(key: String, time: Long)
 
   /** DGIM buckets, newest first: (size, most-recent-hit time). */

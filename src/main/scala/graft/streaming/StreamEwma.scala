@@ -59,8 +59,11 @@ object StreamEwma {
         GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[BucketCount], state: GroupState[EwmaState]) =>
           var s = state.getOption.getOrElse(EwmaState(0.0, 0L))
-          // order within the trigger so replay matches event order
-          val out = rows.toSeq.sortBy(_.bucket).map { b =>
+          // order within the trigger so replay matches event order; the
+          // (bucket, n) key is a TOTAL order over the row, so tied buckets
+          // fold identically whatever the shuffle delivered (r9 advice) —
+          // tied rows that differ in n fold smallest-n first
+          val out = rows.toSeq.sortBy(b => (b.bucket, b.n)).map { b =>
             val (next, r) = step(s, b)
             s = next
             r
@@ -82,7 +85,7 @@ object StreamEwma {
     import buckets.sparkSession.implicits._
     buckets.groupByKey(_.key).flatMapGroups { (_: String, rows: Iterator[BucketCount]) =>
       var s = EwmaState(0.0, 0L)
-      rows.toSeq.sortBy(_.bucket).map { b =>
+      rows.toSeq.sortBy(b => (b.bucket, b.n)).map { b =>
         val (next, r) = step(s, b)
         s = next
         r
@@ -94,7 +97,7 @@ object StreamEwma {
   def batchForecasted(buckets: Seq[BucketCount]): Seq[Forecasted] =
     buckets.groupBy(_.key).toSeq.flatMap { case (_, bs) =>
       var s = EwmaState(0.0, 0L)
-      bs.sortBy(_.bucket).map { b =>
+      bs.sortBy(b => (b.bucket, b.n)).map { b =>
         val (next, r) = step(s, b)
         s = next
         r

@@ -31,6 +31,33 @@ class ReadmeSyncSpec extends AnyFunSuite {
     assert(rowsOnly == Set("q32_index_e2e"), s"rows-only drifted: $rowsOnly")
   }
 
+  // r9 verdict: the "queries green" and "hash-match" PROSE drifted two
+  // rounds behind the board while only the count line was guarded.
+  test("README correctness prose matches the registered query map") {
+    val n = SparkEntry.queries.size
+    val green = raw"(\d+)/(\d+)\s+queries green".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README no longer states the green-query count"))
+    assert(green.group(1).toInt == n && green.group(2).toInt == n,
+      s"README claims ${green.group(1)}/${green.group(2)} green; SparkEntry registers $n")
+    val hash = raw"\((\d+) hash-match their oracle".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README no longer states the hash-match count"))
+    assert(hash.group(1).toInt == SparkEntry.oracleSql.size,
+      s"README claims ${hash.group(1)} hash-match; ${SparkEntry.oracleSql.size} queries have oracles")
+  }
+
+  test("README plan-assertion count matches PlanShapeSpec") {
+    val spec = new String(Files.readAllBytes(
+      Paths.get("src/test/scala/graft/core/PlanShapeSpec.scala")), "UTF-8")
+    val actual = raw"""\n  test\("""".r.findAllIn(spec).size
+    val claimed = raw"plus (\d+) machine-asserted".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README no longer states the machine-asserted plan count"))
+    assert(claimed.group(1).toInt == actual,
+      s"README claims ${claimed.group(1)} plan assertions; PlanShapeSpec has $actual")
+  }
+
   test("query names are contiguous q1..qN with no gaps or dupes") {
     val nums = SparkEntry.queries.keySet.map(_.drop(1).takeWhile(_.isDigit).toInt)
     assert(nums == (1 to SparkEntry.queries.size).toSet,

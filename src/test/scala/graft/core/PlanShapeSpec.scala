@@ -182,6 +182,98 @@ class PlanShapeSpec extends SparkSpec {
       "only the 16-row centroid assignment broadcasts may BNLJ")
   }
 
+  test("q214_dim_corr: pairs built in-row (Generate), zero joins, agg+sort shuffles only") {
+    val ns = nodes("q214_dim_corr")
+    assert(count(ns) { case _: BaseJoinExec => () } == 0,
+      "dim pairs come from the row's own array — a vec_id self-join would shuffle the exploded corpus twice")
+    assert(count(ns) { case g: org.apache.spark.sql.execution.GenerateExec => g } == 2,
+      "two chained posexplodes over the same array")
+    assert(shuffles(ns) <= 2, "the bounded (i,j) agg + presentation sort only")
+  }
+
+  test("q215_sprt: ONE window walk, zero joins — final state and crossing share an agg") {
+    val ns = nodes("q215_sprt")
+    assert(count(ns) { case _: WindowExec => () } == 1,
+      "the LLR walk must be computed once, not re-derived per consumer")
+    assert(count(ns) { case _: BaseJoinExec => () } == 0)
+    assert(shuffles(ns) <= 2, "variant window + presentation sort only")
+  }
+
+  test("q105_lm_buckets: every model join broadcasts, token side never sort-merges") {
+    val ns = nodes("q105_lm_buckets")
+    assert(count(ns) { case _: BroadcastHashJoinExec => () } >= 4)
+    assert(count(ns) { case _: SortMergeJoinExec => () } == 0)
+    assert(count(ns) { case _: BroadcastNestedLoopJoinExec => () } <= 1,
+      "only the 1-row corpus total may BNLJ")
+    assert(shuffles(ns) <= 9, "the q95 LM pipeline's audited shuffle budget (PLANS.md)")
+  }
+
+  test("q108_hll_rollup: ONE tokenize scan feeds the sketch path, one Expand for the sets") {
+    val ns = nodes("q108_hll_rollup")
+    assert(count(ns) { case _: FileSourceScanExec => () } == 1,
+      "the corpus must be tokenized once — the rollup reuses the sketch, not the scan")
+    assert(count(ns) { case _: ExpandExec => () } == 1)
+    assert(quadratic(ns) <= 3, "only 1-row total broadcasts may BNLJ")
+    assert(count(ns) { case _: SortMergeJoinExec => () } == 0)
+  }
+
+  test("q126_hits: per-iteration equi-joins only, 1-row norms broadcast") {
+    val ns = nodes("q126_hits")
+    assert(count(ns) { case _: CartesianProductExec => () } == 0)
+    assert(count(ns) { case _: BroadcastNestedLoopJoinExec => () } <= 2,
+      "only the two 1-row norm totals may BNLJ")
+    assert(count(ns) { case _: BroadcastHashJoinExec => () } +
+      count(ns) { case _: SortMergeJoinExec => () } +
+      count(ns) { case _: ShuffledHashJoinExec => () } >= 1,
+      "the hub/authority propagation is an edge-keyed equi-join")
+  }
+
+  test("q147_dup_spans: gram-keyed semi-join, corpus scanned once, no doc×doc") {
+    val ns = nodes("q147_dup_spans")
+    assert(quadratic(ns) == 0, "span candidates come from the gram bucket join, never pair enumeration")
+    assert(count(ns) { case _: FileSourceScanExec => () } == 1)
+    assert(count(ns) { case _: BroadcastHashJoinExec => () } +
+      count(ns) { case _: SortMergeJoinExec => () } +
+      count(ns) { case _: ShuffledHashJoinExec => () } >= 1)
+  }
+
+  test("q92_bpe_tokens: the text column is scanned exactly once") {
+    val ns = nodes("q92_bpe_tokens")
+    val textScans = ns.collect { case f: FileSourceScanExec => f }
+      .filter(_.requiredSchema.fieldNames.contains("text"))
+    assert(textScans.size == 1,
+      s"heavy column must be read once (model fit is pre-materialized), got ${textScans.size}")
+    assert(count(ns) { case _: SortMergeJoinExec => () } == 0,
+      "the (doc_id, source) attach join must broadcast")
+  }
+
+  test("q21_ngram_jaccard: bucket-blocked pipeline materialized once, no live join") {
+    val ns = nodes("q21_ngram_jaccard")
+    assert(count(ns) { case _: RDDScanExec => () } == 1)
+    assert(count(ns) { case _: BaseJoinExec => () } == 0 && shuffles(ns) == 0,
+      "candidate blocking + early-abort verify ran at build time — the gate re-reads the checkpoint")
+  }
+
+  test("q132_split_leakage: components checkpoint + bounded aggs, zero joins") {
+    val ns = nodes("q132_split_leakage")
+    assert(count(ns) { case _: RDDScanExec => () } == 1)
+    assert(count(ns) { case _: BaseJoinExec => () } == 0)
+    assert(shuffles(ns) <= 3, "cluster-key partial aggs only")
+  }
+
+  test("q86_minhash_calibration: banded pipeline checkpoint, one presentation shuffle") {
+    val ns = nodes("q86_minhash_calibration")
+    assert(count(ns) { case _: BaseJoinExec => () } == 0)
+    assert(shuffles(ns) <= 1)
+  }
+
+  test("q36_dup_clusters: one window over the checkpointed components, zero joins") {
+    val ns = nodes("q36_dup_clusters")
+    assert(count(ns) { case _: WindowExec => () } == 1)
+    assert(count(ns) { case _: BaseJoinExec => () } == 0)
+    assert(shuffles(ns) <= 1)
+  }
+
   test("q101_bloom_prune: membership is a codegen predicate, not a probe join") {
     val df = SparkEntry.queries("q101_bloom_prune")(spark, dir)
     df.collect()

@@ -62,4 +62,51 @@ class StatGatesSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("jsd_bits") - j / math.log(2.0)) < 2e-6)
     }
   }
+
+  test("q214: all d(d-1)/2 dim pairs present exactly once, r in [-1, 1], symmetric vs recompute") {
+    val rs = rows("q214_dim_corr")
+    assert(rs.length == 64 * 63 / 2, s"expected 2016 pairs, got ${rs.length}")
+    val keys = rs.map(r => (r.getAs[Long]("dim_i"), r.getAs[Long]("dim_j")))
+    assert(keys.distinct.length == rs.length)
+    keys.foreach { case (i, j) =>
+      assert(i >= 1 && j <= 64 && i < j, s"bad pair ($i, $j)")
+    }
+    rs.foreach { r =>
+      val v = r.getAs[Double]("r")
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"r $v out of range")
+    }
+    // spot-check one cell against a driver-side recompute from the raw vecs
+    val vecs = graft.core.Tables.embeddings(spark, dir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val (xi, xj) = (vecs.map(_(0)), vecs.map(_(1)))
+    val n = vecs.length.toDouble
+    val (si, sj) = (xi.sum, xj.sum)
+    val num = n * xi.zip(xj).map { case (a, b) => a * b }.sum - si * sj
+    val den = math.sqrt(n * xi.map(a => a * a).sum - si * si) *
+      math.sqrt(n * xj.map(a => a * a).sum - sj * sj)
+    val want = num / den
+    val got = rs.find(r => r.getAs[Long]("dim_i") == 1 && r.getAs[Long]("dim_j") == 2)
+      .get.getAs[Double]("r")
+    assert(math.abs(got - want) < 1e-4, s"r(1,2): gate $got vs recompute $want")
+  }
+
+  test("q215: SPRT walk state is consistent and crossings are honest") {
+    val rs = rows("q215_sprt")
+    assert(rs.length == 2, "one row per variant")
+    rs.foreach { r =>
+      assert(r.getAs[Long]("k") <= r.getAs[Long]("n"))
+      val d = r.getAs[String]("decision")
+      if (d == "continue") assert(r.isNullAt(r.fieldIndex("cross_n")))
+      else {
+        assert(Set("reject_h0", "accept_h0")(d))
+        val cn = r.getAs[Long]("cross_n")
+        assert(cn >= 1 && cn <= r.getAs[Long]("n"),
+          s"crossing index $cn outside the walk")
+      }
+    }
+    // the synthetic click rate sits near 0.25 < p0=0.4, so both parity
+    // variants must accept H0 once enough events accumulate
+    assert(rs.forall(_.getAs[String]("decision") == "accept_h0"))
+  }
 }
