@@ -88,9 +88,26 @@ object MinHashLsh {
     * (ties on est → smallest corpus id, deterministic both engines).
     */
   def newVsCorpus(corpus: DataFrame, batch: DataFrame,
-                  idCol: String, textCol: String): DataFrame = {
-    val cb = bandKeys(corpus, idCol, textCol)
+                  idCol: String, textCol: String): DataFrame =
+    newVsCorpusBands(corpusBands(corpus, idCol, textCol), batch, idCol, textCol)
+
+  /** The corpus band table in probe-ready shape — what a stream-static
+    * near-dup pipeline keeps MATERIALIZED between micro-batches (the
+    * bands ARE the state; partitioned by band_key at scale). Computing it
+    * once and probing many batches via [[newVsCorpusBands]] is the
+    * steady-state shape; [[newVsCorpus]] is the one-shot convenience.
+    */
+  def corpusBands(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandKeys(corpus, idCol, textCol)
       .select(col("band"), col("band_key"), col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
+
+  /** Probe ONE batch against a prebuilt corpus band table — the per-
+    * trigger body of the streaming near-dup probe. Stateless in the
+    * batch: probing micro-batches independently and unioning equals one
+    * probe of their union (gated as q222).
+    */
+  def newVsCorpusBands(cb: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
     val nb = bandKeys(batch, idCol, textCol)
       .select(col("band"), col("band_key"), col("doc_id").as("new_doc"), col("sig").as("sig_n"))
     val cand = nb.join(cb, Seq("band", "band_key"))

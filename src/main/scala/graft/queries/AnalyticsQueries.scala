@@ -438,6 +438,61 @@ object AnalyticsQueries {
         .select(col("key"), col("time").as("t"),
           col("estimate"), col("nBuckets").cast("long").as("n_buckets"))
         .orderBy(col("key"), col("t"))
+    }),
+
+    // The StreamDedup keep-first fold gated end-to-end (q204/q205
+    // discipline): the distributed batch replay shares the streaming
+    // closure's sort + verdict, so per event-type bucket the earliest
+    // event (by millisecond, then id — getTime precision mirrored as
+    // epoch_us // 1000 in the oracle) is the keeper and every later
+    // arrival is flagged with its id. One bucket-keyed shuffle; state in
+    // the streaming form is ONE long per bucket.
+    "q220_keepfirst_replay" -> ((s, dir) => {
+      import s.implicits._
+      val feed = Tables.events(s, dir)
+        .select(col("event_id").cast("long").as("docId"),
+          col("event_type").as("bucket"),
+          col("ts").cast("timestamp").as("ts"),
+          lit("").as("content"))
+        .as[graft.streaming.StreamDedup.DocEvent]
+      graft.streaming.StreamDedup.batchKeepFirstDs(feed).toDF()
+        .select(col("docId").as("doc_id"), col("bucket"), col("kept"),
+          col("firstDocId").as("first_doc_id"))
+        .orderBy(col("bucket"), col("doc_id"))
+    }),
+
+    // The StreamTrending sharded Misra-Gries state gated by its
+    // GUARANTEE (the q206 bound_ok discipline — the MG fold itself is
+    // order-dependent and not SQL-replayable per event): every token
+    // whose exact count exceeds n_shard/(k+1) MUST survive its shard's
+    // summary, so the gate emits guarantee-set tokens semi-joined
+    // against the fold's candidates — a dropped heavy hitter loses a row
+    // and breaks the hash. Thresholding is the INTEGER comparison
+    // n·(k+1) > n_shard (no division). Exact counts come from one
+    // (token)-keyed partial agg; the fold is one flatMapGroups per shard.
+    "q221_trending_mg" -> ((s, dir) => {
+      import s.implicits._
+      val k = 30
+      val shards = 8
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.search.Bm25.tokens(col("text"))).as("token"))
+      val events = toks
+        .select(col("token"), lit(new java.sql.Timestamp(0L)).as("ts"))
+        .as[graft.streaming.StreamTrending.TokenEvent]
+      val cands = graft.streaming.StreamTrending
+        .batchSummariesDs(events, k, shards).toDF()
+        .select(col("shard").cast("long").as("shard"),
+          explode(col("tokens")).as("token"))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("shard",
+          expr("cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)" +
+            s" % 2147483647 % $shards"))
+      val shardTot = exact.groupBy(col("shard")).agg(sum(col("n")).as("n_shard"))
+      exact.join(shardTot, Seq("shard"))
+        .filter(col("n") * (k + 1) > col("n_shard"))
+        .join(cands, Seq("shard", "token"), "left_semi")
+        .select(col("shard"), col("token"), col("n"), col("n_shard"))
+        .orderBy(col("shard"), col("token"))
     })
   )
 
@@ -1064,7 +1119,42 @@ object AnalyticsQueries {
         |       round(n - forecast, 6) AS err, round(ewma, 6) AS ewma, n_seen
         |FROM f WHERE rn >= 1 ORDER BY key, bucket""".stripMargin,
 
-    "q205_dgim_replay" -> dgimReplaySql
+    "q205_dgim_replay" -> dgimReplaySql,
+
+    // first-by-(ms, id) per bucket — epoch_us // 1000 mirrors
+    // java.sql.Timestamp.getTime's millisecond floor exactly
+    "q220_keepfirst_replay" ->
+      """WITH e AS (
+        |  SELECT CAST(event_id AS BIGINT) AS doc_id, event_type AS bucket,
+        |         epoch_us(ts) // 1000 AS ms
+        |  FROM events),
+        |w AS (
+        |  SELECT doc_id, bucket,
+        |         first_value(doc_id) OVER (PARTITION BY bucket
+        |           ORDER BY ms, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_doc_id
+        |  FROM e)
+        |SELECT doc_id, bucket, doc_id = first_doc_id AS kept, first_doc_id
+        |FROM w ORDER BY bucket, doc_id""".stripMargin,
+
+    // the guarantee set computed exactly: hash31-sharded token counts
+    // with the integer threshold n*(k+1) > n_shard (k=30, 8 shards);
+    // the Spark side's MG-candidate semi-join must keep every row
+    "q221_trending_mg" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 1)) AS token
+        |  FROM documents),
+        |exact AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+        |           % 2147483647 % 8 AS shard
+        |  FROM toks GROUP BY token),
+        |tot AS (SELECT shard, sum(n) AS n_shard FROM exact GROUP BY shard)
+        |SELECT e.shard, e.token, e.n, CAST(t.n_shard AS BIGINT) AS n_shard
+        |FROM exact e JOIN tot t USING (shard)
+        |WHERE e.n * 31 > t.n_shard
+        |ORDER BY e.shard, e.token""".stripMargin
   )
 
   /** The q215 oracle with the SPRT constants rendered from the SAME

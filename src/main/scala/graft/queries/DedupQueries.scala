@@ -115,6 +115,31 @@ object DedupQueries {
         .orderBy(col("new_doc"))
     }),
 
+    // The STREAMING near-dup probe replayed as micro-batches (q204/q205
+    // discipline for a stateless stream-static op): the corpus band
+    // table — the state a streaming deployment keeps materialized — is
+    // built ONCE, then three disjoint ts-sliced micro-batches probe it
+    // independently through the same per-trigger body the stream runs
+    // (MinHashLsh.newVsCorpusBands) and union. Because the probe is
+    // stateless in the batch, the union must equal one probe of the
+    // whole feed — which is exactly what the oracle computes; any hidden
+    // cross-batch dependence breaks the hash.
+    "q222_neardup_probe_batches" -> ((s, dir) => {
+      import graft.dedup.MinHashLsh
+      val docs = Tables.documents(s, dir)
+      val cb = MinHashLsh.corpusBands(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .localCheckpoint(true) // the static state: computed once, probed thrice
+      val feed = docs.filter(col("source") === "src0")
+      (0 until 3).map { mb =>
+        MinHashLsh.newVsCorpusBands(cb, feed.filter(col("doc_id") % 3 === mb),
+          "doc_id", "text")
+      }.reduce(_ unionByName _)
+        .select(col("new_doc"), round(col("best_est"), 6).as("best_est"),
+          col("n_cand"), col("best_match"))
+        .orderBy(col("new_doc"))
+    }),
+
     // MinHash candidates confirmed by exact (banded) Levenshtein — the
     // fuzzy-dedup verify for when token-set overlap is too coarse. Only
     // the LSH candidate set is ever distanced; the levenshtein carries
@@ -350,6 +375,27 @@ object DedupQueries {
         |FROM documents GROUP BY source""".stripMargin,
 
     "q73_incremental_dedup" ->
+      s"""WITH $minhashCtes,
+         |src AS (SELECT doc_id, source FROM documents),
+         |nb AS (SELECT b.* FROM bands b JOIN src USING (doc_id) WHERE source = 'src0'),
+         |cb AS (SELECT b.* FROM bands b JOIN src USING (doc_id) WHERE source <> 'src0'),
+         |cand AS (
+         |  SELECT DISTINCT nb.doc_id AS new_doc, cb.doc_id AS corpus_doc,
+         |         list_sum(list_transform(generate_series(1, 12),
+         |           i -> CASE WHEN nb.sig[i] = cb.sig[i] THEN 1 ELSE 0 END)) / 12.0 AS est
+         |  FROM nb JOIN cb ON nb.band = cb.band AND nb.band_key = cb.band_key),
+         |best AS (SELECT new_doc, max(est) AS best_est, count(*) AS n_cand
+         |         FROM cand GROUP BY new_doc)
+         |SELECT b.new_doc, round(b.best_est, 6) AS best_est,
+         |       CAST(b.n_cand AS BIGINT) AS n_cand,
+         |       CAST(min(c.corpus_doc) AS BIGINT) AS best_match
+         |FROM best b JOIN cand c ON c.new_doc = b.new_doc AND c.est = b.best_est
+         |GROUP BY b.new_doc, b.best_est, b.n_cand
+         |ORDER BY b.new_doc""".stripMargin,
+
+    // identical to q73's single-probe oracle: the micro-batch union must
+    // collapse to the one-shot probe (statelessness is the property)
+    "q222_neardup_probe_batches" ->
       s"""WITH $minhashCtes,
          |src AS (SELECT doc_id, source FROM documents),
          |nb AS (SELECT b.* FROM bands b JOIN src USING (doc_id) WHERE source = 'src0'),

@@ -121,6 +121,40 @@ object IndexBenchQueries {
         .orderBy(col("score").desc, col("entity_name"))
     }),
 
+    // The engine's remaining read-API surface, hash-gated over the same
+    // shared deterministic store (r9 advisory #8 — these four were
+    // spec-only): BFS neighborhood, PageRank entity ranking, prefix
+    // autocomplete, and the per-file census. Golden-value oracles, like
+    // q207-q209.
+    "q216_graph_bfs_api" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      GraftEngine(s, indexedStore(s)).readGraphBfs("helper_5_a", maxDepth = 2)
+        .select(col("entityName").as("entity_name"),
+          col("depth").cast("long").as("depth"))
+        .orderBy(col("depth"), col("entity_name"))
+    }),
+
+    "q217_rank_entities_api" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      GraftEngine(s, indexedStore(s)).rankEntities(iterations = 3, limit = 20)
+        .select(col("entityName").as("entity_name"), col("rank"))
+        .orderBy(col("rank").desc, col("entity_name"))
+    }),
+
+    "q218_suggest_entities_api" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      GraftEngine(s, indexedStore(s)).suggestEntities("helper_1", limit = 10)
+        .select(col("entityName").as("entity_name"))
+    }),
+
+    "q219_entities_for_file_api" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      GraftEngine(s, indexedStore(s)).entitiesForFile("mod007.py")
+        .select(col("chunkType").as("chunk_type"),
+          explode(col("entities")).as("entity_name"))
+        .orderBy(col("chunk_type"), col("entity_name"))
+    }),
+
     "q32_index_e2e" -> ((s, _) => {
       import s.implicits._
       val repo = Files.createTempDirectory("graft_synth_repo").toString
@@ -188,6 +222,80 @@ object IndexBenchQueries {
         |  (CAST(4450248684002044 AS BIGINT), 'mod000.py::helper_0_a::implementation', 'implementation', 'helper_0_a')
         |) t(point_id, chunk_id, chunk_type, entity_name)
         |ORDER BY point_id""".stripMargin,
+
+    "q216_graph_bfs_api" ->
+      """SELECT * FROM (VALUES
+        |  ('helper_5_a', CAST(0 AS BIGINT)),
+        |  ('helper_4_a', CAST(1 AS BIGINT)),
+        |  ('helper_5_b', CAST(1 AS BIGINT)),
+        |  ('helper_6_a', CAST(1 AS BIGINT)),
+        |  ('mod005.py', CAST(1 AS BIGINT)),
+        |  ('LIMIT_5', CAST(2 AS BIGINT)),
+        |  ('Processor5', CAST(2 AS BIGINT)),
+        |  ('helper_3_a', CAST(2 AS BIGINT)),
+        |  ('helper_4_b', CAST(2 AS BIGINT)),
+        |  ('helper_6_b', CAST(2 AS BIGINT)),
+        |  ('helper_7_a', CAST(2 AS BIGINT)),
+        |  ('mod004.py', CAST(2 AS BIGINT)),
+        |  ('mod006.py', CAST(2 AS BIGINT)),
+        |  ('run', CAST(2 AS BIGINT))
+        |) t(entity_name, depth)
+        |ORDER BY depth, entity_name""".stripMargin,
+
+    "q217_rank_entities_api" ->
+      """SELECT * FROM (VALUES
+        |  ('run', CAST(17.29875 AS DOUBLE)),
+        |  ('helper_0_a', CAST(11.204825 AS DOUBLE)),
+        |  ('helper_101_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_102_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_103_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_104_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_105_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_106_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_111_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_112_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_113_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_114_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_115_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_116_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_11_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_12_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_13_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_14_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_15_a', CAST(2.863878 AS DOUBLE)),
+        |  ('helper_16_a', CAST(2.863878 AS DOUBLE))
+        |) t(entity_name, rank)
+        |ORDER BY rank DESC, entity_name""".stripMargin,
+
+    "q218_suggest_entities_api" ->
+      """SELECT * FROM (VALUES
+        |  ('helper_1_a'), ('helper_1_b'), ('helper_11_a'), ('helper_11_b'),
+        |  ('helper_12_a'), ('helper_12_b'), ('helper_13_a'), ('helper_13_b'),
+        |  ('helper_14_a'), ('helper_14_b')
+        |) t(entity_name)
+        |ORDER BY len(entity_name), entity_name""".stripMargin,
+
+    "q219_entities_for_file_api" ->
+      """SELECT * FROM (VALUES
+        |  ('implementation', 'Processor7'),
+        |  ('implementation', 'helper_7_a'),
+        |  ('implementation', 'helper_7_b'),
+        |  ('implementation', 'run'),
+        |  ('metadata', 'LIMIT_7'),
+        |  ('metadata', 'Processor7'),
+        |  ('metadata', 'helper_7_a'),
+        |  ('metadata', 'helper_7_b'),
+        |  ('metadata', 'loads'),
+        |  ('metadata', 'mod007.py'),
+        |  ('metadata', 'os'),
+        |  ('metadata', 'run'),
+        |  ('relation', 'Processor7'),
+        |  ('relation', 'helper_7_a'),
+        |  ('relation', 'helper_7_b'),
+        |  ('relation', 'mod007.py'),
+        |  ('relation', 'run')
+        |) t(chunk_type, entity_name)
+        |ORDER BY chunk_type, entity_name""".stripMargin,
 
     "q209_index_top5" ->
       """SELECT * FROM (VALUES

@@ -60,15 +60,41 @@ object StreamDedup {
             state.remove()
             Iterator.empty
           } else {
-            // deterministic within-batch order: event time, then doc id
-            val batch = events.toSeq.sortBy(e => (e.ts.getTime, e.docId))
+            val batch = sortedBatch(events)
             val first = state.getOption.getOrElse(batch.head.docId)
             state.update(first)
             state.setTimeoutTimestamp(
               math.max(state.getCurrentWatermarkMs(), 0L) + horizonMs)
-            batch.iterator.map(e =>
-              DedupVerdict(e.docId, bucket, kept = e.docId == first, first))
+            batch.iterator.map(e => verdict(e, bucket, first))
           }
       }
+  }
+
+  /** The shared within-group order and per-event verdict both the
+    * streaming closure and the batch replay apply — parity by
+    * construction. (ts, docId) is a total order whenever doc ids are
+    * unique, so tied timestamps fold deterministically.
+    */
+  private def sortedBatch(events: Iterator[DocEvent]): Seq[DocEvent] =
+    events.toSeq.sortBy(e => (e.ts.getTime, e.docId))
+
+  private def verdict(e: DocEvent, bucket: String, first: Long): DedupVerdict =
+    DedupVerdict(e.docId, bucket, kept = e.docId == first, first)
+
+  /** DISTRIBUTED batch replay of [[keepFirstPerBucket]] — the backfill
+    * shape and the oracle surface (the q204/q205 discipline): one
+    * `flatMapGroups` per bucket applying the identical sort + verdict.
+    * A backfill's "batch" is the whole history, so `first` is simply the
+    * group head; state per bucket is ONE long, and the replay shuffles
+    * the feed once on the bucket key.
+    */
+  def batchKeepFirstDs(docs: Dataset[DocEvent]): Dataset[DedupVerdict] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.bucket).flatMapGroups {
+      (bucket: String, events: Iterator[DocEvent]) =>
+        val batch = sortedBatch(events)
+        val first = batch.head.docId
+        batch.iterator.map(e => verdict(e, bucket, first))
+    }
   }
 }

@@ -52,6 +52,30 @@ object StreamTrending {
       }
   }
 
+  /** DISTRIBUTED batch replay of the same fold — the backfill shape and
+    * the oracle surface (q204/q205 discipline): one `flatMapGroups` per
+    * shard folding that shard's tokens through the identical
+    * `MgAgg.reduce`. Tokens are sorted first so the fold is
+    * replay-stable whatever order the shuffle delivered; MG state stays
+    * ≤ k counters per shard however large the shard's stream is.
+    */
+  def batchSummariesDs(toks: Dataset[TokenEvent], k: Int,
+                       shards: Int): Dataset[ShardSummary] = {
+    import toks.sparkSession.implicits._
+    val agg = new HeavyHitters.MgAgg(k)
+    toks
+      .groupByKey(e => (graft.core.Ids.hash31(e.token) % shards).toInt)
+      .flatMapGroups { (shard: Int, events: Iterator[TokenEvent]) =>
+        val ordered = events.toSeq.sortBy(e => (e.ts.getTime, e.token))
+        var n = 0L
+        val m = ordered.foldLeft(Map.empty[String, Long]) { (m, e) =>
+          n += 1; agg.reduce(m, e.token)
+        }
+        val sorted = m.keys.toArray.sorted
+        Iterator.single(ShardSummary(shard, sorted, sorted.map(m), n))
+      }
+  }
+
   /** Batch replay of the same fold (for parity testing and backfill): the
     * summaries a run of [[trendingCandidates]] converges to.
     */
