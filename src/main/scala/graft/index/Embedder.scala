@@ -104,6 +104,28 @@ object EmbedBatching {
     } else kept
   }
 
+  /** EXACT replica of the reference's no-tiktoken fallback truncation
+    * (`embeddings/base.py:154-168`) — the branch the reference actually
+    * runs when the tokenizer data isn't installed (this sandbox's
+    * situation, see SURVEY §7.4 descope note): cap at `maxTokens * 4`
+    * CHARS, back off to the last space if it lands past 80% of the cap,
+    * append `"..."`. Within-cap text returns untouched (no suffix).
+    * Golden-pinned in EmbedderSpec against outputs of the reference's
+    * own Python code.
+    */
+  def truncateTextFallback(text: String, maxTokens: Int): String = {
+    val maxChars = maxTokens * 4
+    if (text.length <= maxChars) text
+    else {
+      val truncated = text.substring(0, maxChars)
+      val lastSpace = truncated.lastIndexOf(' ')
+      val kept =
+        if (lastSpace > maxChars * 0.8) truncated.substring(0, lastSpace)
+        else truncated
+      kept + "..."
+    }
+  }
+
   def batchByTokenBudget(texts: Iterator[String], tokenBudget: Long,
                          maxItems: Int = 128): Iterator[Seq[String]] =
     new Iterator[Seq[String]] {
