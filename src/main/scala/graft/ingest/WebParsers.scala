@@ -28,14 +28,16 @@ object JsParser {
   // "key methods" observation, where ^ must anchor at each line.
   private val MethodRe = """(?m)^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+|abstract\s+|override\s+|async\s+)*(?:get\s+|set\s+)?\*?\s*([A-Za-z_$#][\w$]*)\s*(?:<[^>]*>)?\s*\(([^)]*)\)\s*(?::\s*[^({;]+)?\s*\{""".r
   private val FieldArrowRe = """^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+)*([A-Za-z_$#][\w$]*)\s*(?::[^=]+)?=\s*(?:async\s*)?(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*=>""".r
-  private val FieldRe = """^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+)+([A-Za-z_$#][\w$]*)\s*(?::[^=;]+)?\s*[=;]""".r
+  // modifiers OPTIONAL: the reference extracts unmodified classField
+  // definitions (`role: string = 'admin'`) too — javascript_parser.py:129
+  private val FieldRe = """^\s*(?:public\s+|private\s+|protected\s+|static\s+|readonly\s+)*([A-Za-z_$#][\w$]*)\s*(?::[^=;]+)?\s*[=;]""".r
   private val DecoratorRe = """^\s*@([\w.]+)""".r
   private val CatchRe = """catch\s*\(\s*([A-Za-z_$][\w$]*)""".r
   // JSON-loading / IO call patterns (reference: javascript_parser.py
   // JSON-loading detection; analog of the python file-op family)
   private val IoRe = """(JSON\.parse|JSON\.stringify|fetch|axios\.\w+)\s*\(\s*(?:['"]([^'"]+)['"])?""".r
   private val StmtKeywords = Set("if", "for", "while", "switch", "catch", "return",
-    "else", "do", "try", "new", "function", "typeof", "await", "yield", "case")
+    "else", "do", "try", "new", "function", "typeof", "await", "yield", "case", "async")
   private val Builtins = Set("console", "require", "parseInt", "parseFloat", "String",
     "Number", "Boolean", "Array", "Object", "Promise", "setTimeout", "setInterval")
 
@@ -193,13 +195,18 @@ object JsParser {
           classStack = (name, depthBefore) :: classStack
         case None => InterfaceRe.findFirstMatchIn(line) match {
           case Some(m) =>
+            // interface entity spans its block and carries an impl chunk,
+            // like the reference's _create_interface_entity
+            // (javascript_parser.py:395-437) which emits entity + chunks
             val name = m.group(1)
-            entities += Entity(name, "interface", relPath, i + 1, i + 1,
+            val endL = blockEnd(i)
+            entities += Entity(name, "interface", relPath, i + 1, endL + 1,
               Seq(s"interface: $name"), "", line.trim.take(120))
             relations += Relation(relPath, name, "contains", "", "", 1.0)
             Option(m.group(2)).foreach(_.split(",").map(_.trim).filter(_.nonEmpty).foreach { e =>
               relations += Relation(name, e, "extends", "", "", 1.0)
             })
+            if (endL > i) implChunk(name, "interface", i, endL)
           case None => FuncRe.findFirstMatchIn(line) match {
             case Some(m) =>
               val (name, params) = (m.group(1), m.group(2))
