@@ -66,9 +66,66 @@ object BenchScaling {
     "q89_cluster_rep" -> (("embeddings", 1.0, false)),
     "q98_product_quant" -> (("embeddings", 1.0, false)),
     "q156_cluster_purity" -> (("embeddings", 1.0, false)),
-    "q168_bitext_mine" -> (("embeddings", 2.0, false)), // documented quadratic exact miner
-    "q203_bitext_bucketed" -> (("embeddings", 2.0, false)) // per-cell product; cells don't multiply under fixed K
+    // the bitext pair runs the SYNTHESIZED embeddings sf1 decade (fresh
+    // random vectors, ScaleData) to publish the exact-vs-bucketed
+    // crossover; q168 is single-pass there (quadratic baseline, ~16x its
+    // sf0.1 pair cost — documented expense, not an accident)
+    "q168_bitext_mine" -> (("embeddings", 2.0, true)), // documented quadratic exact miner
+    "q203_bitext_bucketed" -> (("embeddings", 2.0, true)), // per-cell product; cells don't multiply under fixed K
+
+    // ===== wave 2 (r10): the rest of the >1 s expense head at sf0.1 =====
+    // documents — banded/bucketed pair joins (candidate volume): ceiling 1.5
+    "q45_decontaminate" -> (("documents", 1.5, false)),
+    "q73_incremental_dedup" -> (("documents", 1.5, false)),
+    "q104_containment" -> (("documents", 1.5, false)),
+    "q127_edit_dedup" -> (("documents", 1.5, false)),
+    "q139_cooccur" -> (("documents", 1.5, false)),
+    "q113_triangles" -> (("documents", 1.5, false)),
+    "q163_dedup_survivorship" -> (("documents", 1.5, false)),
+    // documents — linear map/agg/model shapes
+    "q16_hybrid_rrf" -> (("documents", 1.0, false)),
+    "q25_langid" -> (("documents", 1.0, false)),
+    "q29_classify" -> (("documents", 1.0, false)),
+    "q38_tfidf" -> (("documents", 1.0, false)),
+    "q50_paragraph_dedup" -> (("documents", 1.0, false)),
+    "q75_snippets" -> (("documents", 1.0, false)),
+    "q95_bigram_lm" -> (("documents", 1.0, false)),
+    "q106_hist_quantile" -> (("documents", 1.0, false)),
+    "q125_kmv_distinct" -> (("documents", 1.0, false)),
+    "q128_entropy" -> (("documents", 1.0, false)),
+    "q130_dsir" -> (("documents", 1.0, false)),
+    "q131_heavy_hitters" -> (("documents", 1.0, false)),
+    "q135_chunk_windows" -> (("documents", 1.0, false)),
+    "q142_logreg" -> (("documents", 1.0, false)),
+    "q145_augment" -> (("documents", 1.0, false)),
+    "q149_lexdiv" -> (("documents", 1.0, false)),
+    "q191_kneser_ney" -> (("documents", 1.0, false)),
+    "q193_bootstrap_ci" -> (("documents", 1.0, false)),
+    "q211_hll_overlap" -> (("documents", 1.0, false)),
+    "q221_trending_mg" -> (("documents", 1.0, false)),
+    // events — linear shapes, three decades via the replicated sf1
+    "q67_pagerank" -> (("events", 1.0, true)),
+    "q136_ppr" -> (("events", 1.0, true)),
+    "q159_value_mad" -> (("events", 1.0, true)),
+    "q182_covisitation" -> (("events", 1.5, true)), // per-user item-pair fan-out
+    "q183_kcore" -> (("events", 1.0, true)),
+    "q195_assoc_rules" -> (("events", 1.5, true)), // per-basket pair fan-out
+    "q215_sprt" -> (("events", 1.0, true)),
+    "q220_keepfirst_replay" -> (("events", 1.0, true)),
+    // embeddings — linear (fixed probe counts / fixed K)
+    "q37_kmeans" -> (("embeddings", 1.0, false)),
+    "q42_embed_clusters" -> (("embeddings", 1.5, false)),
+    "q46_ann_ivf_kmeans" -> (("embeddings", 1.0, false)),
+    "q140_rbo" -> (("embeddings", 1.0, false))
+    // NOT audited: q32/q207-q209/q216-q219 run a FIXED-SIZE synthetic
+    // repo (no sf table feeds them — growth is undefined); sub-second
+    // gates carry more scheduler noise than signal.
   )
+
+  /** (query, dir) pairs timed once instead of min-of-2: the documented
+    * quadratic baseline at its largest decade.
+    */
+  val SinglePass: Set[String] = Set("q168_bitext_mine")
 
   def main(args: Array[String]): Unit = {
     val sf1Dir = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
@@ -83,7 +140,8 @@ object BenchScaling {
     spark.range(1000000L).selectExpr("sum(id)").collect() // JIT warmup
 
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1Dir)
-    val haveSf1 = new java.io.File(s"$sf1Dir/lineitem.parquet").exists()
+    val haveSf1 = new java.io.File(s"$sf1Dir/lineitem.parquet").exists() &&
+      new java.io.File(s"$sf1Dir/embeddings.parquet").exists()
 
     def rows(dir: String, table: String): Long =
       spark.read.parquet(s"$dir/$table.parquet").count()
@@ -95,7 +153,8 @@ object BenchScaling {
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      math.min(once(), once())
+      if (SinglePass(name) && dir == sf1Dir) once()
+      else math.min(once(), once())
     }
 
     val sb = new StringBuilder

@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
 object ScaleData {
 
   val Replicas = 10
+  val EmbReplicas = 4
   val KeyStride = 1000000000L
 
   def main(args: Array[String]): Unit = {
@@ -55,7 +56,26 @@ object ScaleData {
         Seq("l_orderkey", "l_partkey", "l_suppkey")),
       "events" -> replicate("events", Seq("event_id", "user_id")),
       "documents" -> spark.read.parquet(s"$src/documents.parquet"),
-      "embeddings" -> spark.read.parquet(s"$src/embeddings.parquet")
+      // embeddings: replicas get FRESH deterministic vectors (md5-derived
+      // uniforms in [-1, 1)) — replicating vectors verbatim would
+      // manufacture exact cross-replica duplicates and poison every
+      // dedup/ANN bucket, while fresh 64-d random vectors are
+      // near-orthogonal to everything (genuine growth, like new data).
+      // ×4 (not ×10): the quadratic exact-miner baseline q168 is timed on
+      // this table — 16× pair cost is an affordable single-pass decade,
+      // 100× is not. Replica 0 keeps the original vectors, so the real
+      // data is a subset.
+      "embeddings" -> {
+        val emb = spark.read.parquet(s"$src/embeddings.parquet")
+        emb.crossJoin(spark.range(EmbReplicas).select(col("id").as("_rep")))
+          .select(
+            (col("vec_id") + col("_rep") * KeyStride).as("vec_id"),
+            when(col("_rep") === 0, col("embedding")).otherwise(expr(
+              "transform(sequence(0, size(embedding) - 1), i -> " +
+                "cast(cast(conv(substring(md5(concat(vec_id, '_', _rep, '_', i)), 1, 15), 16, 10) as double)" +
+                " / 576460752303423487.5 - 1.0 as float))")).as("embedding"),
+            col("label"))
+      }
     )
     plans.foreach { case (t, df) =>
       df.coalesce(4).write.mode("overwrite").parquet(s"$out/$t.parquet")

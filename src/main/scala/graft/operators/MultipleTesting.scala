@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multiple-testing machinery for per-slice audits: a family of
+  * two-proportion z-tests (one per corpus slice vs the rest) corrected
+  * by Benjamini-Hochberg step-up FDR (Benjamini & Hochberg 1995), plus
+  * the Cochran-Armitage trend test for ORDERED doses (Cochran 1954,
+  * Armitage 1955).
+  *
+  * Cross-engine float rules (the SPRT/q212 discipline): z comes from
+  * integer sufficient statistics; the normal tail probability uses the
+  * Abramowitz-Stegun 7.1.26 polynomial with its published constants as
+  * DECIMAL LITERALS so both engines evaluate the identical expression
+  * shape; p is rounded to 6dp BEFORE the BH comparison so selection
+  * happens on a value both engines agree on.
+  */
+object MultipleTesting {
+
+  /** Upper-tail P(Z > z) for z ≥ 0 — Abramowitz-Stegun 7.1.26 (|ε| <
+    * 7.5e-8, far under the 6dp rounding edge). The same formula is
+    * rendered verbatim in the DuckDB oracles.
+    */
+  def normalSf(z: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * z)
+    val poly = t * (lit(0.319381530)
+      + t * (lit(-0.356563782)
+        + t * (lit(1.781477937)
+          + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    exp(-z * z / lit(2.0)) / lit(2.5066282746310002) * poly
+  }
+
+  /** Per-group two-proportion z (group vs REST of corpus) with two-sided
+    * A-S p-values, BH step-up selection at level `alpha` over the m
+    * groups. Input: one row per item with a group column and a 0/1 hit
+    * column. One partial agg to the m-row family; everything after runs
+    * on the bounded grid (a window over m rows + one max).
+    */
+  def bhFdr(df: DataFrame, grpCol: String, hitCol: String,
+            alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n"), sum(col(hitCol)).cast("long").as("k"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("k")).as("kk"))
+    val z = g.crossJoin(broadcast(tot))
+      .withColumn("n_rest", col("nn") - col("n"))
+      .withColumn("k_rest", col("kk") - col("k"))
+      .withColumn("_pp", col("kk").cast("double") / col("nn"))
+      .withColumn("z",
+        when(col("_pp") > 0 && col("_pp") < 1 && col("n_rest") > 0,
+          (col("k").cast("double") / col("n")
+            - col("k_rest").cast("double") / col("n_rest"))
+            / sqrt(col("_pp") * (lit(1.0) - col("_pp"))
+              * (lit(1.0) / col("n") + lit(1.0) / col("n_rest")))))
+      // two-sided p, ROUNDED before any comparison (ladder rule)
+      .withColumn("p", round(lit(2.0) * normalSf(abs(col("z"))), 6))
+    val m = Window.orderBy(col("p"), col(grpCol)) // total order: ties by name
+    val ranked = z.withColumn("i", row_number().over(m).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("bh_cut", round(col("i") * lit(alpha) / col("m"), 6))
+      .withColumn("under", col("p") <= col("bh_cut"))
+    val kmax = ranked.agg(max(when(col("under"), col("i"))).as("kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col(grpCol), col("n"), col("k"), round(col("z"), 4).as("z"),
+        col("p"), col("i").as("p_rank"), col("bh_cut"),
+        (col("kmax").isNotNull && col("i") <= col("kmax")).as("rejected"))
+  }
+
+  /** Cochran-Armitage trend test across ordered dose levels 0..D with
+    * integer weights w_i = i: z = Σw_i(k_i − n_i·p̄) /
+    * sqrt(p̄(1−p̄)(Σw_i²n_i − (Σw_i n_i)²/N)). All sufficient statistics
+    * are integers from ONE partial agg; the statistic is closed-form at
+    * the edge.
+    */
+  def cochranArmitage(df: DataFrame, doseCol: String, hitCol: String): DataFrame = {
+    val g = df.select(col(doseCol).cast("long").as("d"),
+        col(hitCol).cast("long").as("h"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"), sum(col("h")).as("k"))
+    g.agg(sum(col("n")).as("nn"), sum(col("k")).as("kk"),
+        sum(col("d") * col("k")).as("swk"),
+        sum(col("d") * col("n")).as("swn"),
+        sum(col("d") * col("d") * col("n")).as("swwn"),
+        count(lit(1)).as("levels"))
+      .select(col("nn").as("n"), col("kk").as("k"), col("levels"),
+        round(col("kk").cast("double") / col("nn"), 6).as("pbar"),
+        round((col("swk").cast("double")
+          - col("swn").cast("double") * col("kk") / col("nn"))
+          / sqrt((col("kk").cast("double") / col("nn"))
+            * (lit(1.0) - col("kk").cast("double") / col("nn"))
+            * (col("swwn").cast("double")
+              - col("swn").cast("double") * col("swn") / col("nn"))), 4)
+          .as("z_trend"))
+  }
+}

@@ -78,6 +78,47 @@ object RankTests {
     * is int64 until τ's one division at the edge; the counts themselves
     * are gate-hashable integers.
     */
+  /** Spearman ρ per group (Spearman 1904, tie-corrected via midranks):
+    * Pearson correlation of the two variables' midranks. Scale story:
+    * midranks come from each axis's DISTINCT-VALUE grid (one partial agg
+    * + one bounded window per axis — the q118/q200 grid discipline), rows
+    * join back on (group, value), and the six Pearson sufficient
+    * statistics collapse in ONE partial agg. Midranks are exact
+    * ½-multiples, so every sum is dyadic-exact and order-free; the one
+    * division happens at the output edge (6dp).
+    */
+  def spearman(df: DataFrame, grpCol: String, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(col(grpCol).as("g"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    def midranks(vc: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.groupBy(col("g"), col(vc)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        // midrank = (#strictly smaller) + (c+1)/2 — an exact ½-multiple
+        .select(col("g"), col(vc),
+          ((col("cum") - col("c")).cast("double")
+            + (col("c") + 1).cast("double") / 2.0).as(s"r$vc"))
+    }
+    d.join(midranks("x"), Seq("g", "x"))
+      .join(midranks("y"), Seq("g", "y"))
+      .groupBy(col("g").as(grpCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col(grpCol), col("n"),
+        // all-tied axes zero a variance factor — NULL, not ANSI error
+        when(col("n") * col("sxx") > col("sx") * col("sx") &&
+          col("n") * col("syy") > col("sy") * col("sy"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+          .as("rho"))
+  }
+
   def kendallTauB(binned: DataFrame, grpCol: String): DataFrame = {
     val cells = binned.groupBy(col(grpCol), col("xb"), col("yb"))
       .agg(count(lit(1)).as("c"))

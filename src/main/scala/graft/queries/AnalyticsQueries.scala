@@ -28,11 +28,14 @@ object AnalyticsQueries {
     // k=3, then survivors with residual degree. At sf0.01 the shell of
     // 17 degree-2 nodes cascades out and 30 of 57 nodes keep the core.
     "q183_kcore" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val e1 = ev.select((col("user_id") % 60).as("src"),
-        ((col("user_id") * col("user_id") + 7) % 60).as("dst"))
-      val e2 = ev.select((col("user_id") % 60).as("src"),
-        ((col("user_id") * col("user_id") * col("user_id") + 11) % 60).as("dst"))
+      // reduce mod 60 BEFORE squaring/cubing: (u² + 7) % 60 ≡ ((u%60)² + 7)
+      // % 60, and the reduced form cannot ANSI-overflow on the synthesized
+      // sf1's replica-offset ids (~9·10⁹, whose square exceeds Long.Max)
+      val ev = Tables.events(s, dir).select((col("user_id") % 60).as("u"))
+      val e1 = ev.select(col("u").as("src"),
+        ((col("u") * col("u") + 7) % 60).as("dst"))
+      val e2 = ev.select(col("u").as("src"),
+        ((col("u") * col("u") * col("u") + 11) % 60).as("dst"))
       graft.operators.KCore.peel(e1.unionByName(e2).distinct(),
           "src", "dst", k = 3, rounds = 6)
         .orderBy(col("node"))
@@ -493,6 +496,82 @@ object AnalyticsQueries {
         .join(cands, Seq("shard", "token"), "left_semi")
         .select(col("shard"), col("token"), col("n"), col("n_shard"))
         .orderBy(col("shard"), col("token"))
+    }),
+
+    // Spearman ρ per source between doc length and token count — the
+    // monotone-rank twin of q79 (Pearson) and q210 (Kendall): midranks
+    // from distinct-value grids, Pearson over ranks (exact ½-multiples,
+    // order-free sums).
+    "q223_spearman" -> ((s, dir) =>
+      graft.operators.RankTests.spearman(
+        Tables.documents(s, dir)
+          .select(col("source"), col("n_chars").as("x"),
+            graft.functions.TextOps.wsTokenCount(col("text")).cast("long").as("y")),
+        "source", "x", "y")
+        .orderBy(col("source"))),
+
+    // Benjamini-Hochberg FDR over the per-source "en share vs rest"
+    // z-test family — the multiple-testing correction a per-slice data
+    // audit needs before flagging slices. p-values via the A-S 7.1.26
+    // polynomial (identical literal shape both engines), rounded BEFORE
+    // the step-up comparison.
+    "q224_bh_fdr" -> ((s, dir) =>
+      graft.operators.MultipleTesting.bhFdr(
+        Tables.documents(s, dir)
+          .select(col("source"), when(col("lang") === "en", 1L).otherwise(0L).as("hit")),
+        "source", "hit", alpha = 0.05)
+        .orderBy(col("source"))),
+
+    // Leading principal component of the embedding corpus (power
+    // iteration, 3 unrolled steps) — the all-but-the-top / whitening
+    // direction (Mu-Viswanath 2018). Corpus touched ONCE for the d²
+    // covariance cells (in-row pair fan-out, q214 shape); iterations are
+    // bounded-grid joins.
+    "q225_power_iter" -> ((s, dir) =>
+      graft.operators.PowerIteration.leadingComponent(
+        s, Tables.embeddings(s, dir), "embedding", iters = 3)),
+
+    // Effective sample size of length-weighted sampling per source
+    // (Kish 1965): ESS = (Σw)²/Σw² — how many "real" docs a weighted
+    // mixture is worth; the diagnostic read before trusting a reweighted
+    // corpus. Integer sums, two divisions at the edge.
+    "q227_ess_weights" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), col("n_chars").cast("long").as("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+          sum(col("w") * col("w")).as("sww"))
+        .select(col("source"), col("n"),
+          round(col("sw").cast("double") * col("sw") / col("sww"), 4).as("ess"),
+          round(col("sw").cast("double") * col("sw") / col("sww") / col("n"), 6)
+            .as("ess_ratio"))
+        .orderBy(col("source"))),
+
+    // Cochran-Armitage trend test: does click propensity trend across
+    // the ordered user cohorts 0<1<2? The dose-response companion to
+    // q212's two-proportion z. Integer sufficient statistics from ONE
+    // partial agg; closed form at the edge.
+    "q228_cochran_armitage" -> ((s, dir) =>
+      graft.operators.MultipleTesting.cochranArmitage(
+        Tables.events(s, dir)
+          .select((col("user_id") % 3).as("dose"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("hit")),
+        "dose", "hit")),
+
+    // Class-balanced loss weights per language (Cui et al. 2019
+    // "effective number of samples"): w_c = (1−β)/(1−β^{n_c}), β=0.999,
+    // normalized to mean 1 over classes — the reweighting a skewed
+    // multilingual corpus trains with. One count agg; pow at the edge.
+    "q230_cb_weights" -> ((s, dir) => {
+      val g = Tables.documents(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", (lit(1.0) - lit(0.999)) / (lit(1.0) - pow(lit(0.999), col("n"))))
+      val tot = g.agg(sum(col("w")).as("sw"), count(lit(1)).as("c"))
+      g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"),
+          round(col("w"), 6).as("w_raw"),
+          round(col("w") * col("c") / col("sw"), 6).as("w_norm"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1154,7 +1233,143 @@ object AnalyticsQueries {
         |SELECT e.shard, e.token, e.n, CAST(t.n_shard AS BIGINT) AS n_shard
         |FROM exact e JOIN tot t USING (shard)
         |WHERE e.n * 31 > t.n_shard
-        |ORDER BY e.shard, e.token""".stripMargin
+        |ORDER BY e.shard, e.token""".stripMargin,
+
+    // midranks from distinct-value grids (exact ½-multiples), Pearson
+    // over ranks with the identical expression shape
+    "q223_spearman" ->
+      """WITH d AS (
+        |  SELECT source AS g, n_chars AS x,
+        |         len(list_filter(string_split_regex(text, '\s+'),
+        |             t -> len(t) > 0)) AS y
+        |  FROM documents),
+        |rx AS (
+        |  SELECT g, x, CAST(cum - c AS DOUBLE) + CAST(c + 1 AS DOUBLE) / 2.0 AS rx
+        |  FROM (SELECT g, x, count(*) AS c,
+        |               sum(count(*)) OVER (PARTITION BY g ORDER BY x
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM d GROUP BY g, x)),
+        |ry AS (
+        |  SELECT g, y, CAST(cum - c AS DOUBLE) + CAST(c + 1 AS DOUBLE) / 2.0 AS ry
+        |  FROM (SELECT g, y, count(*) AS c,
+        |               sum(count(*)) OVER (PARTITION BY g ORDER BY y
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM d GROUP BY g, y)),
+        |j AS (SELECT d.g, rx.rx, ry.ry
+        |      FROM d JOIN rx ON d.g = rx.g AND d.x = rx.x
+        |             JOIN ry ON d.g = ry.g AND d.y = ry.y),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(rx) AS sx, sum(ry) AS sy,
+        |             sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+        |      FROM j GROUP BY g)
+        |SELECT g AS source, n,
+        |       CASE WHEN n * sxx > sx * sx AND n * syy > sy * sy THEN
+        |         round((n * sxy - sx * sy)
+        |               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |       END AS rho
+        |FROM s ORDER BY source""".stripMargin,
+
+    // z from integer sufficient statistics; Abramowitz-Stegun 7.1.26
+    // two-sided p (identical literal shape), rounded BEFORE the BH
+    // step-up comparison; rank ties broken by source name
+    "q224_bh_fdr" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n) AS nn, sum(k) AS kk FROM g),
+        |z AS (
+        |  SELECT source, n, k,
+        |         (CAST(k AS DOUBLE) / n - CAST(kk - k AS DOUBLE) / (nn - n))
+        |           / sqrt((CAST(kk AS DOUBLE) / nn) * (1.0 - CAST(kk AS DOUBLE) / nn)
+        |                  * (1.0 / n + 1.0 / (nn - n))) AS z
+        |  FROM g, t),
+        |p AS (
+        |  SELECT source, n, k, z,
+        |         round(2.0 * (exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002
+        |           * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
+        |              + tt * (-1.821255978 + tt * 1.330274429)))))), 6) AS p
+        |  FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM z)),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, source) AS BIGINT) AS i,
+        |             CAST(count(*) OVER () AS BIGINT) AS m
+        |      FROM p),
+        |c AS (SELECT *, round(i * 0.05 / m, 6) AS bh_cut,
+        |             p <= round(i * 0.05 / m, 6) AS under
+        |      FROM r),
+        |km AS (SELECT max(CASE WHEN under THEN i END) AS kmax FROM c)
+        |SELECT source, n, k, round(z, 4) AS z, p, i AS p_rank, bh_cut,
+        |       (kmax IS NOT NULL AND i <= kmax) AS rejected
+        |FROM c, km ORDER BY source""".stripMargin,
+
+    // covariance cells via the q214 in-row fan-out; 3 power steps
+    // unrolled CTE-for-CTE; sign fixed on dim 1; Rayleigh λ at the edge
+    "q225_power_iter" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (
+        |  SELECT di.i AS i, dj.i AS j, v[di.i] AS xi, v[dj.i] AS xj
+        |  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) di,
+        |         (SELECT unnest(generate_series(1, 64)) AS i) dj),
+        |cov AS (
+        |  SELECT i, j, sij / n - (si / n) * (sj / n) AS c
+        |  FROM (SELECT i, j, CAST(count(*) AS BIGINT) AS n, sum(xi) AS si,
+        |               sum(xj) AS sj, sum(xi * xj) AS sij
+        |        FROM x GROUP BY i, j)),
+        |v0 AS (SELECT unnest(generate_series(1, 64)) AS j, 1.0 / sqrt(64.0) AS vj),
+        |w1 AS (SELECT cov.i, sum(cov.c * v0.vj) AS wi FROM cov JOIN v0 USING (j) GROUP BY 1),
+        |n1 AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w1),
+        |v1 AS (SELECT i AS j, wi / nrm AS vj FROM w1, n1),
+        |w2 AS (SELECT cov.i, sum(cov.c * v1.vj) AS wi FROM cov JOIN v1 USING (j) GROUP BY 1),
+        |n2 AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w2),
+        |v2 AS (SELECT i AS j, wi / nrm AS vj FROM w2, n2),
+        |w3 AS (SELECT cov.i, sum(cov.c * v2.vj) AS wi FROM cov JOIN v2 USING (j) GROUP BY 1),
+        |n3 AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w3),
+        |v3 AS (SELECT i AS j, wi / nrm AS vj FROM w3, n3),
+        |lam AS (
+        |  SELECT sum(cov.c * a.vj * b.vj) AS lambda
+        |  FROM cov JOIN v3 a ON cov.j = a.j JOIN v3 b ON cov.i = b.j),
+        |sgn AS (SELECT CASE WHEN vj < 0 THEN -1.0 ELSE 1.0 END AS sgn FROM v3 WHERE j = 1)
+        |SELECT CAST(v3.j AS BIGINT) AS dim, round(v3.vj * sgn, 6) AS v,
+        |       round(lambda, 6) AS lambda
+        |FROM v3, sgn, lam ORDER BY dim""".stripMargin,
+
+    "q227_ess_weights" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(n_chars AS BIGINT)) AS sw,
+        |         sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sww
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n,
+        |       round(CAST(sw AS DOUBLE) * sw / sww, 4) AS ess,
+        |       round(CAST(sw AS DOUBLE) * sw / sww / n, 6) AS ess_ratio
+        |FROM g ORDER BY source""".stripMargin,
+
+    // integer sufficient statistics; the identical closed form at the edge
+    "q228_cochran_armitage" ->
+      """WITH g AS (
+        |  SELECT user_id % 3 AS d, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT sum(n) AS nn, sum(k) AS kk, sum(d * k) AS swk,
+        |             sum(d * n) AS swn, sum(d * d * n) AS swwn,
+        |             CAST(count(*) AS BIGINT) AS levels
+        |      FROM g)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(kk AS BIGINT) AS k, levels,
+        |       round(CAST(kk AS DOUBLE) / nn, 6) AS pbar,
+        |       round((CAST(swk AS DOUBLE) - CAST(swn AS DOUBLE) * kk / nn)
+        |             / sqrt((CAST(kk AS DOUBLE) / nn) * (1.0 - CAST(kk AS DOUBLE) / nn)
+        |                    * (CAST(swwn AS DOUBLE) - CAST(swn AS DOUBLE) * swn / nn)), 4)
+        |         AS z_trend
+        |FROM a""".stripMargin,
+
+    // pow at the edge; normalization to mean 1 over classes
+    "q230_cb_weights" ->
+      """WITH g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |         (1.0 - 0.999) / (1.0 - pow(0.999, count(*))) AS w
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(w) AS sw, CAST(count(*) AS BIGINT) AS c FROM g)
+        |SELECT lang, n, round(w, 6) AS w_raw,
+        |       round(w * c / sw, 6) AS w_norm
+        |FROM g, t ORDER BY lang""".stripMargin
   )
 
   /** The q215 oracle with the SPRT constants rendered from the SAME

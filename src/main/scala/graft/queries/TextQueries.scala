@@ -16,6 +16,19 @@ object TextQueries {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "or", "in", "on", "is", "to", "it")
 
+  /** The q175/q226/q229 calibration fixture: p = min(1, 4 × en-stopword
+    * token share) scored against the labeled en flag — one definition so
+    * the three calibration gates can never drift apart.
+    */
+  private def stopwordScored(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.search.Bm25.tokens(col("text"))
+    Tables.documents(s, dir).select(
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      least(lit(1.0),
+        lit(4.0) * size(filter(t, w => w.isInCollection(Stopwords)))
+          / greatest(size(t), lit(1))).as("p"))
+  }
+
   /** q148 blocklist tiers (tokens of the synthetic corpus vocabulary). */
   val BlockSevere: Seq[String] = Seq("dup", "slow")
   val BlockMild: Seq[String] = Seq("merge", "hash", "batch")
@@ -55,16 +68,26 @@ object TextQueries {
     // en-stopword token share) against the labeled en flag — reliability
     // bins + per-bin Brier mass. p is an exact integer ratio 6dp-rounded
     // before binning, so bin membership is engine-exact by construction.
-    "q175_calibration" -> ((s, dir) => {
-      val t = graft.search.Bm25.tokens(col("text"))
-      val scored = Tables.documents(s, dir).select(
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
-        least(lit(1.0),
-          lit(4.0) * size(filter(t, w => w.isInCollection(Stopwords)))
-            / greatest(size(t), lit(1))).as("p"))
-      graft.operators.Calibration.report(scored, "p", "y", bins = 10)
-        .orderBy(col("bin"))
-    }),
+    "q175_calibration" -> ((s, dir) =>
+      graft.operators.Calibration.report(stopwordScored(s, dir), "p", "y", bins = 10)
+        .orderBy(col("bin"))),
+
+    // Isotonic (PAV) calibration of q175's reliability curve — the
+    // monotone-regression fit a pipeline applies before using scores as
+    // probabilities (Zadrozny-Elkan 2002). The minimax closed form runs
+    // on the bounded 10-bin grid from integer prefix sums, so the fitted
+    // curve is engine-exact; monotonicity is machine-asserted in
+    // CalibrationSpec.
+    "q226_isotonic" -> ((s, dir) =>
+      graft.operators.Calibration.isotonicBins(stopwordScored(s, dir), "p", "y", bins = 10)
+        .orderBy(col("bin"))),
+
+    // Murphy decomposition of the same scorer's Brier score:
+    // reliability / resolution / uncertainty, plus the two exact
+    // continuous-forecast terms (within-bin variance and p,y covariance)
+    // that close the ledger: brier = REL − RES + UNC + wvar − 2·wcov.
+    "q229_brier_decomp" -> ((s, dir) =>
+      graft.operators.Calibration.brierDecomposition(stopwordScored(s, dir), "p", "y", bins = 10)),
 
     // Heaps-law vocabulary-growth fit at 8 doc-id checkpoints: V(N)≈K·N^β
     // with first-occurrence logic instead of running state (a token's
@@ -767,6 +790,22 @@ object TextQueries {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Shared scored+binned CTE for the q175/q226/q229 calibration oracles —
+    * mirrors [[stopwordScored]] + the report() binning exactly.
+    */
+  private val scoredCte: String =
+    """scored AS (
+      |  SELECT CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+      |         round(least(1.0,
+      |           4.0 * len(list_filter(
+      |                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                     x -> len(x) > 1),
+      |                   x -> x IN ('the','a','of','and','or','in','on','is','to','it')))
+      |             / greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                 x -> len(x) > 1)), 1)), 6) AS p
+      |  FROM documents
+      |), b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y FROM scored)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q177_hill_tail" ->
       """WITH c AS (
@@ -889,23 +928,60 @@ object TextQueries {
          |ORDER BY cls""".stripMargin,
 
     "q175_calibration" ->
-      """WITH scored AS (
-        |  SELECT CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
-        |         round(least(1.0,
-        |           4.0 * len(list_filter(
-        |                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                     x -> len(x) > 1),
-        |                   x -> x IN ('the','a','of','and','or','in','on','is','to','it')))
-        |             / greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                 x -> len(x) > 1)), 1)), 6) AS p
-        |  FROM documents
-        |), b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y FROM scored)
+      s"""WITH $scoredCte
         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(y) AS BIGINT) AS n_pos,
         |       round(avg(p), 6) AS mean_pred,
         |       round(sum(y) / count(*), 6) AS frac_pos,
         |       round(sum((p - y) * (p - y)), 6) AS brier_sum
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // the PAV minimax on the bounded bin grid — integer prefix sums,
+    // division at the segment-mean edge only
+    "q226_isotonic" ->
+      s"""WITH $scoredCte,
+        |base AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |                CAST(sum(y) AS BIGINT) AS n_pos,
+        |                round(sum(y) / count(*), 6) AS frac_pos
+        |         FROM b GROUP BY bin),
+        |pre AS (SELECT *, sum(n) OVER (ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |          sum(n_pos) OVER (ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |        FROM base),
+        |segs AS (SELECT a.bin AS j, bb.bin AS k,
+        |                CAST(bb.cp - a.cp + a.n_pos AS DOUBLE)
+        |                  / (bb.cn - a.cn + a.n) AS seg_mean
+        |         FROM pre a JOIN pre bb ON a.bin <= bb.bin),
+        |mk AS (SELECT i.bin AS i, s.j, min(s.seg_mean) AS m
+        |       FROM base i JOIN segs s ON s.j <= i.bin AND s.k >= i.bin
+        |       GROUP BY 1, 2),
+        |iso AS (SELECT i AS bin, round(max(m), 6) AS iso FROM mk GROUP BY 1)
+        |SELECT base.bin, n, n_pos, frac_pos, iso
+        |FROM base JOIN iso USING (bin) ORDER BY base.bin""".stripMargin,
+
+    // identical float shapes: every term is a ratio of per-bin sums
+    "q229_brier_decomp" ->
+      s"""WITH $scoredCte,
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(y) AS sy, sum(p) AS sp,
+        |             sum(p * p) AS spp, sum(p * y) AS spy,
+        |             sum((p - y) * (p - y)) AS bsum
+        |      FROM b GROUP BY bin),
+        |a AS (SELECT sum(n) AS nn, sum(sy) AS ssy, sum(bsum) AS brier_total,
+        |             sum((sp * sp - 2.0 * sp * sy + sy * sy) / n) AS rel_sum,
+        |             sum(sy * sy / n) AS res_raw,
+        |             sum(spp - sp * sp / n) AS wvar_sum,
+        |             sum(spy - sp * sy / n) AS wcov_sum
+        |      FROM g)
+        |SELECT CAST(nn AS BIGINT) AS n,
+        |       round(ssy / nn, 6) AS base_rate,
+        |       round(brier_total / nn, 6) AS brier,
+        |       round(rel_sum / nn, 6) AS reliability,
+        |       round(res_raw / nn - (ssy / nn) * (ssy / nn), 6) AS resolution,
+        |       round((ssy / nn) * (1.0 - ssy / nn), 6) AS uncertainty,
+        |       round(wvar_sum / nn, 6) AS within_bin_var,
+        |       round(wcov_sum / nn, 6) AS within_bin_cov
+        |FROM a""".stripMargin,
 
     "q176_heaps_law" ->
       """WITH toks AS (

@@ -20,6 +20,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   */
 object StreamEwma {
 
+  /** The replay sorts on `(bucket, n)` — every field beyond the group
+    * key — so rows tied on that key are value-identical and the fold is
+    * permutation-stable. Keep this a total order over the row VALUES if
+    * a payload field is ever added.
+    */
   case class BucketCount(key: String, bucket: Long, n: Long)
 
   /** (ewma, nSeen): the running α=1/2 average and how many buckets fed it. */

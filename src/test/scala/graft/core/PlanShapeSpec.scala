@@ -274,6 +274,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(ns) <= 1)
   }
 
+  test("q225_power_iter: corpus scanned once for the covariance; iterations broadcast") {
+    val ns = nodes("q225_power_iter")
+    assert(count(ns) { case _: FileSourceScanExec => () } <= 1,
+      "the d2 covariance cells are checkpointed — iterations must not rescan the corpus")
+    assert(count(ns) { case _: SortMergeJoinExec => () } == 0,
+      "the 64-row vector must broadcast onto the 4096-row cell table")
+    assert(count(ns) { case _: CartesianProductExec => () } == 0)
+    // BNLJ nodes here are the 1-row broadcast norm/sign/lambda attachments
+    // (the repo's bounded-total pattern), never corpus-sided: cap, don't ban.
+    assert(count(ns) { case _: BroadcastNestedLoopJoinExec => () } <= 8)
+  }
+
+  test("q221_trending_mg: guarantee semi-join is an equi-join, no pair enumeration") {
+    val ns = nodes("q221_trending_mg")
+    assert(quadratic(ns) == 0)
+    assert(count(ns) { case _: BaseJoinExec => () } >= 2,
+      "shard-total join + MG-candidate semi-join")
+  }
+
   test("q101_bloom_prune: membership is a codegen predicate, not a probe join") {
     val df = SparkEntry.queries("q101_bloom_prune")(spark, dir)
     df.collect()

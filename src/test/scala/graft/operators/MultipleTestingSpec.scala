@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultipleTestingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalSf matches the textbook normal tail to the A-S 7.1.26 bound") {
+    // Φ̄(0)=0.5, Φ̄(1.96)≈0.0249979, Φ̄(3)≈0.0013499
+    val rows = Seq(0.0, 1.0, 1.959964, 3.0).toDF("z")
+      .select(col("z"), MultipleTesting.normalSf(col("z")).as("sf"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rows(0.0) - 0.5) < 1e-7)
+    assert(math.abs(rows(1.0) - 0.15865525) < 1e-7)
+    assert(math.abs(rows(1.959964) - 0.025) < 1e-7)
+    assert(math.abs(rows(3.0) - 0.00134990) < 1e-7)
+  }
+
+  test("BH step-up: rejects the strong effects, keeps nulls, monotone in rank") {
+    // 3 slices wildly enriched, 17 at the base rate
+    val data = (1 to 20).flatMap { s =>
+      val grp = f"s$s%02d"
+      val hits = if (s <= 3) 180 else 60
+      (1 to hits).map(_ => (grp, 1L)) ++ (1 to (300 - hits)).map(_ => (grp, 0L))
+    }
+    val out = MultipleTesting.bhFdr(data.toDF("g", "hit"), "g", "hit", alpha = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rejected = out.filter(_._2.getAs[Boolean]("rejected")).keySet
+    assert(Set("s01", "s02", "s03").subsetOf(rejected), s"rejected: $rejected")
+    // step-up property: the rejected set is a prefix of the p-rank order
+    val ranksRej = out.values.filter(_.getAs[Boolean]("rejected")).map(_.getAs[Long]("p_rank"))
+    assert(ranksRej.toSeq.sorted == (1L to ranksRej.size).toSeq)
+    // p-values live in [0, 1]
+    assert(out.values.forall { r =>
+      val p = r.getAs[Double]("p"); p >= 0.0 && p <= 1.0
+    })
+  }
+
+  test("Cochran-Armitage: a monotone dose-response yields a large positive z") {
+    val data = (0 to 2).flatMap { d =>
+      val hits = 20 + 30 * d // 20/200, 50/200, 80/200
+      (1 to hits).map(_ => (d.toLong, 1L)) ++ (1 to (200 - hits)).map(_ => (d.toLong, 0L))
+    }
+    val r = MultipleTesting.cochranArmitage(data.toDF("dose", "hit"), "dose", "hit")
+      .collect().head
+    assert(r.getAs[Long]("n") == 600L && r.getAs[Long]("levels") == 3L)
+    assert(r.getAs[Double]("z_trend") > 5.0)
+    // flat response ~ 0
+    val flat = (0 to 2).flatMap { d =>
+      (1 to 50).map(_ => (d.toLong, 1L)) ++ (1 to 150).map(_ => (d.toLong, 0L))
+    }
+    val z0 = MultipleTesting.cochranArmitage(flat.toDF("dose", "hit"), "dose", "hit")
+      .collect().head.getAs[Double]("z_trend")
+    assert(math.abs(z0) < 1e-9)
+  }
+}

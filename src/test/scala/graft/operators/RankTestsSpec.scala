@@ -69,4 +69,29 @@ class RankTestsSpec extends SparkSpec {
     val r = tau(Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 1L, 3L)))
     assert(r("g").isNullAt(r("g").fieldIndex("tau_b")))
   }
+
+  private def rho(rows: Seq[(String, Long, Long)]) =
+    RankTests.spearman(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("spearman: perfect monotone (even nonlinear) is rho=1; reversal is -1") {
+    val up = (1L to 20L).map(i => ("u", i, i * i)) // nonlinear but monotone
+    val dn = (1L to 20L).map(i => ("d", i, 100L - i))
+    val r = rho(up ++ dn)
+    assert(r("u").getAs[Double]("rho") == 1.0)
+    assert(r("d").getAs[Double]("rho") == -1.0)
+  }
+
+  test("spearman: tied values use midranks (textbook value)") {
+    // x: 1,2,3,4 ; y: 10,10,20,30 -> y midranks 1.5,1.5,3,4
+    // rho = Pearson((1,2,3,4),(1.5,1.5,3,4)) = 0.9487 (2.25/sqrt(5*1.125*... )
+    val r = rho(Seq(("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 20L), ("g", 4L, 30L)))
+    val v = r("g").getAs[Double]("rho")
+    assert(math.abs(v - 0.948683) < 1e-6, s"got $v")
+  }
+
+  test("spearman: all-tied axis yields NULL, not an ANSI error") {
+    val r = rho(Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L)))
+    assert(r("g").isNullAt(r("g").fieldIndex("rho")))
+  }
 }

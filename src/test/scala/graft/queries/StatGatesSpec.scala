@@ -91,6 +91,31 @@ class StatGatesSpec extends SparkSpec {
     assert(math.abs(got - want) < 1e-4, s"r(1,2): gate $got vs recompute $want")
   }
 
+  test("q227: ESS is bounded by n and the ratio lives in (0, 1]") {
+    val rs = rows("q227_ess_weights")
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val ess = r.getAs[Double]("ess")
+      assert(ess > 0 && ess <= n + 1e-6, s"ess $ess vs n $n")
+      val ratio = r.getAs[Double]("ess_ratio")
+      assert(ratio > 0 && ratio <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q230: class-balanced weights average to 1 and shrink with class size") {
+    val rs = rows("q230_cb_weights")
+    assert(rs.nonEmpty)
+    val mean = rs.map(_.getAs[Double]("w_norm")).sum / rs.length
+    assert(math.abs(mean - 1.0) < 1e-4, s"mean weight $mean")
+    val byN = rs.sortBy(_.getAs[Long]("n"))
+    byN.sliding(2).foreach { w =>
+      if (w.length == 2 && w(0).getAs[Long]("n") < w(1).getAs[Long]("n"))
+        assert(w(0).getAs[Double]("w_raw") >= w(1).getAs[Double]("w_raw"),
+          "raw weight must be non-increasing in class size")
+    }
+  }
+
   test("q215: SPRT walk state is consistent and crossings are honest") {
     val rs = rows("q215_sprt")
     assert(rs.length == 2, "one row per variant")
