@@ -421,6 +421,32 @@ object AnalyticsQueries {
         .orderBy(col("key"), col("bucket"))
     }),
 
+    // The StreamRateAnomaly Welford fold gated end-to-end (q204's
+    // discipline for the rate-anomaly twin): per event_type, each daily
+    // count is scored against the running mean/sd of every PRIOR day —
+    // score BEFORE fold, so a burst never desensitizes the baseline that
+    // judges it. The oracle replays the identical Welford recurrence in a
+    // recursive CTE with the same operation order, so the doubles agree
+    // bit-for-bit; zero-variance baselines surface as signed Infinity on
+    // both engines and bypass rounding (ANSI round() would throw on Inf).
+    "q233_rate_replay" -> ((s, dir) => {
+      import s.implicits._
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type").as("key"), col("bucket"), col("n"))
+        .as[graft.streaming.StreamRateAnomaly.BucketCount]
+      val inf = lit(Double.PositiveInfinity)
+      graft.streaming.StreamRateAnomaly.batchScoredDs(buckets).toDF()
+        .select(col("key"), col("bucket"), col("n"),
+          when(abs(col("z")) === inf, col("z"))
+            .otherwise(round(col("z"), 6)).as("z"),
+          round(col("baselineMean"), 6).as("baseline_mean"),
+          col("nBuckets").as("n_prior"))
+        .orderBy(col("key"), col("bucket"))
+    }),
+
     // The StreamDgim fold gated end-to-end: per (event_type, ISO-week)
     // key, the hour ticks that saw events stream through the DGIM
     // insert/cascade/expire/estimate step (window = 48 hour-ticks); the
@@ -450,6 +476,58 @@ object AnalyticsQueries {
     // epoch_us // 1000 in the oracle) is the keeper and every later
     // arrival is flagged with its id. One bucket-keyed shuffle; state in
     // the streaming form is ONE long per bucket.
+    // STREAM-STATIC ENRICHMENT REPLAY: the events feed split into 3
+    // single-file micro-batches (shard = event_id mod 3), streamed
+    // through a real file source with maxFilesPerTrigger=1, each
+    // micro-batch broadcast-joined against a STATIC dim (per-type global
+    // counts MINUS the single most frequent type, so the inner join
+    // provably drops rows). foreachBatch stamps batchId; the gate proves
+    // every surviving type crossed 3 distinct micro-batches — the oracle
+    // mirrors batch identity as event_id % 3 — and that dim values
+    // flowed through the join. No stream state, no watermark: the static
+    // side is the state, exactly as it would be at 100 TB.
+    "q232_enrich_replay" -> ((s, dir) => {
+      import java.nio.file.{Files, StandardCopyOption}
+      val evAll = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          pmod(col("event_id"), lit(3)).cast("int").as("shard"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("type_n").desc, col("event_type"))
+      val dim = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1).drop("rk")
+      val feedDir = Files.createTempDirectory("g232feed")
+      val outDir = Files.createTempDirectory("g232out").toString
+      (0 until 3).foreach { i =>
+        val part = Files.createTempDirectory("g232part").toString
+        evAll.filter(col("shard") === i).drop("shard")
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(f.toPath, feedDir.resolve(s"shard-$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      val feed = s.readStream.schema(evAll.drop("shard").schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir.toString)
+      val q = feed.join(broadcast(dim), "event_type")
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("g232ckpt").toString)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("batch_id")).as("n_batches"),
+          max(col("type_n")).as("type_n"))
+        .orderBy(col("event_type"))
+    }),
+
     "q220_keepfirst_replay" -> ((s, dir) => {
       import s.implicits._
       val feed = Tables.events(s, dir)
@@ -1199,6 +1277,59 @@ object AnalyticsQueries {
         |FROM f WHERE rn >= 1 ORDER BY key, bucket""".stripMargin,
 
     "q205_dgim_replay" -> dgimReplaySql,
+
+    // Welford recurrence replayed with the EXACT operation order of
+    // StreamRateAnomaly.fold/score: cnt+1; mean' = mean + (x-mean)/cnt';
+    // m2' = m2 + (x-mean)*(x-mean'). Score uses the PRIOR state (f.*).
+    "q233_rate_replay" ->
+      """WITH RECURSIVE
+        |d AS (SELECT event_type AS key, epoch_us(ts) // 86400000000 AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2),
+        |s AS (SELECT key, bucket, n,
+        |             row_number() OVER (PARTITION BY key ORDER BY bucket) AS rn
+        |      FROM d),
+        |f AS (
+        |  SELECT key, 0::BIGINT AS rn, 0::BIGINT AS cnt,
+        |         CAST(0 AS DOUBLE) AS mean, CAST(0 AS DOUBLE) AS m2,
+        |         0::BIGINT AS bucket, 0::BIGINT AS n,
+        |         CAST(0 AS DOUBLE) AS z, CAST(0 AS DOUBLE) AS bmean,
+        |         0::BIGINT AS nprior
+        |  FROM (SELECT DISTINCT key FROM s)
+        |  UNION ALL
+        |  SELECT s.key, s.rn,
+        |         f.cnt + 1,
+        |         f.mean + (s.n - f.mean) / (f.cnt + 1),
+        |         f.m2 + (s.n - f.mean)
+        |              * (s.n - (f.mean + (s.n - f.mean) / (f.cnt + 1))),
+        |         s.bucket, s.n,
+        |         CASE WHEN f.cnt < 2 THEN CAST(0 AS DOUBLE)
+        |              WHEN sqrt(f.m2 / (f.cnt - 1)) = 0.0 THEN
+        |                CASE WHEN s.n = f.mean THEN CAST(0 AS DOUBLE)
+        |                     WHEN s.n > f.mean THEN CAST('Infinity' AS DOUBLE)
+        |                     ELSE CAST('-Infinity' AS DOUBLE) END
+        |              ELSE (s.n - f.mean) / sqrt(f.m2 / (f.cnt - 1)) END,
+        |         f.mean, f.cnt
+        |  FROM f JOIN s ON s.key = f.key AND s.rn = f.rn + 1
+        |)
+        |SELECT key, bucket, n,
+        |       CASE WHEN isinf(z) THEN z ELSE round(z, 6) END AS z,
+        |       round(bmean, 6) AS baseline_mean, nprior AS n_prior
+        |FROM f WHERE rn >= 1 ORDER BY key, bucket""".stripMargin,
+
+    // batch identity = event_id % 3 (the shard rule that built the three
+    // feed files); the dim drops the most frequent type on both sides
+    "q232_enrich_replay" ->
+      """WITH dim AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS type_n
+        |  FROM events GROUP BY 1
+        |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, event_type) > 1
+        |)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT e.event_id % 3) AS BIGINT) AS n_batches,
+        |       CAST(max(d.type_n) AS BIGINT) AS type_n
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // first-by-(ms, id) per bucket — epoch_us // 1000 mirrors
     // java.sql.Timestamp.getTime's millisecond floor exactly

@@ -475,6 +475,38 @@ object RelationalQueries {
     // (nation/region trivially, supplier/customer under the threshold at
     // gate scale; at 100 TB customer shuffles and everything else still
     // broadcasts); ONE shuffle for the rollup.
+    // BUCKETED CO-LOCATED JOIN, end-to-end: lineitem and orders written
+    // bucketed+sorted by the order key (Bucketing.writeBucketed → 8
+    // buckets, external paths under /tmp), then sort-merge-joined — on
+    // co-bucketed tables the SMJ plans with ZERO Exchange and ZERO Sort
+    // on either side (BucketedJoinSpec proves the shape; PlanShapeSpec
+    // asserts it on this gate). At 100 TB this is the one-time-layout
+    // trade: the fact table's recurring join shuffle becomes a write-time
+    // cost. The merge hint keeps Catalyst from broadcasting the small
+    // sf-test orders side, which would bypass the layout being gated.
+    "q234_bucketed_join" -> ((s, dir) => {
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("g234").toString
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      li.write.mode("overwrite").option("path", s"$tmp/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable("g234_li")
+      ord.write.mode("overwrite").option("path", s"$tmp/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable("g234_ord")
+      s.table("g234_li")
+        .join(s.table("g234_ord").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q117_star_join" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
@@ -890,6 +922,12 @@ object RelationalQueries {
         |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
         |       round(z, 6) AS z
         |FROM z WHERE abs(z) >= 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "q234_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q117_star_join" ->
       """SELECT n_name,

@@ -57,6 +57,23 @@ object TemporalQueries {
           .withColumn("item", Tables.extractLongProp(col("props"), "k")),
         "user_id", "ts", "event_id", "item", gapSec = 1800L, k = 25)),
 
+    // Native session_window in BATCH — the identical Catalyst operator the
+    // streaming sessionizer runs (Sessionize.streamingSessions), so this
+    // gate pins the operator semantics the stream relies on: sessions
+    // merge while consecutive events are STRICTLY closer than the gap,
+    // and end = last event + gap. One shuffle on user_id; merging is
+    // per-partition. q9 gates the hand-rolled islands twin; this gates
+    // Spark's own operator against the same gaps-and-islands oracle.
+    "q231_session_native" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))),
+
     // SCD2 dimension build: the events log compressed to per-user state
     // runs with [valid_from, valid_to) validity. Validity bounds surface
     // as integer epoch-µs so the hash compare never touches float/zone
@@ -132,6 +149,25 @@ object TemporalQueries {
         |FROM si a JOIN si b ON a.sid = b.sid AND a.item < b.item
         |GROUP BY 1, 2
         |ORDER BY n_sessions DESC, item_a, item_b LIMIT 25""".stripMargin,
+
+    // new session when the µs gap is >= 30 min: session_window intervals
+    // [t, t+gap) merge only while they OVERLAP, i.e. diff < gap strictly
+    "q231_session_native" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us,
+        |             CASE WHEN lag(us) OVER w IS NULL
+        |                    OR us - lag(us) OVER w >= 1800000000
+        |                  THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sn AS (SELECT user_id, us,
+        |              sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |       FROM g)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+        |       CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM sn GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "q167_scd2" ->
       """WITH c AS (

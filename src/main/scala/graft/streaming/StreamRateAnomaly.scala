@@ -73,6 +73,27 @@ object StreamRateAnomaly {
       }
   }
 
+  /** DISTRIBUTED batch replay of the same score-then-fold — the backfill
+    * shape and the q233 oracle surface: one `flatMapGroups` per key
+    * applying the identical [[score]] / [[fold]] in bucket order. Buckets
+    * are unique per key by construction (they come out of a (key, bucket)
+    * groupBy), so the sort is a total order; each group holds that key's
+    * bucket series (bounded by the tick horizon, not the corpus), and the
+    * replay shuffles once on the key and folds in one pass.
+    */
+  def batchScoredDs(buckets: Dataset[BucketCount]): Dataset[Scored] = {
+    import buckets.sparkSession.implicits._
+    buckets.groupByKey(_.key).flatMapGroups { (key: String, rows: Iterator[BucketCount]) =>
+      var s = RateState(0L, 0.0, 0.0)
+      rows.toSeq.sortBy(_.bucket).map { b =>
+        val z = score(s, b.n.toDouble)
+        val r = Scored(key, b.bucket, b.n, z, s.mean, s.cnt)
+        s = fold(s, b.n.toDouble)
+        r
+      }.iterator
+    }
+  }
+
   /** Batch replay of the same fold for parity testing and backfill. */
   def batchScored(buckets: Seq[BucketCount]): Seq[Scored] =
     buckets.groupBy(_.key).toSeq.flatMap { case (key, bs) =>

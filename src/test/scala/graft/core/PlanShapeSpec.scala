@@ -286,6 +286,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(ns) { case _: BroadcastNestedLoopJoinExec => () } <= 8)
   }
 
+  test("q231_session_native: one shuffle on the session key, zero joins") {
+    val ns = nodes("q231_session_native")
+    assert(count(ns) { case _: BaseJoinExec => () } == 0)
+    // user_id agg shuffle + presentation sort; session merge is per-partition
+    assert(shuffles(ns) <= 2)
+  }
+
+  test("q233_rate_replay: one key shuffle feeds the fold, zero joins") {
+    val ns = nodes("q233_rate_replay")
+    assert(count(ns) { case _: BaseJoinExec => () } == 0)
+    assert(quadratic(ns) == 0)
+    // (key,bucket) partial agg + groupByKey fold + presentation sort
+    assert(shuffles(ns) <= 3)
+  }
+
+  test("q234_bucketed_join: co-bucketed SMJ with no Exchange under the join") {
+    val df = SparkEntry.queries("q234_bucketed_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val ns = PlanDump.flatten(plan)
+    val smjs = ns.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.size == 1, "the layout gate must SMJ, not broadcast")
+    // the join's subtree reads the bucketed layout directly: no Exchange,
+    // no Sort below it — the on-disk (bucket, sort) order IS the plan
+    val under = PlanDump.flatten(smjs.head)
+    assert(under.count { case _: ShuffleExchangeExec => true; case _ => false } == 0,
+      "co-bucketed join must not shuffle either side")
+    assert(count(ns) { case _: BroadcastHashJoinExec => () } == 0)
+    // only the 5-row priority agg + presentation sort may shuffle
+    assert(shuffles(ns) <= 2)
+  }
+
   test("q221_trending_mg: guarantee semi-join is an equi-join, no pair enumeration") {
     val ns = nodes("q221_trending_mg")
     assert(quadratic(ns) == 0)

@@ -83,4 +83,22 @@ class StreamRateAnomalySpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("distributed batchScoredDs replays the fold bit-for-bit (q233 surface)") {
+    val data = Seq(
+      BucketCount("a", 1, 10), BucketCount("a", 2, 12), BucketCount("a", 3, 7),
+      BucketCount("a", 4, 40), BucketCount("b", 1, 5), BucketCount("b", 2, 5),
+      BucketCount("b", 3, 5), BucketCount("b", 4, 9))
+    val ds = spark.createDataset(data)(implicitly)
+    val viaDs = batchScoredDs(ds).collect().map(s => (s.key, s.bucket) -> s).toMap
+    val viaSeq = batchScored(data).map(s => (s.key, s.bucket) -> s).toMap
+    assert(viaDs.keySet == viaSeq.keySet)
+    viaDs.foreach { case (k, s) =>
+      val r = viaSeq(k)
+      assert(s.z == r.z && s.baselineMean == r.baselineMean && s.nBuckets == r.nBuckets,
+        s"mismatch at $k: $s vs $r")
+    }
+    // zero-variance baseline surfaces as signed infinity through the Ds path
+    assert(viaDs(("b", 4L)).z.isPosInfinity)
+  }
 }
