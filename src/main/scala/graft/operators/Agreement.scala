@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Annotator/classifier agreement statistics over a labeled corpus — the
+  * audits run before trusting crowd or heuristic labels in a training
+  * pipeline: McNemar's paired test (are two classifiers' error rates
+  * different on the SAME items?), Cohen's κ (two raters beyond chance),
+  * and Fleiss' κ (n raters beyond chance).
+  *
+  * All three reduce to integer contingency counts from ONE partial agg
+  * over the corpus; every statistic is a closed form over those integers
+  * with the division at the output edge (the float-determinism ladder),
+  * and McNemar's p reuses the shared Abramowitz-Stegun normal tail
+  * ([[MultipleTesting.normalSf]]) with identical literal shape in SQL.
+  */
+object Agreement {
+
+  /** McNemar's test WITHOUT continuity correction: χ² = (b−c)²/(b+c)
+    * where b = A right & B wrong, c = A wrong & B right. Input: one row
+    * per item with boolean columns aOk/bOk. Output one row:
+    * n, both_ok, a_only, b_only, both_wrong, chi2, p (χ²(1) two-sided
+    * via p = 2·P(Z > √χ²)). Degenerate b+c = 0 ⇒ chi2 = 0, p = 1.
+    */
+  def mcnemar(df: DataFrame, aOk: Column, bOk: Column): DataFrame = {
+    val g = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(aOk && bOk, 1L).otherwise(0L)).as("both_ok"),
+      sum(when(aOk && !bOk, 1L).otherwise(0L)).as("a_only"),
+      sum(when(!aOk && bOk, 1L).otherwise(0L)).as("b_only"),
+      sum(when(!aOk && !bOk, 1L).otherwise(0L)).as("both_wrong"))
+    val d = col("a_only") - col("b_only")
+    val tot = col("a_only") + col("b_only")
+    val chi2 = when(tot === 0, lit(0.0))
+      .otherwise((d * d).cast("double") / tot)
+    g.withColumn("chi2", round(chi2, 6))
+      .withColumn("p", when(tot === 0, lit(1.0))
+        .otherwise(round(lit(2.0) * MultipleTesting.normalSf(sqrt(chi2)), 6)))
+  }
+
+  /** Cohen's κ for two binary raters from the 2×2 confusion integers:
+    * κ = 2(ad − bc) / ((a+b)(b+d) + (a+c)(c+d)) — the closed form whose
+    * numerator and denominator are both INTEGER, so the only float op is
+    * the final division. Output: n, a, b, c, d, po, pe, kappa.
+    */
+  def cohenKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame = {
+    val g = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(rater1 && rater2, 1L).otherwise(0L)).as("a"),
+      sum(when(rater1 && !rater2, 1L).otherwise(0L)).as("b"),
+      sum(when(!rater1 && rater2, 1L).otherwise(0L)).as("c"),
+      sum(when(!rater1 && !rater2, 1L).otherwise(0L)).as("d"))
+    val num = lit(2L) * (col("a") * col("d") - col("b") * col("c"))
+    val den = (col("a") + col("b")) * (col("b") + col("d")) +
+      (col("a") + col("c")) * (col("c") + col("d"))
+    g.withColumn("po",
+        round((col("a") + col("d")).cast("double") / col("n"), 6))
+      .withColumn("pe", round(
+        ((col("a") + col("b")) * (col("a") + col("c"))
+          + (col("c") + col("d")) * (col("b") + col("d"))).cast("double")
+          / (col("n") * col("n")), 6))
+      .withColumn("kappa",
+        when(den === 0, lit(0.0))
+          .otherwise(round(num.cast("double") / den, 6)))
+  }
+
+  /** Fleiss' κ for r raters × q categories. Input: one row per (item,
+    * category) with the integer count of raters who chose that category
+    * (rows may omit zero cells). P̄ and P̄e come from integer sums:
+    * Σᵢⱼ nᵢⱼ², Σⱼ (Σᵢ nᵢⱼ)² — one partial agg over items plus a bounded
+    * per-category agg; divisions happen once at the edge.
+    */
+  def fleissKappa(counts: DataFrame, itemCol: String, catCol: String,
+                  cntCol: String, raters: Long): DataFrame = {
+    val sums = counts.agg(
+      countDistinct(col(itemCol)).as("n_items"),
+      sum(col(cntCol) * col(cntCol)).as("sq_sum"))
+    val perCat = counts
+      .groupBy(col(catCol))
+      .agg(sum(col(cntCol)).as("cj"))
+      .agg(sum(col("cj") * col("cj")).as("cj_sq_sum"))
+    val r = lit(raters)
+    sums.crossJoin(broadcast(perCat))
+      .select(
+        col("n_items"), r.as("raters"),
+        col("sq_sum"), col("cj_sq_sum"),
+        // P̄ = (Σ n_ij² − n·r) / (n·r·(r−1))
+        round((col("sq_sum") - col("n_items") * r).cast("double")
+          / (col("n_items") * r * (r - 1)), 6).as("p_bar"),
+        // P̄e = Σ_j (c_j / (n·r))² = Σ c_j² / (n·r)²
+        round(col("cj_sq_sum").cast("double")
+          / ((col("n_items") * r) * (col("n_items") * r)), 6).as("pe_bar"))
+      // κ from the ROUNDED P̄/P̄e so selection math is cross-engine stable
+      .withColumn("kappa",
+        when(col("pe_bar") === 1.0, lit(0.0))
+          .otherwise(round((col("p_bar") - col("pe_bar"))
+            / (lit(1.0) - col("pe_bar")), 6)))
+  }
+}

@@ -650,6 +650,75 @@ object AnalyticsQueries {
           round(col("w"), 6).as("w_raw"),
           round(col("w") * col("c") / col("sw"), 6).as("w_norm"))
         .orderBy(col("lang"))
+    }),
+
+    // Split-conformal acceptance threshold per source (Vovk 2005): the
+    // ⌈(n+1)(1−α)⌉-th smallest calibration n_chars guarantees ≥90%
+    // coverage on the exchangeable test half. Rank k is integer-exact;
+    // threshold is a passthrough; coverage divides once at the edge.
+    "q235_conformal" -> ((s, dir) => {
+      // split by the q35 hash bucket, NOT doc_id parity — source is a
+      // function of doc_id in the testdata, so a parity split would give
+      // cal and test disjoint sources (an empty inner join)
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          graft.functions.Splits.hashBucket(col("doc_id"), 100).as("b"))
+      graft.operators.Conformal.splitThreshold(
+        docs.filter(col("b") < 50), docs.filter(col("b") >= 50),
+        "source", "doc_id", "n_chars", 1L, 10L)
+        .orderBy(col("source"))
+    }),
+
+    // McNemar's paired test: do the two langid heuristics (the-rule vs
+    // ascii-ratio rule) have different error rates on the SAME docs?
+    // Discordant counts are integers from one agg; χ²=(b−c)²/(b+c);
+    // p = 2·P(Z>√χ²) via the shared A-S polynomial.
+    "q236_mcnemar" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val truth = col("lang") === "en"
+      val ruleA = lower(col("text")).contains(" the ")
+      val ruleB = length(regexp_replace(col("text"), "[^\\x00-\\x7F]", "")) *
+        20 >= length(col("text")) * 19
+      graft.operators.Agreement.mcnemar(d, ruleA === truth, ruleB === truth)
+    }),
+
+    // Cohen's κ between the same two heuristics treated as independent
+    // annotators: κ = 2(ad−bc)/((a+b)(b+d)+(a+c)(c+d)) — integer
+    // numerator AND denominator, one division at the edge.
+    "q237_cohen_kappa" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val ruleA = lower(col("text")).contains(" the ")
+      val ruleB = length(regexp_replace(col("text"), "[^\\x00-\\x7F]", "")) *
+        20 >= length(col("text")) * 19
+      graft.operators.Agreement.cohenKappa(d, ruleA, ruleB)
+    }),
+
+    // Two-sample energy distance (Székely-Rizzo) between en and non-en
+    // length distributions — exact O(grid) via the adjacent-gap identity
+    // instead of the naive O(n²) pairwise sums; all three sums integer.
+    "q239_energy_distance" -> ((s, dir) =>
+      graft.operators.EnergyDistance.twoSample(
+        Tables.documents(s, dir), "n_chars", col("lang") === "en")),
+
+    // Fleiss' κ across THREE heuristic raters (the-rule, ascii-rule,
+    // length-rule) voting en/other per doc: P̄ and P̄e from the integer
+    // sums Σn_ij², Σc_j² — one corpus agg + one bounded category agg.
+    "q240_fleiss_kappa" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val ruleA = lower(col("text")).contains(" the ")
+      val ruleB = length(regexp_replace(col("text"), "[^\\x00-\\x7F]", "")) *
+        20 >= length(col("text")) * 19
+      val ruleC = col("n_chars") >= 800
+      val votes = d.select(col("doc_id"),
+        (ruleA.cast("long") + ruleB.cast("long") + ruleC.cast("long"))
+          .as("en_cnt"))
+      val counts = votes
+        .select(col("doc_id"), lit("en").as("category"),
+          col("en_cnt").as("cnt"))
+        .unionAll(votes.select(col("doc_id"), lit("other").as("category"),
+          (lit(3L) - col("en_cnt")).as("cnt")))
+      graft.operators.Agreement.fleissKappa(counts, "doc_id", "category",
+        "cnt", 3L)
     })
   )
 
@@ -1500,7 +1569,154 @@ object AnalyticsQueries {
         |t AS (SELECT sum(w) AS sw, CAST(count(*) AS BIGINT) AS c FROM g)
         |SELECT lang, n, round(w, 6) AS w_raw,
         |       round(w * c / sw, 6) AS w_norm
-        |FROM g, t ORDER BY lang""".stripMargin
+        |FROM g, t ORDER BY lang""".stripMargin,
+
+    // k = ceil((n+1)*9/10) in pure integer arithmetic; threshold is the
+    // k-th order statistic (NULL = +inf when the calibration half is too
+    // small for the level, and then every test row is covered)
+    "q235_conformal" ->
+      """WITH lb AS (SELECT source, doc_id, n_chars,
+        |                    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
+        |             FROM documents),
+        |cal AS (SELECT source, doc_id, n_chars FROM lb WHERE b < 50),
+        |tst AS (SELECT source, doc_id, n_chars FROM lb WHERE b >= 50),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_cal,
+        |              CAST(((count(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+        |       FROM cal GROUP BY 1),
+        |rk AS (SELECT source, n_chars,
+        |              row_number() OVER (PARTITION BY source
+        |                                 ORDER BY n_chars, doc_id) AS rn
+        |       FROM cal),
+        |thr AS (SELECT sz.source, sz.n_cal, sz.k, rk.n_chars AS threshold
+        |        FROM sz LEFT JOIN rk ON rk.source = sz.source AND rk.rn = sz.k)
+        |SELECT t.source, max(th.n_cal) AS n_cal, max(th.k) AS k,
+        |       CAST(max(th.threshold) AS BIGINT) AS threshold,
+        |       CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST(sum(CASE WHEN th.threshold IS NULL
+        |                       OR t.n_chars <= th.threshold
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |       round(CAST(sum(CASE WHEN th.threshold IS NULL
+        |                             OR t.n_chars <= th.threshold
+        |                           THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 4) AS coverage
+        |FROM tst t JOIN thr th ON th.source = t.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the two heuristics and the A-S tail rendered with the q212 shapes;
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all default
+    "q236_mcnemar" ->
+      """WITH r AS (
+        |  SELECT (lang = 'en') AS truth,
+        |         contains(lower(text), ' the ') AS ra,
+        |         length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) * 20
+        |           >= length(text) * 19 AS rb
+        |  FROM documents),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN (ra = truth) AND (rb = truth) THEN 1 ELSE 0 END) AS BIGINT) AS both_ok,
+        |         CAST(sum(CASE WHEN (ra = truth) AND NOT (rb = truth) THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+        |         CAST(sum(CASE WHEN NOT (ra = truth) AND (rb = truth) THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+        |         CAST(sum(CASE WHEN NOT (ra = truth) AND NOT (rb = truth) THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+        |  FROM r),
+        |c AS (SELECT *, CASE WHEN a_only + b_only = 0 THEN 0.0
+        |                     ELSE CAST((a_only - b_only) * (a_only - b_only) AS DOUBLE)
+        |                          / (a_only + b_only) END AS chi2raw
+        |      FROM g),
+        |z AS (SELECT *, sqrt(chi2raw) AS zz,
+        |             1.0 / (1.0 + 0.2316419 * sqrt(chi2raw)) AS tt FROM c)
+        |SELECT n, both_ok, a_only, b_only, both_wrong,
+        |       round(chi2raw, 6) AS chi2,
+        |       CASE WHEN a_only + b_only = 0 THEN 1.0
+        |            ELSE round(2.0 * (exp(-zz * zz / 2.0) / 2.5066282746310002
+        |              * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
+        |                 + tt * (-1.821255978 + tt * 1.330274429)))))), 6) END AS p
+        |FROM z""".stripMargin,
+
+    "q237_cohen_kappa" ->
+      """WITH r AS (
+        |  SELECT contains(lower(text), ' the ') AS ra,
+        |         length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) * 20
+        |           >= length(text) * 19 AS rb
+        |  FROM documents),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |         CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM r)
+        |SELECT n, a, b, c, d,
+        |       round(CAST(a + d AS DOUBLE) / n, 6) AS po,
+        |       round(CAST((a + b) * (a + c) + (c + d) * (b + d) AS DOUBLE)
+        |             / (n * n), 6) AS pe,
+        |       CASE WHEN (a + b) * (b + d) + (a + c) * (c + d) = 0 THEN 0.0
+        |            ELSE round(CAST(2 * (a * d - b * c) AS DOUBLE)
+        |                       / ((a + b) * (b + d) + (a + c) * (c + d)), 6)
+        |            END AS kappa
+        |FROM g""".stripMargin,
+
+    // adjacent-gap identity over the distinct-value grid — every pair
+    // straddling gap t contributes gap once: Nleft(t) * Nright(t)
+    "q239_energy_distance" ->
+      """WITH grid AS (
+        |  SELECT n_chars AS v,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cy
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT v, cx, cy,
+        |         sum(cx) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lx,
+        |         sum(cy) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ly,
+        |         sum(cx) OVER () AS nx, sum(cy) OVER () AS ny,
+        |         lead(v) OVER (ORDER BY v) - v AS gap
+        |  FROM grid),
+        |s AS (
+        |  SELECT CAST(max(nx) AS BIGINT) AS n_x, CAST(max(ny) AS BIGINT) AS n_y,
+        |         CAST(sum(gap * lx * (nx - lx)) AS BIGINT) AS s_xx,
+        |         CAST(sum(gap * ly * (ny - ly)) AS BIGINT) AS s_yy,
+        |         CAST(sum(gap * (lx + ly) * (nx + ny - lx - ly)) AS BIGINT) AS s_comb
+        |  FROM c WHERE gap IS NOT NULL)
+        |SELECT n_x, n_y, s_xx, s_yy, s_comb - s_xx - s_yy AS s_xy,
+        |       round(CAST(s_comb - s_xx - s_yy AS DOUBLE) / (n_x * n_y), 6) AS e_xy,
+        |       round(2.0 * s_xx / (n_x * n_x), 6) AS e_xx,
+        |       round(2.0 * s_yy / (n_y * n_y), 6) AS e_yy,
+        |       round(2.0 * (s_comb - s_xx - s_yy) / (n_x * n_y)
+        |             - 2.0 * s_xx / (n_x * n_x)
+        |             - 2.0 * s_yy / (n_y * n_y), 6) AS d2
+        |FROM s""".stripMargin,
+
+    // κ from the ROUNDED P̄/P̄e (the ladder rule: round before compare)
+    "q240_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN contains(lower(text), ' the ') THEN 1 ELSE 0 END
+        |          + CASE WHEN length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) * 20
+        |                      >= length(text) * 19 THEN 1 ELSE 0 END
+        |          + CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END)::BIGINT AS en_cnt
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, 'en' AS category, en_cnt AS cnt FROM r
+        |  UNION ALL
+        |  SELECT doc_id, 'other' AS category, 3 - en_cnt AS cnt FROM r),
+        |sums AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items,
+        |         CAST(sum(cnt * cnt) AS BIGINT) AS sq_sum
+        |  FROM counts),
+        |pc AS (
+        |  SELECT CAST(sum(cj * cj) AS BIGINT) AS cj_sq_sum
+        |  FROM (SELECT category, sum(cnt) AS cj FROM counts GROUP BY 1)),
+        |k AS (
+        |  SELECT n_items, 3::BIGINT AS raters, sq_sum, cj_sq_sum,
+        |         round(CAST(sq_sum - n_items * 3 AS DOUBLE)
+        |               / (n_items * 3 * 2), 6) AS p_bar,
+        |         round(CAST(cj_sq_sum AS DOUBLE)
+        |               / ((n_items * 3) * (n_items * 3)), 6) AS pe_bar
+        |  FROM sums, pc)
+        |SELECT n_items, raters, sq_sum, cj_sq_sum, p_bar, pe_bar,
+        |       CASE WHEN pe_bar = 1.0 THEN 0.0
+        |            ELSE round((p_bar - pe_bar) / (1.0 - pe_bar), 6) END AS kappa
+        |FROM k""".stripMargin
   )
 
   /** The q215 oracle with the SPRT constants rendered from the SAME

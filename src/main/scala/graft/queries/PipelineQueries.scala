@@ -155,6 +155,26 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // Newman modularity of q91's label-prop communities over the same
+    // near-dup graph — the quality audit run AFTER community detection.
+    // Unlabeled nodes stay singleton communities ('n#'||node) so the
+    // score never credits the accidental "everything unlabeled" blob.
+    // Q reduces to two INTEGER sums (E_in, Σd_c²); division at the edge.
+    "q238_modularity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val edges = MinHashLsh.candidatePairs(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val seeds = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("source"))
+      val comm = graft.operators.GraphOps.labelPropagate(edges, "doc_a",
+          "doc_b", seeds, "doc_id", "source", 2)
+        .select(col("node"),
+          coalesce(col("lbl"), concat(lit("n#"), col("node"))).as("comm"))
+      graft.operators.Modularity.partitionQuality(
+        edges.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b",
+        comm, "node", "comm")
+    }),
+
     // Keep-best dedup: elect each duplicate cluster's most complete
     // member (max n_chars, tie → min doc_id) via one partial-agg
     // max(struct) — the curation end-step after q36's clustering.
@@ -532,6 +552,65 @@ object PipelineQueries {
          |SELECT node, coalesce(lbl, 'unlabeled') AS lbl,
          |       CAST(is_seed AS BIGINT) AS is_seed
          |FROM l2 ORDER BY node""".stripMargin,
+
+    // q91's propagation CTEs verbatim + the modularity tail: Q from the
+    // two integer sums, one float expression at the edge
+    "q238_modularity" ->
+      s"""WITH ${DedupQueries.minhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  WHERE list_sum(list_transform(generate_series(1, 12),
+         |          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) >= 6
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), n AS (SELECT DISTINCT src AS node FROM edges),
+         |l0 AS (
+         |  SELECT n.node, CASE WHEN n.node % 5 = 0 THEN d.source END AS lbl,
+         |         n.node % 5 = 0 AS is_seed
+         |  FROM n JOIN documents d ON d.doc_id = n.node),
+         |v1 AS (SELECT e.src, l.lbl, count(*) AS c FROM edges e
+         |       JOIN l0 l ON l.node = e.dst WHERE l.lbl IS NOT NULL
+         |       GROUP BY e.src, l.lbl),
+         |b1 AS (SELECT src, lbl FROM (
+         |         SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+         |         FROM v1) WHERE rn = 1),
+         |l1 AS (SELECT l0.node,
+         |              CASE WHEN l0.is_seed THEN l0.lbl ELSE coalesce(b1.lbl, l0.lbl) END AS lbl,
+         |              l0.is_seed
+         |       FROM l0 LEFT JOIN b1 ON b1.src = l0.node),
+         |v2 AS (SELECT e.src, l.lbl, count(*) AS c FROM edges e
+         |       JOIN l1 l ON l.node = e.dst WHERE l.lbl IS NOT NULL
+         |       GROUP BY e.src, l.lbl),
+         |b2 AS (SELECT src, lbl FROM (
+         |         SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+         |         FROM v2) WHERE rn = 1),
+         |l2 AS (SELECT l1.node,
+         |              CASE WHEN l1.is_seed THEN l1.lbl ELSE coalesce(b2.lbl, l1.lbl) END AS lbl,
+         |              l1.is_seed
+         |       FROM l1 LEFT JOIN b2 ON b2.src = l1.node),
+         |comm AS (SELECT node, coalesce(lbl, 'n#' || node) AS c FROM l2),
+         |tag AS (SELECT p.doc_a, p.doc_b, ca.c AS ca, cb.c AS cb
+         |        FROM pairs p JOIN comm ca ON ca.node = p.doc_a
+         |                     JOIN comm cb ON cb.node = p.doc_b),
+         |es AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |              CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS e_in
+         |       FROM tag),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+         |        (SELECT doc_a AS node FROM pairs
+         |         UNION ALL SELECT doc_b AS node FROM pairs) GROUP BY 1),
+         |dc AS (SELECT c.c, sum(d.deg) AS d_c
+         |       FROM deg d JOIN comm c ON c.node = d.node GROUP BY 1),
+         |d2t AS (SELECT CAST(count(*) AS BIGINT) AS n_comm,
+         |               CAST(sum(d_c * d_c) AS BIGINT) AS d2 FROM dc),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+         |SELECT m, n_nodes, n_comm, e_in, d2,
+         |       round(CAST(e_in AS DOUBLE) / m
+         |             - CAST(d2 AS DOUBLE) / (4.0 * m * m), 6) AS q
+         |FROM es, nn, d2t""".stripMargin,
 
     "q89_cluster_rep" ->
       s"""WITH RECURSIVE ${DedupQueries.minhashCtes},

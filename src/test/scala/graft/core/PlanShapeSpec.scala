@@ -318,6 +318,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(ns) <= 2)
   }
 
+  test("q239_energy_distance: O(grid) gap identity — zero joins, no pair enumeration") {
+    val ns = nodes("q239_energy_distance")
+    assert(count(ns) { case _: BaseJoinExec => () } == 0,
+      "the naive O(n^2) pairwise sum would appear as a self-join")
+    assert(quadratic(ns) == 0)
+    // (value) grid agg + the single-partition bounded-grid window
+    assert(shuffles(ns) <= 2)
+  }
+
+  test("q238_modularity: label joins are equi-joins, Q from two integer aggs") {
+    val ns = nodes("q238_modularity")
+    assert(count(ns) { case _: CartesianProductExec => () } == 0,
+      "nothing may enumerate node pairs")
+    // the only BNLJ nodes are the 1-row total attachments (n_nodes, d2)
+    assert(count(ns) { case _: BroadcastNestedLoopJoinExec => () } <= 2)
+    assert(count(ns) { case _: SortMergeJoinExec => () } +
+      count(ns) { case _: BroadcastHashJoinExec => () } +
+      count(ns) { case _: ShuffledHashJoinExec => () } >= 2,
+      "community tags must reach the edges via node-keyed equi-joins")
+  }
+
   test("q221_trending_mg: guarantee semi-join is an equi-join, no pair enumeration") {
     val ns = nodes("q221_trending_mg")
     assert(quadratic(ns) == 0)
