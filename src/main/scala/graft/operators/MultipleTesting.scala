@@ -68,6 +68,38 @@ object MultipleTesting {
         (col("kmax").isNotNull && col("i") <= col("kmax")).as("rejected"))
   }
 
+  /** Φ(t) from the same A-S tail, valid for either sign. */
+  def normalCdf(t: Column): Column =
+    when(t >= 0, lit(1.0) - normalSf(t)).otherwise(normalSf(-t))
+
+  /** Post-hoc power + minimum detectable effect for a two-proportion
+    * test at two-sided α=0.05 and 80% target power: power ≈
+    * Φ(d−z₀.₉₇₅) + Φ(−d−z₀.₉₇₅) with d = |p̂₁−p̂₂|/se (unpooled se), and
+    * MDE₈₀ = (z₀.₉₇₅+z₀.₈)·se — the "was this A/B even able to see the
+    * effect we care about" sizing check. One partial agg to four
+    * integers; z quantiles are shared decimal literals; the tail reuses
+    * [[normalSf]] so both engines evaluate the identical shape.
+    */
+  def twoPropPower(df: DataFrame, grpCol: String, hitCol: String): DataFrame = {
+    val g = df.agg(
+      sum(when(col(grpCol) === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col(grpCol) === 0 && col(hitCol) === 1, 1L).otherwise(0L)).as("k1"),
+      sum(when(col(grpCol) =!= 0, 1L).otherwise(0L)).as("n2"),
+      sum(when(col(grpCol) =!= 0 && col(hitCol) === 1, 1L).otherwise(0L)).as("k2"))
+    val p1 = col("k1").cast("double") / col("n1")
+    val p2 = col("k2").cast("double") / col("n2")
+    val se = sqrt(p1 * (lit(1.0) - p1) / col("n1")
+      + p2 * (lit(1.0) - p2) / col("n2"))
+    val z975 = lit(1.959963984540054)
+    val z80 = lit(0.8416212335729143)
+    val d = abs(p1 - p2) / se
+    g.select(col("n1"), col("k1"), col("n2"), col("k2"),
+      round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+      round(se, 6).as("se"),
+      round(normalCdf(d - z975) + normalCdf(-d - z975), 6).as("power"),
+      round((z975 + z80) * se, 6).as("mde80"))
+  }
+
   /** Cochran-Armitage trend test across ordered dose levels 0..D with
     * integer weights w_i = i: z = Σw_i(k_i − n_i·p̄) /
     * sqrt(p̄(1−p̄)(Σw_i²n_i − (Σw_i n_i)²/N)). All sufficient statistics

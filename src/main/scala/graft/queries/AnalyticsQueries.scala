@@ -719,7 +719,62 @@ object AnalyticsQueries {
           (lit(3L) - col("en_cnt")).as("cnt")))
       graft.operators.Agreement.fleissKappa(counts, "doc_id", "category",
         "cnt", 3L)
-    })
+    }),
+
+    // Neyman allocation of a 100-doc labeling budget across sources:
+    // n_h ∝ N_h·S_h with integer micro-weights and a pure-integer
+    // largest-remainder rounding — no float sum over strata anywhere.
+    "q241_neyman_alloc" -> ((s, dir) =>
+      graft.operators.Allocation.neyman(
+        Tables.documents(s, dir), "source", "n_chars", 100L)
+        .orderBy(col("source"))),
+
+    // Information gain of five cheap heuristics about lang='en' — the
+    // feature-audit before wiring rules into a curation funnel. One 2×2
+    // integer row per feature; all entropy math in-row.
+    "q242_info_gain" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.operators.InfoGain.binaryGain(d, Seq(
+        "the_rule" -> lower(col("text")).contains(" the "),
+        "ascii_rule" -> (length(regexp_replace(col("text"),
+          "[^\\x00-\\x7F]", "")) * 20 >= length(col("text")) * 19),
+        "len800" -> (col("n_chars") >= 800),
+        "http_rule" -> col("text").contains("http"),
+        "de_rule" -> lower(col("text")).contains(" de ")),
+        col("lang") === "en")
+    }),
+
+    // Delete-one-source jackknife influence on the corpus en-share:
+    // which crawl moves the headline number. Integer totals broadcast;
+    // every leave-one-out estimate computed in-row.
+    "q243_jackknife_source" -> ((s, dir) =>
+      graft.operators.Jackknife.deleteOneGroup(
+        Tables.documents(s, dir), "source", col("lang") === "en")),
+
+    // CUPED variance reduction: per-user pre-period activity (before the
+    // corpus midpoint) as covariate for post-period activity. θ and ρ²
+    // from six integer sums; squares taken in the double domain.
+    "q244_cuped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(unix_micros(col("ts")).as("us"),
+        col("user_id"))
+      val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .selectExpr("(mn + mx) div 2 AS mid")
+      val perUser = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("x"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("y"))
+      graft.operators.Cuped.adjustmentStats(perUser, "x", "y")
+    }),
+
+    // Post-hoc power + MDE of the user_id%2 A/B on click rate — the
+    // "could this experiment even see the lift" sizing check. Four
+    // integers, shared z-quantile literals, the A-S tail both ways.
+    "q245_power_calc" -> ((s, dir) =>
+      graft.operators.MultipleTesting.twoPropPower(
+        Tables.events(s, dir)
+          .select(pmod(col("user_id"), lit(2)).cast("long").as("grp"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("hit")),
+        "grp", "hit"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1685,6 +1740,134 @@ object AnalyticsQueries {
         |             - 2.0 * s_xx / (n_x * n_x)
         |             - 2.0 * s_yy / (n_y * n_y), 6) AS d2
         |FROM s""".stripMargin,
+
+    // integer micro-weights then pure-integer largest-remainder rounding
+    "q241_neyman_alloc" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(n_chars) AS BIGINT) AS sx,
+        |                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, n,
+        |             CAST(round(n * (CASE WHEN n > 1
+        |                 THEN sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+        |                           / (n - 1))
+        |                 ELSE 0.0 END) * 1e6, 0) AS BIGINT) AS w_int
+        |      FROM g),
+        |t AS (SELECT CAST(sum(w_int) AS BIGINT) AS w_tot FROM w),
+        |q AS (SELECT source, n, w_int,
+        |             CAST((100 * w_int) // w_tot AS BIGINT) AS floor_alloc,
+        |             CAST((100 * w_int) % w_tot AS BIGINT) AS rem
+        |      FROM w, t),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rrank,
+        |             CAST(100 - sum(floor_alloc) OVER () AS BIGINT) AS leftover
+        |      FROM q)
+        |SELECT source, n, w_int, floor_alloc, rem,
+        |       CAST(floor_alloc + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+        |FROM r ORDER BY source""".stripMargin,
+
+    // per-feature 2x2 integer cells; all entropy terms in fixed order
+    "q242_info_gain" ->
+      """WITH f AS (
+        |  SELECT 'the_rule' AS feature, contains(lower(text), ' the ') AS f, (lang = 'en') AS y FROM documents
+        |  UNION ALL
+        |  SELECT 'ascii_rule', length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) * 20 >= length(text) * 19, (lang = 'en') FROM documents
+        |  UNION ALL
+        |  SELECT 'len800', n_chars >= 800, (lang = 'en') FROM documents
+        |  UNION ALL
+        |  SELECT 'http_rule', contains(text, 'http'), (lang = 'en') FROM documents
+        |  UNION ALL
+        |  SELECT 'de_rule', contains(lower(text), ' de '), (lang = 'en') FROM documents),
+        |cc AS (SELECT feature,
+        |              CAST(sum(CASE WHEN f AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |              CAST(sum(CASE WHEN f AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |              CAST(sum(CASE WHEN NOT f AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |              CAST(sum(CASE WHEN NOT f AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |       FROM f GROUP BY 1),
+        |e AS (SELECT *, a + b + c + d AS n, a + b AS nf, c + d AS nn FROM cc),
+        |h AS (SELECT *,
+        |        CASE WHEN a + c > 0 THEN -(CAST(a + c AS DOUBLE) / n) * ln(CAST(a + c AS DOUBLE) / n) ELSE 0.0 END
+        |      + CASE WHEN b + d > 0 THEN -(CAST(b + d AS DOUBLE) / n) * ln(CAST(b + d AS DOUBLE) / n) ELSE 0.0 END AS hy,
+        |        CASE WHEN nf > 0 THEN (CAST(nf AS DOUBLE) / n)
+        |          * (CASE WHEN a > 0 THEN -(CAST(a AS DOUBLE) / nf) * ln(CAST(a AS DOUBLE) / nf) ELSE 0.0 END
+        |           + CASE WHEN b > 0 THEN -(CAST(b AS DOUBLE) / nf) * ln(CAST(b AS DOUBLE) / nf) ELSE 0.0 END)
+        |          ELSE 0.0 END
+        |      + CASE WHEN nn > 0 THEN (CAST(nn AS DOUBLE) / n)
+        |          * (CASE WHEN c > 0 THEN -(CAST(c AS DOUBLE) / nn) * ln(CAST(c AS DOUBLE) / nn) ELSE 0.0 END
+        |           + CASE WHEN d > 0 THEN -(CAST(d AS DOUBLE) / nn) * ln(CAST(d AS DOUBLE) / nn) ELSE 0.0 END)
+        |          ELSE 0.0 END AS hcond
+        |      FROM e)
+        |SELECT feature, a, b, c, d, round(hy, 6) AS h_label,
+        |       round(hy - hcond, 6) AS info_gain
+        |FROM h ORDER BY feature""".stripMargin,
+
+    "q243_jackknife_source" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+        |                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k_h
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_h) AS BIGINT) AS nn, CAST(sum(k_h) AS BIGINT) AS kk FROM g)
+        |SELECT source, n_h, k_h,
+        |       round(CAST(kk AS DOUBLE) / nn, 6) AS theta,
+        |       CASE WHEN nn > n_h THEN round(CAST(kk - k_h AS DOUBLE) / (nn - n_h), 6) END AS theta_del,
+        |       CASE WHEN nn > n_h THEN round(CAST(kk AS DOUBLE) / nn
+        |                                     - CAST(kk - k_h AS DOUBLE) / (nn - n_h), 6) END AS influence
+        |FROM g, t ORDER BY source""".stripMargin,
+
+    // six integer sums; rho2 squared in the double domain (the gate's
+    // overflow guard), identical products -> identical doubles
+    "q244_cuped" ->
+      """WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+        |u AS (SELECT user_id,
+        |             CAST(sum(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |             CAST(sum(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |      FROM events, b GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx,
+        |             CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM u)
+        |SELECT n, sx, sy, sxy, sxx, syy,
+        |       CASE WHEN n * sxx - sx * sx > 0
+        |            THEN round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) END AS theta,
+        |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |            THEN round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        |                       / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |            END AS rho2
+        |FROM s""".stripMargin,
+
+    // the A-S tail both ways (Φ via 1−SF / SF with abs: bit-equal to the
+    // gate's sign-flip form); z quantiles as shared decimal literals
+    "q245_power_calc" ->
+      """WITH e AS (SELECT user_id % 2 AS grp,
+        |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS hit
+        |           FROM events),
+        |g AS (SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |             CAST(sum(CASE WHEN grp = 0 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |             CAST(sum(CASE WHEN grp <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |             CAST(sum(CASE WHEN grp <> 0 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+        |      FROM e),
+        |x AS (SELECT *, CAST(k1 AS DOUBLE) / n1 AS p1d, CAST(k2 AS DOUBLE) / n2 AS p2d FROM g),
+        |y AS (SELECT *, sqrt(p1d * (1.0 - p1d) / n1 + p2d * (1.0 - p2d) / n2) AS se FROM x),
+        |z AS (SELECT *, abs(p1d - p2d) / se - 1.959963984540054 AS t1,
+        |             -(abs(p1d - p2d) / se) - 1.959963984540054 AS t2
+        |      FROM y),
+        |w AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(t1)) AS u1,
+        |             1.0 / (1.0 + 0.2316419 * abs(t2)) AS u2
+        |      FROM z),
+        |v AS (SELECT *,
+        |        exp(-t1 * t1 / 2.0) / 2.5066282746310002
+        |          * (u1 * (0.319381530 + u1 * (-0.356563782 + u1 * (1.781477937
+        |             + u1 * (-1.821255978 + u1 * 1.330274429))))) AS sf1,
+        |        exp(-t2 * t2 / 2.0) / 2.5066282746310002
+        |          * (u2 * (0.319381530 + u2 * (-0.356563782 + u2 * (1.781477937
+        |             + u2 * (-1.821255978 + u2 * 1.330274429))))) AS sf2
+        |      FROM w)
+        |SELECT n1, k1, n2, k2, round(p1d, 6) AS p1, round(p2d, 6) AS p2,
+        |       round(se, 6) AS se,
+        |       round((CASE WHEN t1 >= 0 THEN 1.0 - sf1 ELSE sf1 END)
+        |             + (CASE WHEN t2 >= 0 THEN 1.0 - sf2 ELSE sf2 END), 6) AS power,
+        |       round((1.959963984540054 + 0.8416212335729143) * se, 6) AS mde80
+        |FROM v""".stripMargin,
 
     // κ from the ROUNDED P̄/P̄e (the ladder rule: round before compare)
     "q240_fleiss_kappa" ->

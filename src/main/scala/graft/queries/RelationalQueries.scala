@@ -411,6 +411,37 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Bloom-filter FPR calibration on the q101 mask: empirical false-
+    // positive rate among true NON-members vs the theoretical
+    // (1−e^{−kn/m})^k — the check run before sizing a semi-join filter
+    // at scale. Counts are integers; the no-false-negative witness
+    // (n_member_pass == n_members) rides along in the same row.
+    "q246_bloom_fpr" -> ((s, dir) => {
+      import graft.functions.BloomFilter
+      val hot = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 495000).select(col("o_custkey"))
+      val probed = BloomFilter.filterColumn(
+        hot, "o_custkey", Tables.customer(s, dir), "c_custkey")
+      val truth = hot.distinct().withColumn("is_true", lit(1L))
+      val j = probed.join(broadcast(truth),
+        probed("c_custkey") === truth("o_custkey"), "left")
+      val agg = j.agg(
+        sum(when(col("is_true").isNotNull, 1L).otherwise(0L)).as("n_members"),
+        sum(when(col("is_true").isNotNull && col("might_contain"), 1L)
+          .otherwise(0L)).as("n_member_pass"),
+        sum(when(col("is_true").isNull, 1L).otherwise(0L)).as("n_nonmembers"),
+        sum(when(col("is_true").isNull && col("might_contain"), 1L)
+          .otherwise(0L)).as("n_fp"))
+      val k = truth.agg(count(lit(1)).as("n_keys"))
+      agg.crossJoin(broadcast(k))
+        .select(col("n_keys"), col("n_members"), col("n_member_pass"),
+          col("n_nonmembers"), col("n_fp"),
+          round(col("n_fp").cast("double") / col("n_nonmembers"), 6)
+            .as("fpr_emp"),
+          round(pow(lit(1.0) - exp(lit(-4.0) * col("n_keys") / lit(1024.0)),
+            lit(4.0)), 6).as("fpr_theory"))
+    }),
+
     // Per-type OLS trend of event value over time — the q79 discipline
     // (EXACT integer sufficient statistics, double formula only at the
     // end): x = whole seconds since the corpus start (integer division,
@@ -890,6 +921,33 @@ object RelationalQueries {
         |       CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM hv) THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
         |       CAST(sum(mc) - sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM hv) THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
         |FROM pv GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // q101's mask CTEs + the single-row FPR calibration tail
+    "q246_bloom_fpr" ->
+      """WITH hv AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 495000),
+        |i AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |bits AS (SELECT DISTINCT
+        |           CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||'|'||CAST(o_custkey AS VARCHAR)),1,15)) AS BIGINT)
+        |           % 2147483647 % 1024 AS pos
+        |         FROM hv, i),
+        |pp AS (SELECT c_custkey,
+        |           CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||'|'||CAST(c_custkey AS VARCHAR)),1,15)) AS BIGINT)
+        |           % 2147483647 % 1024 AS pos
+        |        FROM customer, i),
+        |pv AS (SELECT c_custkey,
+        |              min(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 ELSE 0 END) AS mc
+        |       FROM pp GROUP BY c_custkey),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM hv),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM hv) THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+        |  CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM hv) AND mc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_member_pass,
+        |  CAST(sum(CASE WHEN c_custkey NOT IN (SELECT o_custkey FROM hv) THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmembers,
+        |  CAST(sum(CASE WHEN c_custkey NOT IN (SELECT o_custkey FROM hv) AND mc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+        | FROM pv)
+        |SELECT n_keys, n_members, n_member_pass, n_nonmembers, n_fp,
+        |       round(CAST(n_fp AS DOUBLE) / n_nonmembers, 6) AS fpr_emp,
+        |       round(pow(1.0 - exp(-4.0 * n_keys / 1024.0), 4.0), 6) AS fpr_theory
+        |FROM a, k""".stripMargin,
 
     "q111_ols_trend" ->
       """WITH m AS (SELECT min(epoch_us(ts)) AS t0 FROM events WHERE value IS NOT NULL),

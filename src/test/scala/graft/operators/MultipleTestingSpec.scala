@@ -54,4 +54,22 @@ class MultipleTestingSpec extends SparkSpec {
       .collect().head.getAs[Double]("z_trend")
     assert(math.abs(z0) < 1e-9)
   }
+
+  test("twoPropPower: no effect gives alpha-level power; a huge effect gives ~1") {
+    // identical 30% rates -> d = 0 -> power = Phi(-1.96)+Phi(-1.96) = 0.05
+    val none = (1 to 1000).map(i => (i % 2, if ((i / 2) % 10 < 3) 1 else 0))
+    val r0 = MultipleTesting.twoPropPower(none.toDF("grp", "hit"), "grp", "hit")
+      .collect().head
+    assert(math.abs(r0.getAs[Double]("power") - 0.05) < 1e-3)
+    // 10% vs 90% at n=500/arm is essentially always detected
+    val huge = (1 to 1000).map { i =>
+      val g = i % 2
+      (g, if (g == 0) (if (i % 10 == 0) 1 else 0) else (if (i % 10 != 0) 1 else 0))
+    }
+    val r1 = MultipleTesting.twoPropPower(huge.toDF("grp", "hit"), "grp", "hit")
+      .collect().head
+    assert(r1.getAs[Double]("power") > 0.9999)
+    // MDE shrinks as the sample grows
+    assert(r1.getAs[Double]("mde80") > 0.0)
+  }
 }
