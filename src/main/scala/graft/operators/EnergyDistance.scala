@@ -64,4 +64,35 @@ object EnergyDistance {
           - lit(2.0) * col("s_xx") / (col("n_x") * col("n_x"))
           - lit(2.0) * col("s_yy") / (col("n_y") * col("n_y")), 6).as("d2"))
   }
+
+  /** Cliff's delta ordinal effect size (Cliff 1993): δ = (#(x>y) −
+    * #(x<y)) / (n_x·n_y), the assumption-free "how often does X beat Y"
+    * companion to Mann-Whitney. Same distinct-value-grid machinery as
+    * [[twoSample]]: per grid value v, #(x>v) = n_x − cum_x(≤v) and
+    * #(x<v) = cum_x(≤v) − c_x(v), each weighted by c_y(v) — INTEGER
+    * throughout, one division at the edge.
+    */
+  def cliffsDelta(df: DataFrame, valueCol: String,
+                  inX: org.apache.spark.sql.Column): DataFrame = {
+    val grid = df
+      .select(col(valueCol).cast("long").as("v"),
+        when(inX, 1L).otherwise(0L).as("cx"),
+        when(inX, 0L).otherwise(1L).as("cy"))
+      .groupBy(col("v"))
+      .agg(sum(col("cx")).as("cx"), sum(col("cy")).as("cy"))
+    val ord = Window.orderBy(col("v"))
+    val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("lx", sum(col("cx")).over(cumW))
+      .withColumn("nx", sum(col("cx")).over(allW))
+      .withColumn("ny", sum(col("cy")).over(allW))
+      .agg(max(col("nx")).as("n_x"), max(col("ny")).as("n_y"),
+        sum(col("cy") * (col("nx") - col("lx"))).as("gt"),
+        sum(col("cy") * (col("lx") - col("cx"))).as("lt"),
+        sum(col("cy") * col("cx")).as("ties"))
+      .select(col("n_x"), col("n_y"), col("gt"), col("lt"), col("ties"),
+        round((col("gt") - col("lt")).cast("double")
+          / (col("n_x") * col("n_y")), 6).as("delta"))
+  }
 }

@@ -100,6 +100,72 @@ object MultipleTesting {
       round((z975 + z80) * se, 6).as("mde80"))
   }
 
+  /** One-sided upper-tail p for a SIGNED z: P(Z > z) = normalSf(z) for
+    * z ≥ 0 and 1 − normalSf(−z) below.
+    */
+  def normalSfSigned(z: Column): Column =
+    when(z >= 0, normalSf(z)).otherwise(lit(1.0) - normalSf(-z))
+
+  /** TOST equivalence test (Schuirmann 1987) on a two-proportion A/B
+    * with margin ±`margin`: both one-sided tests must reject, so
+    * p_tost = max(P(Z > (d+margin)/se rejected low), P(Z > (margin−d)/se
+    * rejected high)). Equivalence is claimed when the ROUNDED p_tost ≤ α
+    * (round-before-compare). Same four integers as [[twoPropPower]].
+    */
+  def tostEquivalence(df: DataFrame, grpCol: String, hitCol: String,
+                      margin: Double, alpha: Double): DataFrame = {
+    val g = df.agg(
+      sum(when(col(grpCol) === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col(grpCol) === 0 && col(hitCol) === 1, 1L).otherwise(0L)).as("k1"),
+      sum(when(col(grpCol) =!= 0, 1L).otherwise(0L)).as("n2"),
+      sum(when(col(grpCol) =!= 0 && col(hitCol) === 1, 1L).otherwise(0L)).as("k2"))
+    val p1 = col("k1").cast("double") / col("n1")
+    val p2 = col("k2").cast("double") / col("n2")
+    val d = p1 - p2
+    val se = sqrt(p1 * (lit(1.0) - p1) / col("n1")
+      + p2 * (lit(1.0) - p2) / col("n2"))
+    val pLow = normalSfSigned((d + lit(margin)) / se)   // H0: d <= -margin
+    val pHigh = normalSfSigned((lit(margin) - d) / se)  // H0: d >= +margin
+    val pTost = round(greatest(pLow, pHigh), 6)
+    g.select(col("n1"), col("k1"), col("n2"), col("k2"),
+      round(d, 6).as("d"), round(se, 6).as("se"),
+      pTost.as("p_tost"), (pTost <= alpha).as("equivalent"))
+  }
+
+  /** Holm-Bonferroni step-down over the same per-group z family as
+    * [[bhFdr]]: reject while p_(i) ≤ α/(m−i+1), stop at the first
+    * failure. Selection happens on 6dp-rounded values on both sides.
+    */
+  def holm(df: DataFrame, grpCol: String, hitCol: String,
+           alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n"), sum(col(hitCol)).cast("long").as("k"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("k")).as("kk"))
+    val z = g.crossJoin(broadcast(tot))
+      .withColumn("n_rest", col("nn") - col("n"))
+      .withColumn("k_rest", col("kk") - col("k"))
+      .withColumn("_pp", col("kk").cast("double") / col("nn"))
+      .withColumn("z",
+        when(col("_pp") > 0 && col("_pp") < 1 && col("n_rest") > 0,
+          (col("k").cast("double") / col("n")
+            - col("k_rest").cast("double") / col("n_rest"))
+            / sqrt(col("_pp") * (lit(1.0) - col("_pp"))
+              * (lit(1.0) / col("n") + lit(1.0) / col("n_rest")))))
+      .withColumn("p", round(lit(2.0) * normalSf(abs(col("z"))), 6))
+    val m = Window.orderBy(col("p"), col(grpCol))
+    val ranked = z.withColumn("i", row_number().over(m).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("holm_cut", round(lit(alpha) / (col("m") - col("i") + 1), 6))
+      .withColumn("under", col("p") <= col("holm_cut"))
+    val firstFail = ranked.agg(min(when(!col("under"), col("i"))).as("kfail"))
+    ranked.crossJoin(broadcast(firstFail))
+      .select(col(grpCol), col("n"), col("k"), round(col("z"), 4).as("z"),
+        col("p"), col("i").as("p_rank"), col("holm_cut"),
+        (col("kfail").isNull || col("i") < col("kfail")).as("rejected"))
+  }
+
   /** Cochran-Armitage trend test across ordered dose levels 0..D with
     * integer weights w_i = i: z = Σw_i(k_i − n_i·p̄) /
     * sqrt(p̄(1−p̄)(Σw_i²n_i − (Σw_i n_i)²/N)). All sufficient statistics

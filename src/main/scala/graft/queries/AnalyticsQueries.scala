@@ -774,7 +774,108 @@ object AnalyticsQueries {
         Tables.events(s, dir)
           .select(pmod(col("user_id"), lit(2)).cast("long").as("grp"),
             when(col("event_type") === "click", 1L).otherwise(0L).as("hit")),
-        "grp", "hit"))
+        "grp", "hit")),
+
+    // Pairwise mutual information between the five q242 heuristics — the
+    // rule-REDUNDANCY audit (q242 ranks rules against the label; this
+    // says which rules duplicate each other). 10 bounded pairs via a
+    // doc-keyed self-join of the stacked rules (fan-out 25 per doc);
+    // MI = Σ p·ln(p·n/(rt·ct)) computed IN-ROW from the 2×2 integers.
+    "q247_feature_mi" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val feats = Seq(
+        "the_rule" -> lower(col("text")).contains(" the "),
+        "ascii_rule" -> (length(regexp_replace(col("text"),
+          "[^\\x00-\\x7F]", "")) * 20 >= length(col("text")) * 19),
+        "len800" -> (col("n_chars") >= 800),
+        "http_rule" -> col("text").contains("http"),
+        "de_rule" -> lower(col("text")).contains(" de "))
+      val stacked = feats.map { case (name, f) =>
+        d.select(col("doc_id"), lit(name).as("feature"), f.as("f"))
+      }.reduce(_ unionAll _)
+      val pairs = stacked.select(col("doc_id"), col("feature").as("fa"),
+          col("f").as("va"))
+        .join(stacked.select(col("doc_id"), col("feature").as("fb"),
+          col("f").as("vb")), Seq("doc_id"))
+        .filter(col("fa") < col("fb"))
+      val cells = pairs.groupBy(col("fa"), col("fb")).agg(
+        sum(when(col("va") && col("vb"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("va") && !col("vb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("va") && col("vb"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("va") && !col("vb"), 1L).otherwise(0L)).as("d"))
+      val n = col("a") + col("b") + col("c") + col("d")
+      def term(k: org.apache.spark.sql.Column, rt: org.apache.spark.sql.Column,
+               ct: org.apache.spark.sql.Column) =
+        when(k > 0, (k.cast("double") / n)
+          * log(k.cast("double") * n / (rt * ct))).otherwise(lit(0.0))
+      val mi = term(col("a"), col("a") + col("b"), col("a") + col("c")) +
+        term(col("b"), col("a") + col("b"), col("b") + col("d")) +
+        term(col("c"), col("c") + col("d"), col("a") + col("c")) +
+        term(col("d"), col("c") + col("d"), col("b") + col("d"))
+      cells.select(col("fa"), col("fb"), col("a"), col("b"), col("c"),
+          col("d"), round(mi, 6).as("mi"))
+        .orderBy(col("fa"), col("fb"))
+    }),
+
+    // Cliff's delta ordinal effect size between en and non-en length
+    // distributions — integer GT/LT/tie counts from the same distinct-
+    // value grid as q239, one division at the edge.
+    "q248_cliffs_delta" -> ((s, dir) =>
+      graft.operators.EnergyDistance.cliffsDelta(
+        Tables.documents(s, dir), "n_chars", col("lang") === "en")),
+
+    // TOST equivalence on the user_id%2 click-rate A/B at margin ±0.02:
+    // the "provably no meaningful difference" claim, not just a failed
+    // significance test. Both one-sided A-S tails; round-before-compare.
+    "q249_tost" -> ((s, dir) =>
+      graft.operators.MultipleTesting.tostEquivalence(
+        Tables.events(s, dir)
+          .select(pmod(col("user_id"), lit(2)).cast("long").as("grp"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("hit")),
+        "grp", "hit", margin = 0.02, alpha = 0.05)),
+
+    // Holm-Bonferroni step-down over the q224 per-source z family — the
+    // FWER-controlling sibling of BH-FDR; selection on rounded values.
+    "q250_holm" -> ((s, dir) =>
+      graft.operators.MultipleTesting.holm(
+        Tables.documents(s, dir)
+          .select(col("source"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("hit")),
+        "source", "hit", alpha = 0.05)
+        .orderBy(col("source"))),
+
+    // Source-concentration audit: HHI and the effective number of
+    // sources. HHI = Σn_h²/N² keeps the cross-strata sum INTEGER (a
+    // float share sum would be partition-order dependent).
+    "q251_hhi" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_h"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("n_h")).as("n_docs"),
+          sum(col("n_h") * col("n_h")).as("sum_sq"))
+        .select(col("n_sources"), col("n_docs"), col("sum_sq"),
+          round(col("sum_sq").cast("double") / (col("n_docs") * col("n_docs")), 6)
+            .as("hhi"),
+          round((col("n_docs") * col("n_docs")).cast("double") / col("sum_sq"), 6)
+            .as("eff_sources"))),
+
+    // Page-Hinkley drift detector replayed per event_type over daily
+    // counts (the q233 fold discipline): running mean from an INTEGER
+    // sum, m/min-m state, PH = m − min m, alarm on the ROUNDED statistic.
+    "q252_page_hinkley" -> ((s, dir) => {
+      import s.implicits._
+      val buckets = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type").as("key"), col("bucket"), col("n"))
+        .as[graft.operators.PageHinkley.BucketCount]
+      graft.operators.PageHinkley.detectDs(buckets, delta = 0.5).toDF()
+        .select(col("key"), col("bucket"), col("n"),
+          round(col("m"), 6).as("m"), round(col("ph"), 6).as("ph"),
+          (round(col("ph"), 6) > 20.0).as("alarm"),
+          col("nSeen").as("n_seen"))
+        .orderBy(col("key"), col("bucket"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -1868,6 +1969,159 @@ object AnalyticsQueries {
         |             + (CASE WHEN t2 >= 0 THEN 1.0 - sf2 ELSE sf2 END), 6) AS power,
         |       round((1.959963984540054 + 0.8416212335729143) * se, 6) AS mde80
         |FROM v""".stripMargin,
+
+    // MI terms in the same in-row order as the gate: a, b, c, d
+    "q247_feature_mi" ->
+      """WITH f AS (
+        |  SELECT doc_id, 'the_rule' AS feature, contains(lower(text), ' the ') AS f FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'ascii_rule', length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) * 20 >= length(text) * 19 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'len800', n_chars >= 800 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'http_rule', contains(text, 'http') FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'de_rule', contains(lower(text), ' de ') FROM documents),
+        |p AS (SELECT l.feature AS fa, r.feature AS fb, l.f AS va, r.f AS vb
+        |      FROM f l JOIN f r ON l.doc_id = r.doc_id AND l.feature < r.feature),
+        |cc AS (SELECT fa, fb,
+        |              CAST(sum(CASE WHEN va AND vb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |              CAST(sum(CASE WHEN va AND NOT vb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |              CAST(sum(CASE WHEN NOT va AND vb THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |              CAST(sum(CASE WHEN NOT va AND NOT vb THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |       FROM p GROUP BY 1, 2),
+        |e AS (SELECT *, a + b + c + d AS n FROM cc)
+        |SELECT fa, fb, a, b, c, d,
+        |  round(
+        |    CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / n) * ln(CAST(a AS DOUBLE) * n / ((a + b) * (a + c))) ELSE 0.0 END
+        |  + CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / n) * ln(CAST(b AS DOUBLE) * n / ((a + b) * (b + d))) ELSE 0.0 END
+        |  + CASE WHEN c > 0 THEN (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) * n / ((c + d) * (a + c))) ELSE 0.0 END
+        |  + CASE WHEN d > 0 THEN (CAST(d AS DOUBLE) / n) * ln(CAST(d AS DOUBLE) * n / ((c + d) * (b + d))) ELSE 0.0 END, 6) AS mi
+        |FROM e ORDER BY fa, fb""".stripMargin,
+
+    // same grid as q239; GT/LT/tie counts integer, one division
+    "q248_cliffs_delta" ->
+      """WITH grid AS (
+        |  SELECT n_chars AS v,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cy
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT v, cx, cy,
+        |         sum(cx) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lx,
+        |         sum(cx) OVER () AS nx, sum(cy) OVER () AS ny
+        |  FROM grid)
+        |SELECT CAST(max(nx) AS BIGINT) AS n_x, CAST(max(ny) AS BIGINT) AS n_y,
+        |       CAST(sum(cy * (nx - lx)) AS BIGINT) AS gt,
+        |       CAST(sum(cy * (lx - cx)) AS BIGINT) AS lt,
+        |       CAST(sum(cy * cx) AS BIGINT) AS ties,
+        |       round(CAST(sum(cy * (nx - lx)) - sum(cy * (lx - cx)) AS DOUBLE)
+        |             / (max(nx) * max(ny)), 6) AS delta
+        |FROM c""".stripMargin,
+
+    // both one-sided A-S tails; signed SF via the sign-split (1-SF(-z)
+    // below zero); equivalence decided on the rounded p
+    "q249_tost" ->
+      """WITH e AS (SELECT user_id % 2 AS grp,
+        |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS hit
+        |           FROM events),
+        |g AS (SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |             CAST(sum(CASE WHEN grp = 0 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |             CAST(sum(CASE WHEN grp <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |             CAST(sum(CASE WHEN grp <> 0 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+        |      FROM e),
+        |x AS (SELECT *, CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2 AS d,
+        |             sqrt((CAST(k1 AS DOUBLE) / n1) * (1.0 - CAST(k1 AS DOUBLE) / n1) / n1
+        |                  + (CAST(k2 AS DOUBLE) / n2) * (1.0 - CAST(k2 AS DOUBLE) / n2) / n2) AS se
+        |      FROM g),
+        |z AS (SELECT *, (d + 0.02) / se AS z1, (0.02 - d) / se AS z2 FROM x),
+        |w AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z1)) AS u1,
+        |             1.0 / (1.0 + 0.2316419 * abs(z2)) AS u2
+        |      FROM z),
+        |v AS (SELECT *,
+        |        exp(-z1 * z1 / 2.0) / 2.5066282746310002
+        |          * (u1 * (0.319381530 + u1 * (-0.356563782 + u1 * (1.781477937
+        |             + u1 * (-1.821255978 + u1 * 1.330274429))))) AS sf1,
+        |        exp(-z2 * z2 / 2.0) / 2.5066282746310002
+        |          * (u2 * (0.319381530 + u2 * (-0.356563782 + u2 * (1.781477937
+        |             + u2 * (-1.821255978 + u2 * 1.330274429))))) AS sf2
+        |      FROM w),
+        |q AS (SELECT *,
+        |        round(greatest(CASE WHEN z1 >= 0 THEN sf1 ELSE 1.0 - sf1 END,
+        |                       CASE WHEN z2 >= 0 THEN sf2 ELSE 1.0 - sf2 END), 6) AS p_tost
+        |      FROM v)
+        |SELECT n1, k1, n2, k2, round(d, 6) AS d, round(se, 6) AS se,
+        |       p_tost, p_tost <= 0.05 AS equivalent
+        |FROM q""".stripMargin,
+
+    // the q224 family with the step-down cut alpha/(m-i+1); rejection
+    // runs to the first failure
+    "q250_holm" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n) AS nn, sum(k) AS kk FROM g),
+        |z AS (
+        |  SELECT source, n, k,
+        |         (CAST(k AS DOUBLE) / n - CAST(kk - k AS DOUBLE) / (nn - n))
+        |           / sqrt((CAST(kk AS DOUBLE) / nn) * (1.0 - CAST(kk AS DOUBLE) / nn)
+        |                  * (1.0 / n + 1.0 / (nn - n))) AS z
+        |  FROM g, t),
+        |p AS (
+        |  SELECT source, n, k, z,
+        |         round(2.0 * (exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002
+        |           * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
+        |              + tt * (-1.821255978 + tt * 1.330274429)))))), 6) AS p
+        |  FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM z)),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, source) AS BIGINT) AS i,
+        |             CAST(count(*) OVER () AS BIGINT) AS m
+        |      FROM p),
+        |c AS (SELECT *, round(0.05 / (m - i + 1), 6) AS holm_cut,
+        |             p <= round(0.05 / (m - i + 1), 6) AS under
+        |      FROM r),
+        |kf AS (SELECT min(CASE WHEN NOT under THEN i END) AS kfail FROM c)
+        |SELECT source, n, k, round(z, 4) AS z, p, i AS p_rank, holm_cut,
+        |       (kfail IS NULL OR i < kfail) AS rejected
+        |FROM c, kf ORDER BY source""".stripMargin,
+
+    "q251_hhi" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_h FROM documents GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |             CAST(sum(n_h) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_h * n_h) AS BIGINT) AS sum_sq
+        |      FROM g)
+        |SELECT n_sources, n_docs, sum_sq,
+        |       round(CAST(sum_sq AS DOUBLE) / (n_docs * n_docs), 6) AS hhi,
+        |       round(CAST(n_docs * n_docs AS DOUBLE) / sum_sq, 6) AS eff_sources
+        |FROM s""".stripMargin,
+
+    // the PH fold replayed with the gate's exact operation order:
+    // mean = (sx+n)/(cnt+1) with an INTEGER numerator; m' = m + (n -
+    // mean - 0.5); min m carried; PH = m - min m
+    "q252_page_hinkley" ->
+      """WITH RECURSIVE
+        |d AS (SELECT event_type AS key, epoch_us(ts) // 86400000000 AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2),
+        |s AS (SELECT key, bucket, n,
+        |             row_number() OVER (PARTITION BY key ORDER BY bucket) AS rn
+        |      FROM d),
+        |f AS (
+        |  SELECT key, 0::BIGINT AS rn, 0::BIGINT AS cnt, 0::BIGINT AS sx,
+        |         CAST(0 AS DOUBLE) AS m, CAST(0 AS DOUBLE) AS minm,
+        |         0::BIGINT AS bucket, 0::BIGINT AS n
+        |  FROM (SELECT DISTINCT key FROM s)
+        |  UNION ALL
+        |  SELECT s.key, s.rn, f.cnt + 1, f.sx + s.n,
+        |         f.m + (s.n - CAST(f.sx + s.n AS DOUBLE) / (f.cnt + 1) - 0.5),
+        |         least(f.minm,
+        |               f.m + (s.n - CAST(f.sx + s.n AS DOUBLE) / (f.cnt + 1) - 0.5)),
+        |         s.bucket, s.n
+        |  FROM f JOIN s ON s.key = f.key AND s.rn = f.rn + 1
+        |)
+        |SELECT key, bucket, n, round(m, 6) AS m, round(m - minm, 6) AS ph,
+        |       round(m - minm, 6) > 20.0 AS alarm, rn AS n_seen
+        |FROM f WHERE rn >= 1 ORDER BY key, bucket""".stripMargin,
 
     // κ from the ROUNDED P̄/P̄e (the ladder rule: round before compare)
     "q240_fleiss_kappa" ->

@@ -339,6 +339,18 @@ class PlanShapeSpec extends SparkSpec {
       "community tags must reach the edges via node-keyed equi-joins")
   }
 
+  test("q252_page_hinkley: one key shuffle feeds the PH fold, zero joins") {
+    val ns = nodes("q252_page_hinkley")
+    assert(count(ns) { case _: BaseJoinExec => () } == 0)
+    assert(quadratic(ns) == 0)
+    assert(shuffles(ns) <= 3)
+  }
+
+  test("q247_feature_mi: the rule self-join keys on doc_id (bounded 25x fan-out)") {
+    val ns = nodes("q247_feature_mi")
+    assert(quadratic(ns) == 0, "feature pairing must never cross documents")
+  }
+
   test("q221_trending_mg: guarantee semi-join is an equi-join, no pair enumeration") {
     val ns = nodes("q221_trending_mg")
     assert(quadratic(ns) == 0)

@@ -45,4 +45,31 @@ class EnergyDistanceSpec extends SparkSpec {
     val d2 = run(base, base.map(_ + 10)).getAs[Double]("d2")
     assert(d1 > 0 && d2 > d1)
   }
+
+  test("cliffs delta matches the brute-force pair counts, ties included") {
+    val xs = Seq(3L, 3L, 7L, 12L, 40L)
+    val ys = Seq(1L, 7L, 7L, 25L)
+    val df = (xs.map((_, true)) ++ ys.map((_, false))).toDF("v", "inx")
+    val r = EnergyDistance.cliffsDelta(df, "v", col("inx")).collect().head
+    val gt = (for (x <- xs; y <- ys) yield if (x > y) 1 else 0).sum
+    val lt = (for (x <- xs; y <- ys) yield if (x < y) 1 else 0).sum
+    val ties = (for (x <- xs; y <- ys) yield if (x == y) 1 else 0).sum
+    assert(r.getAs[Long]("gt") == gt && r.getAs[Long]("lt") == lt)
+    assert(r.getAs[Long]("ties") == ties)
+    assert(math.abs(r.getAs[Double]("delta")
+      - (gt - lt).toDouble / (xs.size * ys.size)) < 1e-6)
+  }
+
+  test("cliffs delta: complete separation is +1, identical samples 0") {
+    val hi = Seq(10L, 11L, 12L)
+    val lo = Seq(1L, 2L, 3L)
+    val sep = EnergyDistance.cliffsDelta(
+      (hi.map((_, true)) ++ lo.map((_, false))).toDF("v", "inx"),
+      "v", col("inx")).collect().head
+    assert(sep.getAs[Double]("delta") == 1.0)
+    val same = EnergyDistance.cliffsDelta(
+      (hi.map((_, true)) ++ hi.map((_, false))).toDF("v", "inx"),
+      "v", col("inx")).collect().head
+    assert(same.getAs[Double]("delta") == 0.0)
+  }
 }

@@ -72,4 +72,32 @@ class MultipleTestingSpec extends SparkSpec {
     // MDE shrinks as the sample grows
     assert(r1.getAs[Double]("mde80") > 0.0)
   }
+
+  test("tost: identical rates at scale prove equivalence; a real gap fails it") {
+    val same = (1 to 4000).map(i => (i % 2, if ((i / 2) % 10 < 3) 1 else 0))
+    val r0 = MultipleTesting.tostEquivalence(same.toDF("grp", "hit"),
+      "grp", "hit", margin = 0.05, alpha = 0.05).collect().head
+    assert(r0.getAs[Boolean]("equivalent"), r0.toString)
+    val gap = (1 to 4000).map { i =>
+      val g = i % 2
+      (g, if ((i / 2) % 10 < (if (g == 0) 2 else 5)) 1 else 0)
+    }
+    val r1 = MultipleTesting.tostEquivalence(gap.toDF("grp", "hit"),
+      "grp", "hit", margin = 0.05, alpha = 0.05).collect().head
+    assert(!r1.getAs[Boolean]("equivalent"), r1.toString)
+  }
+
+  test("holm is never more liberal than BH on the same family") {
+    val rows = (1 to 26).flatMap { g =>
+      val p = if (g <= 3) 9 else 5 // three strongly deviant groups
+      (1 to 200).map(i => (s"g$g", if (i % 10 < p) 1L else 0L))
+    }
+    val df = rows.toDF("grp", "hit")
+    val holmRej = MultipleTesting.holm(df, "grp", "hit", 0.05)
+      .filter(col("rejected")).collect().map(_.getString(0)).toSet
+    val bhRej = MultipleTesting.bhFdr(df, "grp", "hit", 0.05)
+      .filter(col("rejected")).collect().map(_.getString(0)).toSet
+    assert(holmRej.subsetOf(bhRej), s"holm $holmRej vs bh $bhRej")
+    assert(holmRej.nonEmpty, "the three deviant groups must survive Holm")
+  }
 }
