@@ -116,7 +116,16 @@ object BenchScaling {
     "q37_kmeans" -> (("embeddings", 1.0, false)),
     "q42_embed_clusters" -> (("embeddings", 1.5, false)),
     "q46_ann_ivf_kmeans" -> (("embeddings", 1.0, false)),
-    "q140_rbo" -> (("embeddings", 1.0, false))
+    "q140_rbo" -> (("embeddings", 1.0, false)),
+
+    // ===== wave 3 (r10): the round-10 fold/graph/grid additions =====
+    "q231_session_native" -> (("events", 1.0, true)),
+    "q233_rate_replay" -> (("events", 1.0, true)),
+    "q252_page_hinkley" -> (("events", 1.0, true)),
+    "q234_bucketed_join" -> (("lineitem", 1.0, true)), // incl. the layout write
+    "q238_modularity" -> (("documents", 1.5, false)), // label-prop banded pairs
+    "q239_energy_distance" -> (("documents", 1.0, false)), // O(grid) identity
+    "q247_feature_mi" -> (("documents", 1.0, false)) // bounded 25x fan-out
     // NOT audited: q32/q207-q209/q216-q219 run a FIXED-SIZE synthetic
     // repo (no sf table feeds them — growth is undefined); sub-second
     // gates carry more scheduler noise than signal.

@@ -309,6 +309,11 @@ object HtmlParser {
   private val HeadingRe = """(?s)<h([1-6])[^>]*>(.*?)</h\1>""".r
   private val SrcRe = """<(?:script|img)[^>]*\bsrc\s*=\s*["']([^"']+)["']""".r
   private val TagStripRe = """<[^>]*>""".r
+  // custom elements (hyphenated tag) and data-component markers are the
+  // reference's "components as classes" family (html_parser.py:134-182)
+  private val ComponentTagRe = """<([a-z][\w]*-[\w-]+)[\s>/]""".r
+  private val DataComponentRe = """\bdata-component\s*=\s*["']([^"']+)["']""".r
+  private val FormActionRe = """<form[^>]*\baction\s*=\s*["']([^"']+)["']""".r
 
   def parse(relPath: String, content: String): ParserResult = {
     val entities = ArrayBuffer[Entity]()
@@ -352,6 +357,25 @@ object HtmlParser {
     LinkRe.findAllMatchIn(content).map(_.group(1)).toSeq.distinct.take(100).foreach { href =>
       relations += Relation(relPath, href, "references", "link", "", 1.0)
     }
+    // components as classes (reference html_parser.py:134-182): custom
+    // elements by hyphenated tag, plus explicit data-component markers
+    ComponentTagRe.findAllMatchIn(content).map(_.group(1)).toSeq.distinct.take(100)
+      .foreach { tag =>
+        entities += Entity(s"<$tag>", "class", relPath, 1, 1,
+          Seq(s"Custom HTML component: $tag"), "", "")
+        relations += Relation(relPath, s"<$tag>", "contains", "", "", 1.0)
+      }
+    DataComponentRe.findAllMatchIn(content).map(_.group(1)).toSeq.distinct.take(100)
+      .foreach { comp =>
+        entities += Entity(s"Component:$comp", "class", relPath, 1, 1,
+          Seq(s"Data component: $comp"), "", "")
+        relations += Relation(relPath, s"Component:$comp", "contains", "", "", 1.0)
+      }
+    // form actions are link relations (reference html_parser.py:204-214)
+    FormActionRe.findAllMatchIn(content).map(_.group(1)).toSeq.distinct.take(100)
+      .foreach { action =>
+        relations += Relation(relPath, action, "references", "form_action", "", 1.0)
+      }
     ClassRefRe.findAllMatchIn(content).flatMap(_.group(1).split("\\s+")).toSeq.distinct.take(100)
       .foreach { cls =>
         relations += Relation(relPath, s".$cls", "uses", "css_class", "", 0.8)
