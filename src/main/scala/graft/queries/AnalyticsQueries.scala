@@ -858,6 +858,26 @@ object AnalyticsQueries {
           round((col("n_docs") * col("n_docs")).cast("double") / col("sum_sq"), 6)
             .as("eff_sources"))),
 
+    // Token-bucket admission replay per (event_type, ISO-week) over hour
+    // ticks (capacity 5, refill 1/tick) — the crawl-politeness budget
+    // simulator. PURE integer fold (two longs per key); the q205 shard
+    // keying bounds recursion depth for the CTE oracle.
+    "q254_token_bucket" -> ((s, dir) => {
+      import s.implicits._
+      val ticks = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("t"))
+        .groupBy(concat(col("event_type"), lit("#"),
+          expr("CAST(t div 168 AS string)")).as("key"), col("t"))
+        .agg(count(lit(1)).as("n"))
+        .as[graft.operators.TokenBucket.Tick]
+      graft.operators.TokenBucket.admitDs(ticks, capacity = 5L,
+        refillPerTick = 1L).toDF()
+        .select(col("key"), col("t"), col("n"), col("admitted"),
+          col("rejected"), col("tokensAfter").as("tokens_after"))
+        .orderBy(col("key"), col("t"))
+    }),
+
     // Page-Hinkley drift detector replayed per event_type over daily
     // counts (the q233 fold discipline): running mean from an INTEGER
     // sum, m/min-m state, PH = m − min m, alarm on the ROUNDED statistic.
@@ -2094,6 +2114,33 @@ object AnalyticsQueries {
         |       round(CAST(sum_sq AS DOUBLE) / (n_docs * n_docs), 6) AS hhi,
         |       round(CAST(n_docs * n_docs AS DOUBLE) / sum_sq, 6) AS eff_sources
         |FROM s""".stripMargin,
+
+    // pure integer bucket algebra: refill by the tick gap (clamped at
+    // capacity 5), admit min(n, tokens); first row of each key sees dt=0
+    "q254_token_bucket" ->
+      """WITH RECURSIVE
+        |d AS (SELECT event_type || '#' ||
+        |             CAST((epoch_us(ts) // 3600000000) // 168 AS VARCHAR) AS key,
+        |             epoch_us(ts) // 3600000000 AS t, CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2),
+        |s AS (SELECT key, t, n, row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+        |      FROM d),
+        |f AS (
+        |  SELECT key, 0::BIGINT AS rn, 5::BIGINT AS tokens, 0::BIGINT AS t_prev,
+        |         0::BIGINT AS t, 0::BIGINT AS n,
+        |         0::BIGINT AS admitted, 0::BIGINT AS rejected
+        |  FROM (SELECT DISTINCT key FROM s)
+        |  UNION ALL
+        |  SELECT s.key, s.rn,
+        |         least(5, f.tokens + CASE WHEN f.rn = 0 THEN 0 ELSE s.t - f.t_prev END)
+        |           - least(s.n, least(5, f.tokens + CASE WHEN f.rn = 0 THEN 0 ELSE s.t - f.t_prev END)),
+        |         s.t, s.t, s.n,
+        |         least(s.n, least(5, f.tokens + CASE WHEN f.rn = 0 THEN 0 ELSE s.t - f.t_prev END)),
+        |         s.n - least(s.n, least(5, f.tokens + CASE WHEN f.rn = 0 THEN 0 ELSE s.t - f.t_prev END))
+        |  FROM f JOIN s ON s.key = f.key AND s.rn = f.rn + 1
+        |)
+        |SELECT key, t, n, admitted, rejected, tokens AS tokens_after
+        |FROM f WHERE rn >= 1 ORDER BY key, t""".stripMargin,
 
     // the PH fold replayed with the gate's exact operation order:
     // mean = (sx+n)/(cnt+1) with an INTEGER numerator; m' = m + (n -

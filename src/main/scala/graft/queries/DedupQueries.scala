@@ -101,6 +101,36 @@ object DedupQueries {
       MinHashLsh.candidatePairs(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
 
+    // Capture-recapture duplicate-mass estimation (Lincoln-Petersen /
+    // Chapman): at 100 TB you cannot run exact dedup, so estimate the
+    // TRUE duplicate-pair count from two cheap independent detectors —
+    // MinHash candidates (≥0.5 est) and SimHash close pairs — via their
+    // overlap. N̂_Chapman = (n_A+1)(n_B+1)/(m+1) − 1: three integer pair
+    // counts (each detector's pipeline is the one already gated by
+    // q19/q20), one division at the edge.
+    "q253_capture_recapture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = MinHashLsh.candidatePairs(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val b = SimHash.closePairs(docs, "doc_id", "text", "source", 3)
+        .select(col("doc_a"), col("doc_b"))
+      val na = a.agg(count(lit(1)).as("n_a"))
+      val nb = b.agg(count(lit(1)).as("n_b"))
+      val m = a.join(b, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("overlap"))
+      na.crossJoin(broadcast(nb)).crossJoin(broadcast(m))
+        .select(col("n_a"), col("n_b"), col("overlap"),
+          round(((col("n_a") + 1) * (col("n_b") + 1)).cast("double")
+            / (col("overlap") + 1) - lit(1.0), 4).as("chapman_n"))
+    }),
+
+    // LSH banding planner ranked over the feasible (b, r) grid — the
+    // design step that justifies q19's 4×3 layout. Bounded grid, in-row
+    // midpoint integral, integer-index branch selection.
+    "q255_lsh_planner" -> ((s, _) =>
+      graft.dedup.LshPlanner.plan(s, totalPerms = 128, thresholdPct = 70,
+        topK = 10)),
+
     // Incremental near-dup: treat src0 as today's ingest batch and the
     // rest as the already-indexed corpus — each new doc probes the corpus
     // band table with one batch-sized equi-join (never re-pairing the
@@ -242,6 +272,70 @@ object DedupQueries {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // detector A = the q19 band pipeline at >=6/12 matches (est >= 0.5);
+    // detector B = the q20 simhash pipeline; Chapman at the edge
+    "q253_capture_recapture" ->
+      s"""WITH $minhashCtes,
+         |pa AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  WHERE list_sum(list_transform(generate_series(1, 12),
+         |          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) >= 6
+         |),
+         |hs2 AS (
+         |  SELECT doc_id, source,
+         |         list_transform(t2, s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647) AS h
+         |  FROM (SELECT doc_id, source,
+         |               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 1) AS t2
+         |        FROM documents)),
+         |fp2 AS (
+         |  SELECT doc_id, source,
+         |    list_sum(list_transform(generate_series(0, 23), j ->
+         |      CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |           THEN 1 << j ELSE 0 END)) AS fp
+         |  FROM hs2),
+         |pb AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fp2 a JOIN fp2 b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) <= 3),
+         |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pa) AS n_a,
+         |              (SELECT CAST(count(*) AS BIGINT) FROM pb) AS n_b,
+         |              (SELECT CAST(count(*) AS BIGINT)
+         |               FROM pa JOIN pb USING (doc_a, doc_b)) AS overlap)
+         |SELECT n_a, n_b, overlap,
+         |       round(CAST((n_a + 1) * (n_b + 1) AS DOUBLE) / (overlap + 1) - 1.0, 4) AS chapman_n
+         |FROM st""".stripMargin,
+
+    // the S-curve tree mirrored LITERALLY (1.0 - (1.0 - pow(...)) for
+    // the fn branch, never simplified) so both engines fold the same
+    // doubles left-to-right; the threshold branch is the integer k <= 69
+    "q255_lsh_planner" ->
+      """WITH grid AS (
+        |  SELECT b, r FROM (SELECT unnest(generate_series(1, 64)) AS b),
+        |                   (SELECT unnest(generate_series(1, 16)) AS r)
+        |  WHERE b * r <= 128),
+        |sc AS (
+        |  SELECT b, r, b * r AS perms,
+        |    list_sum(list_transform(generate_series(0, 99), k ->
+        |      CASE WHEN k <= 69
+        |           THEN 1.0 - pow(1.0 - pow((k + 0.5) / 100.0, CAST(r AS DOUBLE)), CAST(b AS DOUBLE))
+        |           ELSE 0.0 END)) AS fp_raw,
+        |    list_sum(list_transform(generate_series(0, 99), k ->
+        |      CASE WHEN k > 69
+        |           THEN 1.0 - (1.0 - pow(1.0 - pow((k + 0.5) / 100.0, CAST(r AS DOUBLE)), CAST(b AS DOUBLE)))
+        |           ELSE 0.0 END)) AS fn_raw
+        |  FROM grid),
+        |r2 AS (SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+        |              CAST(b * r AS BIGINT) AS perms,
+        |              round(fp_raw / 100.0, 6) AS fp, round(fn_raw / 100.0, 6) AS fn,
+        |              round((fp_raw + fn_raw) / 100.0, 6) AS score
+        |       FROM sc),
+        |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY score, b, r) AS BIGINT) AS rank
+        |       FROM r2)
+        |SELECT b, r, perms, fp, fn, score, rank FROM rk WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
+
     "q172_sorted_neighbors" ->
       """WITH d AS (
         |  SELECT doc_id, text,

@@ -351,6 +351,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(quadratic(ns) == 0, "feature pairing must never cross documents")
   }
 
+  test("q254_token_bucket: one key shuffle feeds the integer fold, zero joins") {
+    val ns = nodes("q254_token_bucket")
+    assert(count(ns) { case _: BaseJoinExec => () } == 0)
+    assert(quadratic(ns) == 0)
+    assert(shuffles(ns) <= 3)
+  }
+
+  test("q253_capture_recapture: both detectors stay banded — no all-pairs join") {
+    val ns = nodes("q253_capture_recapture")
+    assert(count(ns) { case _: CartesianProductExec => () } == 0)
+    // only the three 1-row count attachments may BNLJ
+    assert(count(ns) { case _: BroadcastNestedLoopJoinExec => () } <= 2)
+  }
+
   test("q221_trending_mg: guarantee semi-join is an equi-join, no pair enumeration") {
     val ns = nodes("q221_trending_mg")
     assert(quadratic(ns) == 0)
