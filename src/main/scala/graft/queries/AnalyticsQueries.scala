@@ -858,6 +858,101 @@ object AnalyticsQueries {
           round((col("n_docs") * col("n_docs")).cast("double") / col("sum_sq"), 6)
             .as("eff_sources"))),
 
+    // Simpson's-paradox audit: does any day-of-week stratum's click-rate
+    // direction (variant 1 vs 0) CONTRADICT the pooled direction? The
+    // classic trap before shipping a pooled A/B read. Directions are
+    // integer cross-multiplication signs (k1·n0 vs k0·n1) — no division
+    // anywhere, so the flip flag is exact.
+    "q256_simpson" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        dayofweek(col("ts")).cast("long").as("dow"),
+        pmod(col("user_id"), lit(2)).as("v"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("hit"))
+      val strata = e.groupBy(col("dow")).agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("v") === 0, col("hit")).otherwise(0L)).as("k0"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("v") === 1, col("hit")).otherwise(0L)).as("k1"))
+      val pooled = strata.agg(sum(col("n0")).as("pn0"), sum(col("k0")).as("pk0"),
+        sum(col("n1")).as("pn1"), sum(col("k1")).as("pk1"))
+      def sign(k1: org.apache.spark.sql.Column, n0: org.apache.spark.sql.Column,
+               k0: org.apache.spark.sql.Column, n1: org.apache.spark.sql.Column) =
+        when(k1 * n0 > k0 * n1, 1L).when(k1 * n0 < k0 * n1, -1L).otherwise(0L)
+      strata.crossJoin(broadcast(pooled))
+        .select(col("dow"), col("n0"), col("k0"), col("n1"), col("k1"),
+          sign(col("k1"), col("n0"), col("k0"), col("n1")).as("dir_stratum"),
+          sign(col("pk1"), col("pn0"), col("pk0"), col("pn1")).as("dir_pooled"),
+          (sign(col("k1"), col("n0"), col("k0"), col("n1"))
+            * sign(col("pk1"), col("pn0"), col("pk0"), col("pn1")) === -1)
+            .as("flipped"))
+        .orderBy(col("dow"))
+    }),
+
+    // Group-sequential monitoring (O'Brien-Fleming, 3 looks): the z at
+    // each calendar-third cut against the published OBF boundaries —
+    // peeking with integrity, the SPRT's fixed-schedule sibling. Each
+    // look's counts are cumulative integer sums from ONE scan; cuts are
+    // integer µs thirds of the corpus span.
+    "q257_group_sequential" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(unix_micros(col("ts")).as("us"),
+        pmod(col("user_id"), lit(2)).as("v"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("hit"))
+      val span = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .selectExpr("mn", "(mx - mn) AS w")
+        .selectExpr("mn + (w div 3) AS c1", "mn + ((2 * w) div 3) AS c2",
+          "mn + w AS c3")
+      val sums = (1 to 3).flatMap { i =>
+        val cut = col(s"c$i")
+        Seq(
+          sum(when(col("us") <= cut && col("v") === 0, 1L).otherwise(0L)).as(s"n0_$i"),
+          sum(when(col("us") <= cut && col("v") === 0, col("hit")).otherwise(0L)).as(s"k0_$i"),
+          sum(when(col("us") <= cut && col("v") === 1, 1L).otherwise(0L)).as(s"n1_$i"),
+          sum(when(col("us") <= cut && col("v") === 1, col("hit")).otherwise(0L)).as(s"k1_$i"))
+      }
+      val cum = e.crossJoin(broadcast(span)).agg(sums.head, sums.tail: _*)
+      val bounds = Map(1 -> 3.471, 2 -> 2.454, 3 -> 2.004)
+      val looks = (1 to 3).map { i =>
+        val (n0, k0, n1, k1) = (col(s"n0_$i"), col(s"k0_$i"), col(s"n1_$i"), col(s"k1_$i"))
+        val pp = (k0 + k1).cast("double") / (n0 + n1)
+        val z = (k1.cast("double") / n1 - k0.cast("double") / n0) /
+          sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n0 + lit(1.0) / n1))
+        cum.select(lit(i.toLong).as("look"), n0.as("n0"), k0.as("k0"),
+          n1.as("n1"), k1.as("k1"), round(z, 4).as("z"),
+          lit(bounds(i)).as("obf_bound"),
+          (abs(round(z, 4)) >= bounds(i)).as("crossed"))
+      }
+      looks.reduce(_ unionAll _).orderBy(col("look"))
+    }),
+
+    // Decile lift/gain table for a ranking score (here n_chars ranking
+    // lang='en'): the eval every curation-classifier ships with. Decile
+    // membership is an exact integer order statistic (rank·10 div n);
+    // lift/gain divide integer counts once at the edge.
+    "q258_decile_lift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      val ranked = d.withColumn("rk", row_number().over(w).cast("long"))
+      val n = ranked.agg(count(lit(1)).as("n"), sum(col("y")).as("kk"))
+      val deciles = ranked.crossJoin(broadcast(n))
+        .withColumn("decile", expr("((rk - 1) * 10) div n") + 1)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_d"), sum(col("y")).as("k_d"),
+          max(col("n")).as("n"), max(col("kk")).as("kk"))
+      val cw = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deciles
+        .withColumn("cum_k", sum(col("k_d")).over(cw))
+        .select(col("decile"), col("n_d"), col("k_d"),
+          round(col("k_d").cast("double") * col("n") / (col("n_d") * col("kk")), 4)
+            .as("lift"),
+          col("cum_k"),
+          round(col("cum_k").cast("double") / col("kk"), 4).as("cum_gain"))
+        .orderBy(col("decile"))
+    }),
+
     // Token-bucket admission replay per (event_type, ISO-week) over hour
     // ticks (capacity 5, refill 1/tick) — the crawl-politeness budget
     // simulator. PURE integer fold (two longs per key); the q205 shard
@@ -2114,6 +2209,90 @@ object AnalyticsQueries {
         |       round(CAST(sum_sq AS DOUBLE) / (n_docs * n_docs), 6) AS hhi,
         |       round(CAST(n_docs * n_docs AS DOUBLE) / sum_sq, 6) AS eff_sources
         |FROM s""".stripMargin,
+
+    // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — shift.
+    // Directions via integer cross-multiplication: division-free.
+    "q256_simpson" ->
+      """WITH e AS (SELECT dayofweek(ts) + 1 AS dow, user_id % 2 AS v,
+        |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS hit
+        |           FROM events),
+        |g AS (SELECT dow,
+        |             CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |             CAST(sum(CASE WHEN v = 0 THEN hit ELSE 0 END) AS BIGINT) AS k0,
+        |             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |             CAST(sum(CASE WHEN v = 1 THEN hit ELSE 0 END) AS BIGINT) AS k1
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT sum(n0) AS pn0, sum(k0) AS pk0, sum(n1) AS pn1, sum(k1) AS pk1 FROM g),
+        |s AS (SELECT *,
+        |        CAST(CASE WHEN k1 * n0 > k0 * n1 THEN 1
+        |                  WHEN k1 * n0 < k0 * n1 THEN -1 ELSE 0 END AS BIGINT) AS dir_stratum,
+        |        CAST(CASE WHEN pk1 * pn0 > pk0 * pn1 THEN 1
+        |                  WHEN pk1 * pn0 < pk0 * pn1 THEN -1 ELSE 0 END AS BIGINT) AS dir_pooled
+        |      FROM g, t)
+        |SELECT CAST(dow AS BIGINT) AS dow, n0, k0, n1, k1, dir_stratum, dir_pooled,
+        |       dir_stratum * dir_pooled = -1 AS flipped
+        |FROM s ORDER BY dow""".stripMargin,
+
+    // cumulative-look z against the published OBF boundaries; cuts are
+    // integer thirds of the span
+    "q257_group_sequential" ->
+      """WITH sp AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+        |cts AS (SELECT mn + (mx - mn) // 3 AS c1,
+        |               mn + (2 * (mx - mn)) // 3 AS c2,
+        |               mn + (mx - mn) AS c3 FROM sp),
+        |e AS (SELECT epoch_us(ts) AS us, user_id % 2 AS v,
+        |             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS hit
+        |      FROM events),
+        |g AS (SELECT
+        |  CAST(sum(CASE WHEN us <= c1 AND v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0_1,
+        |  CAST(sum(CASE WHEN us <= c1 AND v = 0 THEN hit ELSE 0 END) AS BIGINT) AS k0_1,
+        |  CAST(sum(CASE WHEN us <= c1 AND v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_1,
+        |  CAST(sum(CASE WHEN us <= c1 AND v = 1 THEN hit ELSE 0 END) AS BIGINT) AS k1_1,
+        |  CAST(sum(CASE WHEN us <= c2 AND v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0_2,
+        |  CAST(sum(CASE WHEN us <= c2 AND v = 0 THEN hit ELSE 0 END) AS BIGINT) AS k0_2,
+        |  CAST(sum(CASE WHEN us <= c2 AND v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_2,
+        |  CAST(sum(CASE WHEN us <= c2 AND v = 1 THEN hit ELSE 0 END) AS BIGINT) AS k1_2,
+        |  CAST(sum(CASE WHEN us <= c3 AND v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0_3,
+        |  CAST(sum(CASE WHEN us <= c3 AND v = 0 THEN hit ELSE 0 END) AS BIGINT) AS k0_3,
+        |  CAST(sum(CASE WHEN us <= c3 AND v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_3,
+        |  CAST(sum(CASE WHEN us <= c3 AND v = 1 THEN hit ELSE 0 END) AS BIGINT) AS k1_3
+        | FROM e, cts),
+        |l AS (
+        |  SELECT 1::BIGINT AS look, n0_1 AS n0, k0_1 AS k0, n1_1 AS n1, k1_1 AS k1, 3.471 AS obf_bound FROM g
+        |  UNION ALL
+        |  SELECT 2::BIGINT, n0_2, k0_2, n1_2, k1_2, 2.454 FROM g
+        |  UNION ALL
+        |  SELECT 3::BIGINT, n0_3, k0_3, n1_3, k1_3, 2.004 FROM g),
+        |z AS (SELECT *,
+        |        round((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0)
+        |          / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+        |                 * (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+        |                 * (1.0 / n0 + 1.0 / n1)), 4) AS z
+        |      FROM l)
+        |SELECT look, n0, k0, n1, k1, z, obf_bound, abs(z) >= obf_bound AS crossed
+        |FROM z ORDER BY look""".stripMargin,
+
+    // decile = exact integer order statistic ((rk-1)*10 div n);
+    // lift/gain divide integer counts once at the edge
+    "q258_decile_lift" ->
+      """WITH d AS (SELECT doc_id, n_chars AS score,
+        |                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |           FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM d),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS kk FROM d),
+        |dd AS (SELECT ((rk - 1) * 10) // n + 1 AS decile, y, n, kk FROM r, t),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_d,
+        |             CAST(sum(y) AS BIGINT) AS k_d,
+        |             max(n) AS n, max(kk) AS kk
+        |      FROM dd GROUP BY 1),
+        |cw AS (SELECT *, sum(k_d) OVER (ORDER BY decile
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_k
+        |       FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_d, k_d,
+        |       round(CAST(k_d AS DOUBLE) * n / (n_d * kk), 4) AS lift,
+        |       CAST(cum_k AS BIGINT) AS cum_k,
+        |       round(CAST(cum_k AS DOUBLE) / kk, 4) AS cum_gain
+        |FROM cw ORDER BY decile""".stripMargin,
 
     // pure integer bucket algebra: refill by the tick gap (clamped at
     // capacity 5), admit min(n, tokens); first row of each key sees dt=0

@@ -134,4 +134,39 @@ class StatGatesSpec extends SparkSpec {
     // variants must accept H0 once enough events accumulate
     assert(rs.forall(_.getAs[String]("decision") == "accept_h0"))
   }
+
+  test("q256: a flip only ever fires when both directions are nonzero and opposed") {
+    val rs = rows("q256_simpson")
+    assert(rs.length == 7) // one row per day of week
+    rs.foreach { r =>
+      val (ds, dp) = (r.getAs[Long]("dir_stratum"), r.getAs[Long]("dir_pooled"))
+      assert(Set(-1L, 0L, 1L)(ds) && Set(-1L, 0L, 1L)(dp))
+      assert(r.getAs[Boolean]("flipped") == (ds * dp == -1L))
+      // integer cross-multiplication agrees with the rate comparison
+      val pr0 = r.getAs[Long]("k0").toDouble / r.getAs[Long]("n0")
+      val pr1 = r.getAs[Long]("k1").toDouble / r.getAs[Long]("n1")
+      assert(ds == math.signum(pr1 - pr0).toLong)
+    }
+  }
+
+  test("q257: looks are cumulative and the OBF boundary ladder descends") {
+    val rs = rows("q257_group_sequential").sortBy(_.getAs[Long]("look"))
+    assert(rs.map(_.getAs[Long]("n0")).toSeq == rs.map(_.getAs[Long]("n0")).sorted.toSeq)
+    assert(rs.map(_.getAs[Long]("k1")).toSeq == rs.map(_.getAs[Long]("k1")).sorted.toSeq)
+    assert(rs.map(_.getAs[Double]("obf_bound")).toSeq == Seq(3.471, 2.454, 2.004))
+    // the final look covers every event: n0+n1 == |events|
+    val total = rs.last.getAs[Long]("n0") + rs.last.getAs[Long]("n1")
+    assert(total == spark.read.parquet(s"$dir/events.parquet").count())
+  }
+
+  test("q258: deciles tile the corpus, gains are monotone and end at 1") {
+    val rs = rows("q258_decile_lift").sortBy(_.getAs[Long]("decile"))
+    assert(rs.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val gains = rs.map(_.getAs[Double]("cum_gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b })
+    assert(gains.last == 1.0)
+    // equal-size tiling up to remainder spread
+    val sizes = rs.map(_.getAs[Long]("n_d"))
+    assert(sizes.max - sizes.min <= 1)
+  }
 }
