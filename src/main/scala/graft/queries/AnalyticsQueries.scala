@@ -858,6 +858,17 @@ object AnalyticsQueries {
           round((col("n_docs") * col("n_docs")).cast("double") / col("sum_sq"), 6)
             .as("eff_sources"))),
 
+    // Embedding-space drift via MMD with random Fourier features
+    // (Gretton 2012 / Rahimi-Recht 2007): did the label-0 embedding
+    // population move relative to the rest — q239's distributional twin
+    // for the VECTOR space, O(n·D·d) with no pairwise kernel. The frozen
+    // (w, b) bank is injected as identical decimal literals into both
+    // engines; features are rounded to 6dp before the group sums, which
+    // makes those sums exact in double and partition-order-independent.
+    "q259_mmd_rff" -> ((s, dir) =>
+      graft.search.MmdRff.twoSample(
+        Tables.embeddings(s, dir), "embedding", col("label") === 0)),
+
     // Simpson's-paradox audit: does any day-of-week stratum's click-rate
     // direction (variant 1 vs 0) CONTRADICT the pooled direction? The
     // classic trap before shipping a pooled A/B read. Directions are
@@ -2209,6 +2220,9 @@ object AnalyticsQueries {
         |       round(CAST(sum_sq AS DOUBLE) / (n_docs * n_docs), 6) AS hhi,
         |       round(CAST(n_docs * n_docs AS DOUBLE) / sum_sq, 6) AS eff_sources
         |FROM s""".stripMargin,
+
+    // rendered from the SAME frozen (w, b) Scala doubles the gate uses
+    "q259_mmd_rff" -> graft.search.MmdRff.oracleSql("label = 0"),
 
     // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — shift.
     // Directions via integer cross-multiplication: division-free.
