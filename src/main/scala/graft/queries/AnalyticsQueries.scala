@@ -922,17 +922,21 @@ object AnalyticsQueries {
       }
       val cum = e.crossJoin(broadcast(span)).agg(sums.head, sums.tail: _*)
       val bounds = Map(1 -> 3.471, 2 -> 2.454, 3 -> 2.004)
-      val looks = (1 to 3).map { i =>
-        val (n0, k0, n1, k1) = (col(s"n0_$i"), col(s"k0_$i"), col(s"n1_$i"), col(s"k1_$i"))
-        val pp = (k0 + k1).cast("double") / (n0 + n1)
-        val z = (k1.cast("double") / n1 - k0.cast("double") / n0) /
-          sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n0 + lit(1.0) / n1))
-        cum.select(lit(i.toLong).as("look"), n0.as("n0"), k0.as("k0"),
-          n1.as("n1"), k1.as("k1"), round(z, 4).as("z"),
-          lit(bounds(i)).as("obf_bound"),
-          (abs(round(z, 4)) >= bounds(i)).as("crossed"))
-      }
-      looks.reduce(_ unionAll _).orderBy(col("look"))
+      // ONE corpus agg, the three looks exploded from its single row — a
+      // per-look select would re-run the 12-sum scan three times
+      val looks = cum.select(explode(array((1 to 3).map { i =>
+        struct(lit(i.toLong).as("look"), col(s"n0_$i").as("n0"),
+          col(s"k0_$i").as("k0"), col(s"n1_$i").as("n1"),
+          col(s"k1_$i").as("k1"), lit(bounds(i)).as("obf_bound"))
+      }: _*)).as("l")).select(col("l.*"))
+      val (n0, k0, n1, k1) = (col("n0"), col("k0"), col("n1"), col("k1"))
+      val pp = (k0 + k1).cast("double") / (n0 + n1)
+      val z = (k1.cast("double") / n1 - k0.cast("double") / n0) /
+        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n0 + lit(1.0) / n1))
+      looks.select(col("look"), n0, k0, n1, k1, round(z, 4).as("z"),
+          col("obf_bound"),
+          (abs(round(z, 4)) >= col("obf_bound")).as("crossed"))
+        .orderBy(col("look"))
     }),
 
     // Decile lift/gain table for a ranking score (here n_chars ranking

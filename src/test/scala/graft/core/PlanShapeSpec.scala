@@ -351,6 +351,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(quadratic(ns) == 0, "feature pairing must never cross documents")
   }
 
+  test("q257_group_sequential: all three looks come from ONE corpus scan") {
+    val ns = nodes("q257_group_sequential")
+    assert(count(ns) { case _: FileSourceScanExec => () } <= 2,
+      "the 12-sum agg must run once (span min/max is the only other scan)")
+    assert(count(ns) { case _: UnionExec => () } == 0,
+      "looks are exploded from the single agg row, not unioned selects")
+  }
+
   test("q254_token_bucket: one key shuffle feeds the integer fold, zero joins") {
     val ns = nodes("q254_token_bucket")
     assert(count(ns) { case _: BaseJoinExec => () } == 0)
