@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The driver tails stdout and json-parses the LAST line of `sbt runMain
+// graft.Bench`. sbt's default forked-output strategy prefixes every line
+// with "[info] " and appends a "[success] Total time" line, so the JSON
+// is never the last line and never prefix-free → BENCH_r*.json `parsed:
+// null`. Raw passthrough + no success banner makes Bench's final compact
+// JSON the literal last stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false

@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object HeapsLaw {
 
+  /** Adjacent-token bigram types from a token-array column. A closed
+    * unigram vocabulary (the synthetic corpus has 30 types — saturated at
+    * the first checkpoint) makes the Heaps fit degenerate; its bigram
+    * family keeps discovering types across the whole corpus, so the fit
+    * over bigrams genuinely exercises V(N)=K·N^β with β>0.
+    */
+  def bigrams(tokens: Column): Column =
+    when(size(tokens) >= 2,
+      zip_with(slice(tokens, lit(1), size(tokens) - 1),
+               slice(tokens, lit(2), size(tokens) - 1),
+               (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+
   /** Checkpoint grid with the fitted law attached to every row:
     * `ck` (exclusive doc-id bound), `n_tokens`, `vocab`, `beta`, `log_k`
     * (natural-log intercept), both 6dp.
@@ -50,8 +63,14 @@ object HeapsLaw {
       ((col("m") * col("sxy") - col("sx") * col("sy")) /
         (col("m") * col("sxx") - col("sx") * col("sx"))).as("b"),
       col("m"), col("sx"), col("sy"))
-      .select(round(col("b"), 6).as("beta"),
-        round((col("sy") - col("b") * col("sx")) / col("m"), 6).as("log_k"))
+      // `+ 0.0` sign-stabilizes a pure-cancellation slope: when vocab is
+      // constant the numerator is a ±1e-16 float residual whose SIGN
+      // depends on summation order, and round(±ε, 6) yields ±0.0 — a
+      // cross-engine hash coin-flip (observed live: DuckDB returned -0.0
+      // and +0.0 for the same query in two runs). IEEE: -0.0 + 0.0 = +0.0
+      // in both engines, and every nonzero value is untouched.
+      .select((round(col("b"), 6) + lit(0.0)).as("beta"),
+        (round((col("sy") - col("b") * col("sx")) / col("m"), 6) + lit(0.0)).as("log_k"))
 
     grid.select(col("ck"), col("n_tokens"), col("vocab"))
       .crossJoin(broadcast(fit))

@@ -92,10 +92,15 @@ object TextQueries {
     // Heaps-law vocabulary-growth fit at 8 doc-id checkpoints: V(N)≈K·N^β
     // with first-occurrence logic instead of running state (a token's
     // checkpoint membership is min(doc_id) < c — conditional aggs against
-    // a broadcast 8-row table, no prefix window).
+    // a broadcast 8-row table, no prefix window). The fit runs over token
+    // BIGRAM types: the synthetic corpus has a closed 30-token unigram
+    // vocabulary that saturates at the first checkpoint, making the OLS
+    // slope a ±0.0 float-cancellation coin flip (r10's one red gate);
+    // bigrams keep growing, so β>0 and the law is actually exercised.
     "q176_heaps_law" -> ((s, dir) =>
       graft.functions.HeapsLaw.fit(Tables.documents(s, dir), "doc_id",
-          graft.search.Bm25.tokens(col("text")), checkpoints = 8)
+          graft.functions.HeapsLaw.bigrams(graft.search.Bm25.tokens(col("text"))),
+          checkpoints = 8)
         .orderBy(col("ck"))),
 
     // Hill tail-index of the token-frequency distribution — the
@@ -984,11 +989,16 @@ object TextQueries {
         |FROM a""".stripMargin,
 
     "q176_heaps_law" ->
-      """WITH toks AS (
+      """WITH ws AS (
         |  SELECT doc_id,
-        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |           x -> len(x) > 1)) AS w
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> len(x) > 1) AS ws
         |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i + 1])) AS w
+        |  FROM ws WHERE len(ws) >= 2
         |), perdoc AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1),
         |fd AS (SELECT w, min(doc_id) AS fd FROM toks GROUP BY 1),
         |mx AS (SELECT max(doc_id) AS mx FROM documents),
@@ -1002,7 +1012,7 @@ object TextQueries {
         |               sum(x * y) AS sxy, sum(x * x) AS sxx FROM grid),
         |fit AS (SELECT (m * sxy - sx * sy) / (m * sxx - sx * sx) AS b, m, sx, sy FROM ols)
         |SELECT ck, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
-        |       round(b, 6) AS beta, round((sy - b * sx) / m, 6) AS log_k
+        |       round(b, 6) + 0.0 AS beta, round((sy - b * sx) / m, 6) + 0.0 AS log_k
         |FROM grid, fit ORDER BY ck""".stripMargin,
 
     "q171_cloze" ->

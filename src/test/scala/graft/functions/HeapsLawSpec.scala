@@ -32,6 +32,28 @@ class HeapsLawSpec extends SparkSpec {
     assert(logk == 0.0)
   }
 
+  test("exact-zero slope is +0.0, never -0.0 (sign-stabilized output)") {
+    // saturated vocabulary: V is constant at every checkpoint, so the OLS
+    // numerator is a pure cancellation residual whose sign is summation-
+    // order luck. The `round(...) + 0.0` edge must pin the bit pattern to
+    // +0.0 (r10's q176 flake: DuckDB returned -0.0 and +0.0 across runs).
+    val d = docs(0L -> "a b a b", 1L -> "b a a", 2L -> "a b", 3L -> "b a b a")
+    val g = HeapsLaw.fit(d, "id", split(col("text"), " "), checkpoints = 4)
+      .limit(1).collect().head
+    val beta = g.getDouble(g.fieldIndex("beta"))
+    assert(beta == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(beta) == 0L,
+      s"beta must be +0.0, got bit pattern of $beta")
+  }
+
+  test("bigrams: adjacent pairs, short arrays yield empty") {
+    val d = Seq("a b c d", "x", "").toDF("t")
+      .select(HeapsLaw.bigrams(split(col("t"), " ")).as("bg"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(d(0) == List("a b", "b c", "c d"))
+    assert(d(1) == Nil)
+  }
+
   test("every grid row carries the same fitted law") {
     val d = docs(0L -> "a b c", 1L -> "a b d", 2L -> "a e f g")
     val g = HeapsLaw.fit(d, "id", split(col("text"), " "), checkpoints = 3)
