@@ -19,11 +19,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Zero-cancellation scan (r10 q176 flake class): every gate output is
+    // re-read and swept for -0.0 cells (hard violation — the driver's hash
+    // does not normalize them, so they are cross-engine coin flips) and
+    // rounding-boundary cells (warning). Runs on the tiny written parquet,
+    // so the sweep costs microseconds per gate.
+    val negZero = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        graft.core.NegZeroScan.scan(spark.read.parquet(s"$outDir/$name"))
+          .foreach { s =>
+            if (s.negZero > 0) {
+              negZero += s"$name.${s.column}: ${s.negZero} cell(s)"
+              System.err.println(s"[verify] NEGZERO $name.${s.column}: ${s.negZero} -0.0 cell(s) — sign-stabilize with round(...)+0.0 on BOTH engines")
+            }
+            if (s.nearBoundary > 0)
+              System.err.println(s"[verify] boundary-warn $name.${s.column}: ${s.nearBoundary} cell(s) within 1e-9 of a .5e-6 rounding boundary")
+          }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -44,5 +61,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Fail AFTER all outputs + oracle json are written, so the driver's
+    // compare still sees the full board while the run itself goes loud-red.
+    if (negZero.nonEmpty)
+      sys.error(s"negative-zero cells in ${negZero.size} gate column(s): " +
+        negZero.mkString("; "))
   }
 }

@@ -34,9 +34,14 @@ object Allocation {
     val w = g.withColumn("w_int",
       round(col("n") * sd * 1e6, 0).cast("long"))
     val tot = w.agg(sum(col("w_int")).as("w_tot"))
+    // all-degenerate strata (every n=1 or zero variance) → w_tot=0: the
+    // integer div/mod would throw under ANSI instead of degrading —
+    // surface NULL allocations like the guarded sibling operators
     val q = w.crossJoin(broadcast(tot))
-      .withColumn("floor_alloc", expr(s"($budget * w_int) div w_tot"))
-      .withColumn("rem", expr(s"($budget * w_int) % w_tot"))
+      .withColumn("floor_alloc",
+        when(col("w_tot") > 0, expr(s"($budget * w_int) div w_tot")))
+      .withColumn("rem",
+        when(col("w_tot") > 0, expr(s"($budget * w_int) % w_tot")))
     val leftW = Window.orderBy(col("rem").desc, col(keyCol))
     val allW = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)

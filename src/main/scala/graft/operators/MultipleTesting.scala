@@ -53,8 +53,13 @@ object MultipleTesting {
             - col("k_rest").cast("double") / col("n_rest"))
             / sqrt(col("_pp") * (lit(1.0) - col("_pp"))
               * (lit(1.0) / col("n") + lit(1.0) / col("n_rest")))))
-      // two-sided p, ROUNDED before any comparison (ladder rule)
-      .withColumn("p", round(lit(2.0) * normalSf(abs(col("z"))), 6))
+      // two-sided p, ROUNDED before any comparison (ladder rule). A
+      // degenerate group (pooled rate 0/1 or n_rest=0) has NULL z —
+      // coalesce its p to 1.0 so it ranks LAST deterministically on both
+      // engines (Spark sorts NULLs first, DuckDB last) and is never
+      // rejected, instead of silently shifting real ranks (ADVICE r10).
+      .withColumn("p",
+        coalesce(round(lit(2.0) * normalSf(abs(col("z"))), 6), lit(1.0)))
     val m = Window.orderBy(col("p"), col(grpCol)) // total order: ties by name
     val ranked = z.withColumn("i", row_number().over(m).cast("long"))
       .withColumn("m", count(lit(1)).over(
@@ -93,11 +98,14 @@ object MultipleTesting {
     val z975 = lit(1.959963984540054)
     val z80 = lit(0.8416212335729143)
     val d = abs(p1 - p2) / se
+    // se=0 (all-0 / all-1 / empty group) would make d NaN — surface NULL
+    // like the guarded sibling operators, not NaN (ADVICE r10)
     g.select(col("n1"), col("k1"), col("n2"), col("k2"),
       round(p1, 6).as("p1"), round(p2, 6).as("p2"),
       round(se, 6).as("se"),
-      round(normalCdf(d - z975) + normalCdf(-d - z975), 6).as("power"),
-      round((z975 + z80) * se, 6).as("mde80"))
+      when(se > 0,
+        round(normalCdf(d - z975) + normalCdf(-d - z975), 6)).as("power"),
+      when(se > 0, round((z975 + z80) * se, 6)).as("mde80"))
   }
 
   /** One-sided upper-tail p for a SIGNED z: P(Z > z) = normalSf(z) for
@@ -126,7 +134,8 @@ object MultipleTesting {
       + p2 * (lit(1.0) - p2) / col("n2"))
     val pLow = normalSfSigned((d + lit(margin)) / se)   // H0: d <= -margin
     val pHigh = normalSfSigned((lit(margin) - d) / se)  // H0: d >= +margin
-    val pTost = round(greatest(pLow, pHigh), 6)
+    // se=0 → z undefined: NULL p_tost / equivalent, not NaN (ADVICE r10)
+    val pTost = when(se > 0, round(greatest(pLow, pHigh), 6))
     g.select(col("n1"), col("k1"), col("n2"), col("k2"),
       round(d, 6).as("d"), round(se, 6).as("se"),
       pTost.as("p_tost"), (pTost <= alpha).as("equivalent"))
@@ -152,7 +161,9 @@ object MultipleTesting {
             - col("k_rest").cast("double") / col("n_rest"))
             / sqrt(col("_pp") * (lit(1.0) - col("_pp"))
               * (lit(1.0) / col("n") + lit(1.0) / col("n_rest")))))
-      .withColumn("p", round(lit(2.0) * normalSf(abs(col("z"))), 6))
+      // degenerate group → p = 1.0, ranks last, never rejected (see bhFdr)
+      .withColumn("p",
+        coalesce(round(lit(2.0) * normalSf(abs(col("z"))), 6), lit(1.0)))
     val m = Window.orderBy(col("p"), col(grpCol))
     val ranked = z.withColumn("i", row_number().over(m).cast("long"))
       .withColumn("m", count(lit(1)).over(

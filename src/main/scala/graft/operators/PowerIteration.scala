@@ -58,8 +58,9 @@ object PowerIteration {
       .select(when(col("vj") < 0, lit(-1.0)).otherwise(lit(1.0)).as("sgn"))
     vFinal.crossJoin(broadcast(sign)).crossJoin(broadcast(lam))
       .select((col("j") + 1).cast("long").as("dim"),
-        round(col("vj") * col("sgn"), 6).as("v"),
-        round(col("lambda"), 6).as("lambda"))
+        // `+ 0.0` pins a cancellation-zero component to +0.0 (q176 class)
+        (round(col("vj") * col("sgn"), 6) + lit(0.0)).as("v"),
+        (round(col("lambda"), 6) + lit(0.0)).as("lambda"))
       .orderBy(col("dim"))
   }
 }

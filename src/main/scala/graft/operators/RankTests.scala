@@ -113,9 +113,10 @@ object RankTests {
         // all-tied axes zero a variance factor — NULL, not ANSI error
         when(col("n") * col("sxx") > col("sx") * col("sx") &&
           col("n") * col("syy") > col("sy") * col("sy"),
+          // `+ 0.0` pins a cancellation-zero numerator to +0.0 (q176 class)
           round((col("n") * col("sxy") - col("sx") * col("sy"))
             / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
-              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6) + lit(0.0))
           .as("rho"))
   }
 

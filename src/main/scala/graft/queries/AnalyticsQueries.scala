@@ -304,9 +304,10 @@ object AnalyticsQueries {
           sum(col("xj") * col("xj")).as("sjj"),
           sum(col("xi") * col("xj")).as("sij"))
         .withColumn("r",
+          // `+ 0.0` pins a cancellation-zero numerator to +0.0 (q176 class)
           round((col("n") * col("sij") - col("si") * col("sj"))
             / (sqrt(col("n") * col("sii") - col("si") * col("si"))
-              * sqrt(col("n") * col("sjj") - col("sj") * col("sj"))), 6))
+              * sqrt(col("n") * col("sjj") - col("sj") * col("sj"))), 6) + lit(0.0))
         .select((col("i") + 1).cast("long").as("dim_i"),
           (col("j") + 1).cast("long").as("dim_j"), col("r"))
         .orderBy(col("dim_i"), col("dim_j"))
@@ -1583,7 +1584,7 @@ object AnalyticsQueries {
         |  FROM p GROUP BY di, dj)
         |SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
         |       round((n * sij - si * sj)
-        |             / (sqrt(n * sii - si * si) * sqrt(n * sjj - sj * sj)), 6) AS r
+        |             / (sqrt(n * sii - si * si) * sqrt(n * sjj - sj * sj)), 6) + 0.0 AS r
         |FROM s
         |ORDER BY dim_i, dim_j""".stripMargin,
 
@@ -1750,7 +1751,7 @@ object AnalyticsQueries {
         |SELECT g AS source, n,
         |       CASE WHEN n * sxx > sx * sx AND n * syy > sy * sy THEN
         |         round((n * sxy - sx * sy)
-        |               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0.0
         |       END AS rho
         |FROM s ORDER BY source""".stripMargin,
 
@@ -1765,15 +1766,16 @@ object AnalyticsQueries {
         |t AS (SELECT sum(n) AS nn, sum(k) AS kk FROM g),
         |z AS (
         |  SELECT source, n, k,
-        |         (CAST(k AS DOUBLE) / n - CAST(kk - k AS DOUBLE) / (nn - n))
-        |           / sqrt((CAST(kk AS DOUBLE) / nn) * (1.0 - CAST(kk AS DOUBLE) / nn)
-        |                  * (1.0 / n + 1.0 / (nn - n))) AS z
+        |         CASE WHEN kk > 0 AND kk < nn AND nn - n > 0 THEN
+        |           (CAST(k AS DOUBLE) / n - CAST(kk - k AS DOUBLE) / (nn - n))
+        |             / sqrt((CAST(kk AS DOUBLE) / nn) * (1.0 - CAST(kk AS DOUBLE) / nn)
+        |                    * (1.0 / n + 1.0 / (nn - n))) END AS z
         |  FROM g, t),
         |p AS (
         |  SELECT source, n, k, z,
-        |         round(2.0 * (exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002
+        |         coalesce(round(2.0 * (exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002
         |           * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
-        |              + tt * (-1.821255978 + tt * 1.330274429)))))), 6) AS p
+        |              + tt * (-1.821255978 + tt * 1.330274429)))))), 6), 1.0) AS p
         |  FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM z)),
         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, source) AS BIGINT) AS i,
         |             CAST(count(*) OVER () AS BIGINT) AS m
@@ -1813,8 +1815,8 @@ object AnalyticsQueries {
         |  SELECT sum(cov.c * a.vj * b.vj) AS lambda
         |  FROM cov JOIN v3 a ON cov.j = a.j JOIN v3 b ON cov.i = b.j),
         |sgn AS (SELECT CASE WHEN vj < 0 THEN -1.0 ELSE 1.0 END AS sgn FROM v3 WHERE j = 1)
-        |SELECT CAST(v3.j AS BIGINT) AS dim, round(v3.vj * sgn, 6) AS v,
-        |       round(lambda, 6) AS lambda
+        |SELECT CAST(v3.j AS BIGINT) AS dim, round(v3.vj * sgn, 6) + 0.0 AS v,
+        |       round(lambda, 6) + 0.0 AS lambda
         |FROM v3, sgn, lam ORDER BY dim""".stripMargin,
 
     "q227_ess_weights" ->
@@ -1986,8 +1988,8 @@ object AnalyticsQueries {
         |      FROM g),
         |t AS (SELECT CAST(sum(w_int) AS BIGINT) AS w_tot FROM w),
         |q AS (SELECT source, n, w_int,
-        |             CAST((100 * w_int) // w_tot AS BIGINT) AS floor_alloc,
-        |             CAST((100 * w_int) % w_tot AS BIGINT) AS rem
+        |             CAST(CASE WHEN w_tot > 0 THEN (100 * w_int) // w_tot END AS BIGINT) AS floor_alloc,
+        |             CAST(CASE WHEN w_tot > 0 THEN (100 * w_int) % w_tot END AS BIGINT) AS rem
         |      FROM w, t),
         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rrank,
         |             CAST(100 - sum(floor_alloc) OVER () AS BIGINT) AS leftover
@@ -2095,9 +2097,11 @@ object AnalyticsQueries {
         |      FROM w)
         |SELECT n1, k1, n2, k2, round(p1d, 6) AS p1, round(p2d, 6) AS p2,
         |       round(se, 6) AS se,
-        |       round((CASE WHEN t1 >= 0 THEN 1.0 - sf1 ELSE sf1 END)
-        |             + (CASE WHEN t2 >= 0 THEN 1.0 - sf2 ELSE sf2 END), 6) AS power,
-        |       round((1.959963984540054 + 0.8416212335729143) * se, 6) AS mde80
+        |       CASE WHEN se > 0 THEN
+        |         round((CASE WHEN t1 >= 0 THEN 1.0 - sf1 ELSE sf1 END)
+        |               + (CASE WHEN t2 >= 0 THEN 1.0 - sf2 ELSE sf2 END), 6) END AS power,
+        |       CASE WHEN se > 0 THEN
+        |         round((1.959963984540054 + 0.8416212335729143) * se, 6) END AS mde80
         |FROM v""".stripMargin,
 
     // MI terms in the same in-row order as the gate: a, b, c, d
@@ -2177,8 +2181,9 @@ object AnalyticsQueries {
         |             + u2 * (-1.821255978 + u2 * 1.330274429))))) AS sf2
         |      FROM w),
         |q AS (SELECT *,
-        |        round(greatest(CASE WHEN z1 >= 0 THEN sf1 ELSE 1.0 - sf1 END,
-        |                       CASE WHEN z2 >= 0 THEN sf2 ELSE 1.0 - sf2 END), 6) AS p_tost
+        |        CASE WHEN se > 0 THEN
+        |          round(greatest(CASE WHEN z1 >= 0 THEN sf1 ELSE 1.0 - sf1 END,
+        |                         CASE WHEN z2 >= 0 THEN sf2 ELSE 1.0 - sf2 END), 6) END AS p_tost
         |      FROM v)
         |SELECT n1, k1, n2, k2, round(d, 6) AS d, round(se, 6) AS se,
         |       p_tost, p_tost <= 0.05 AS equivalent
@@ -2193,15 +2198,16 @@ object AnalyticsQueries {
         |t AS (SELECT sum(n) AS nn, sum(k) AS kk FROM g),
         |z AS (
         |  SELECT source, n, k,
-        |         (CAST(k AS DOUBLE) / n - CAST(kk - k AS DOUBLE) / (nn - n))
-        |           / sqrt((CAST(kk AS DOUBLE) / nn) * (1.0 - CAST(kk AS DOUBLE) / nn)
-        |                  * (1.0 / n + 1.0 / (nn - n))) AS z
+        |         CASE WHEN kk > 0 AND kk < nn AND nn - n > 0 THEN
+        |           (CAST(k AS DOUBLE) / n - CAST(kk - k AS DOUBLE) / (nn - n))
+        |             / sqrt((CAST(kk AS DOUBLE) / nn) * (1.0 - CAST(kk AS DOUBLE) / nn)
+        |                    * (1.0 / n + 1.0 / (nn - n))) END AS z
         |  FROM g, t),
         |p AS (
         |  SELECT source, n, k, z,
-        |         round(2.0 * (exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002
+        |         coalesce(round(2.0 * (exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002
         |           * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
-        |              + tt * (-1.821255978 + tt * 1.330274429)))))), 6) AS p
+        |              + tt * (-1.821255978 + tt * 1.330274429)))))), 6), 1.0) AS p
         |  FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM z)),
         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, source) AS BIGINT) AS i,
         |             CAST(count(*) OVER () AS BIGINT) AS m

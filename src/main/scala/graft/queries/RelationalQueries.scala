@@ -22,6 +22,17 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Previous q234 run's (lineitem table, orders table, temp dir), retired
+    * lazily at the NEXT invocation (see the gate for why).
+    */
+  @volatile private var q234Layout: Option[(String, String, String)] = None
+  private val q234Lock = new Object
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** Per-session ordered-step times (t_view → t_click → t_purchase) —
     * the funnel table shared by q146 (counts) and q164 (latency).
     */
@@ -463,10 +474,11 @@ object RelationalQueries {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("x") * col("y")).as("sxy"))
         .select(col("event_type"), col("n"),
-          round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
-            (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 6).as("slope"),
-          round((col("sy").cast("double") * col("sxx") - col("sx").cast("double") * col("sxy")) /
-            (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 6).as("intercept"))
+          // `+ 0.0` pins a cancellation-zero numerator to +0.0 (q176 class)
+          (round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+            (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 6) + lit(0.0)).as("slope"),
+          (round((col("sy").cast("double") * col("sxx") - col("sx").cast("double") * col("sxy")) /
+            (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 6) + lit(0.0)).as("intercept"))
         .orderBy(col("event_type"))
     }),
 
@@ -517,19 +529,37 @@ object RelationalQueries {
     // sf-test orders side, which would bypass the layout being gated.
     "q234_bucketed_join" -> ((s, dir) => {
       import java.nio.file.Files
-      val tmp = Files.createTempDirectory("g234").toString
+      // per-run token: concurrent sessions get distinct metastore names,
+      // and each invocation retires the PREVIOUS run's tables + temp dir
+      // (the returned DataFrame is lazy, so cleanup can't run after this
+      // call — deferring it one invocation keeps at most one layout on
+      // disk across repeated bench passes instead of leaking one per run)
+      val (liName, ordName, tmp) = q234Lock.synchronized {
+        q234Layout.foreach { case (oldLi, oldOrd, oldTmp) =>
+          try {
+            s.sql(s"DROP TABLE IF EXISTS $oldLi")
+            s.sql(s"DROP TABLE IF EXISTS $oldOrd")
+            deleteRecursively(new java.io.File(oldTmp))
+          } catch { case _: Throwable => }
+        }
+        val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        val t = (s"g234_li_$token", s"g234_ord_$token",
+          Files.createTempDirectory("g234").toString)
+        q234Layout = Some(t)
+        t
+      }
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       val ord = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority"))
       li.write.mode("overwrite").option("path", s"$tmp/li")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .format("parquet").saveAsTable("g234_li")
+        .format("parquet").saveAsTable(liName)
       ord.write.mode("overwrite").option("path", s"$tmp/ord")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .format("parquet").saveAsTable("g234_ord")
-      s.table("g234_li")
-        .join(s.table("g234_ord").hint("merge"),
+        .format("parquet").saveAsTable(ordName)
+      s.table(liName)
+        .join(s.table(ordName).hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"),
@@ -959,9 +989,9 @@ object RelationalQueries {
         |      FROM d GROUP BY event_type)
         |SELECT event_type, CAST(n AS BIGINT) AS n,
         |       round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
-        |             / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6) AS slope,
+        |             / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6) + 0.0 AS slope,
         |       round((CAST(sy AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sxy)
-        |             / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6) AS intercept
+        |             / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6) + 0.0 AS intercept
         |FROM s ORDER BY event_type""".stripMargin,
 
     "q116_rate_anomaly" ->

@@ -492,9 +492,11 @@ object TextQueries {
           // identical double promotion on both sides keeps the formula
           // deterministic at any corpus size. sqrt(a)*sqrt(b) additionally
           // keeps the variance product in range.
-          round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+          // `+ 0.0` pins a cancellation-zero numerator to +0.0 (the q176
+          // flake class — see NegZeroScan).
+          (round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
             (sqrt(col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
-             sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))), 6).as("r"))
+             sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))), 6) + lit(0.0)).as("r"))
         .orderBy(col("source"))
     }),
 
@@ -1501,7 +1503,7 @@ object TextQueries {
         |SELECT source, CAST(n AS BIGINT) AS n,
         |       round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
         |             (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
-        |              sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6) AS r
+        |              sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6) + 0.0 AS r
         |FROM a ORDER BY source""".stripMargin,
 
     "q68_lm_quality" ->

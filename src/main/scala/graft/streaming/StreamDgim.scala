@@ -22,7 +22,10 @@ object StreamDgim {
   /** A hit has no payload beyond its tick: within a key group, rows tied
     * on `time` are value-identical, so the time sort below is a total
     * order over row VALUES and the fold is replay-stable by construction
-    * (the StreamEwma tiebreak concern does not arise here).
+    * (the StreamEwma tiebreak concern does not arise here — proven by the
+    * StreamDgimSpec "tied timestamps replay identically across 10 runs"
+    * case, which folds a dup-heavy input under varying partitionings).
+    * If Hit ever grows a payload field, add it to every sortBy below.
     */
   case class Hit(key: String, time: Long)
 

@@ -64,6 +64,28 @@ class StreamDgimSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tied timestamps replay identically across 10 runs (ADVICE r10 #3)") {
+    // duplicate (key, time) rows: a Hit carries no payload beyond its
+    // tick, so tied rows are value-identical and sortBy(_.time) is a
+    // total order over row VALUES — any shuffle-arrival permutation folds
+    // to the same output multiset. Prove it: 10 distributed replays over
+    // a dup-heavy input, each repartitioned differently, must agree.
+    val hits = (1L to 400L).flatMap { t =>
+      val dups = 1 + (t % 3).toInt // up to 3 identical hits per tick
+      Seq.fill(dups)(Hit(s"k${t % 4}", t / 2))
+    }
+    val runs = (1 to 10).map { i =>
+      batchCountedDs(hits.toDS().repartition(1 + i % 7), 64L)
+        .collect().toSeq
+        .sortBy(e => (e.key, e.time, e.estimate, e.nBuckets))
+    }
+    runs.tail.foreach(r => assert(r == runs.head))
+    // and the distributed replay agrees with the driver-side fold
+    val local = batchCounted(hits, 64L)
+      .sortBy(e => (e.key, e.time, e.estimate, e.nBuckets))
+    assert(runs.head == local)
+  }
+
   test("distributed batch replay (q205 surface) equals the driver-side fold") {
     val window = 64L
     val data = (1L to 300L).filter(_ % 3 != 0).map(Hit("a", _)) ++
