@@ -21,6 +21,26 @@ import graft.ingest.SourceScan
   */
 object IndexPipeline {
 
+  /** Wall-clock stage splits (ms) of the most recent [[index]] call on
+    * this thread — scan / parse / embed / store-write / state-write. Read
+    * by q32 so a driver-side wall-time doubling is attributable to a
+    * stage from the correctness artifact alone (r10 verdict: q32's bench
+    * variance was unprovably "contention on the two COW store writes").
+    * Thread-local because gates can run concurrently in one JVM.
+    */
+  private val stageTimes =
+    new ThreadLocal[scala.collection.mutable.LinkedHashMap[String, Long]] {
+      override def initialValue() = scala.collection.mutable.LinkedHashMap.empty
+    }
+  def lastStageTimingsMs: Seq[(String, Long)] = stageTimes.get().toSeq
+  private def timed[A](stage: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    stageTimes.get().update(stage,
+      stageTimes.get().getOrElse(stage, 0L) + (System.nanoTime() - t0) / 1000000L)
+    r
+  }
+
   case class IndexingResult(
       mode: String,
       filesScanned: Long,
@@ -103,9 +123,10 @@ object IndexPipeline {
             embedder: Embedder = DeterministicEmbedder(),
             config: graft.core.GraftConfig = graft.core.GraftConfig()): IndexingResult = {
     import spark.implicits._
+    stageTimes.get().clear()
 
     // --- metadata-only walk (no content reads) ---------------------------
-    val files = SourceScan.listFiles(projectDir, config)
+    val files = timed("scan")(SourceScan.listFiles(projectDir, config))
     val filesScanned = files.size.toLong
     val curMeta = spark.createDataset(files).toDF("relPath", "size", "mtime")
 
@@ -161,14 +182,15 @@ object IndexPipeline {
 
     // --- parse + merge ---------------------------------------------------
     val results = SourceScan.parseAll(toParse).cache()
-    val filesParsed = results.count()
+    // the count materializes content read + hash + parse for the batch
+    val filesParsed = timed("parse")(results.count())
     val replaced = toParse.map(_.relPath).toDF("relPath").union(removed)
 
     val res = applyChanges(spark, storeDir, results, replaced, incremental, embedder)
 
     val newState = unchangedState.unionByName(
       hashed.map(h => FileState(h.row.relPath, h.hash, h.row.size, h.row.mtime)).toDF())
-    IndexStore.writeState(newState, storeDir)
+    timed("state_write")(IndexStore.writeState(newState, storeDir))
     hashed.unpersist(); results.unpersist()
     res.copy(mode = if (incremental) "incremental" else "full",
       filesScanned = filesScanned, filesParsed = filesParsed)
@@ -275,10 +297,11 @@ object IndexPipeline {
       .dropDuplicates("chunkId")
       .persist()
 
-    // one job for written + embedded counts over finalNew
-    val newStats = finalNew.agg(
+    // one job for written + embedded counts over finalNew; this head()
+    // materializes the persisted embed DAG, so its wall IS the embed stage
+    val newStats = timed("embed")(finalNew.agg(
       count(lit(1)).as("total"),
-      count(when(col("_fromEmbedder"), 1)).as("emb")).head()
+      count(when(col("_fromEmbedder"), 1)).as("emb")).head())
     val chunksWritten = newStats.getLong(0)
     val chunksEmbedded = newStats.getLong(1)
     // one job for total + relation count instead of two over `all`
@@ -288,7 +311,7 @@ object IndexPipeline {
     val nRelations = statRow.getLong(1)
     val chunksCarried = statRow.getLong(0) - chunksWritten
 
-    IndexStore.writeChunks(all, storeDir)
+    timed("store_write")(IndexStore.writeChunks(all, storeDir))
     newChunksRaw.unpersist(); names.unpersist(); all.unpersist(); finalNew.unpersist()
     IndexingResult(if (incremental) "incremental" else "full",
       0, 0, nEntities, nRelations, chunksWritten, chunksCarried, errors, chunksEmbedded)

@@ -161,12 +161,25 @@ object IndexBenchQueries {
       val store = Files.createTempDirectory("graft_synth_store").toString
       writeSyntheticRepo(repo)
       val engine = GraftEngine(s, store)
-      val res = engine.index(repo)
-      val searchHits = engine.searchSimilar("aggregating items total", "hybrid", limit = 5).count()
-      val graphRows = engine.readGraph("helper_5_a", "relationships", limit = 100).count()
+      def ms[A](body: => A): (A, Long) = {
+        val t0 = System.nanoTime()
+        val r = body
+        (r, (System.nanoTime() - t0) / 1000000L)
+      }
+      val (res, _) = ms(engine.index(repo))
+      val stageRows = graft.index.IndexPipeline.lastStageTimingsMs
+        .map { case (k, v) => (s"t_${k}_ms", v) }
+      val (searchHits, tSearch) =
+        ms(engine.searchSimilar("aggregating items total", "hybrid", limit = 5).count())
+      val (graphRows, tGraph) =
+        ms(engine.readGraph("helper_5_a", "relationships", limit = 100).count())
       val info = engine.collectionInfo().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      Seq(
+      // structural counts are deterministic (the rows-only check's value);
+      // the t_*_ms rows attribute a driver-side wall-time swing to its
+      // stage (scan/parse/embed/store-write/state/search) from the
+      // artifact alone — r10 verdict task: q32 must be self-explaining
+      (Seq(
         ("files_scanned", res.filesScanned),
         ("entities", res.entities),
         ("relation_chunks", res.relations),
@@ -175,7 +188,10 @@ object IndexBenchQueries {
         ("search_hits", searchHits),
         ("graph_edges", graphRows),
         ("parse_errors", res.errors.length.toLong)
-      ).toDF("metric", "value")
+      ) ++ stageRows ++ Seq(
+        ("t_search_ms", tSearch),
+        ("t_graph_read_ms", tGraph)
+      )).toDF("metric", "value")
     })
   )
 
