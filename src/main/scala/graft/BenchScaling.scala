@@ -123,12 +123,26 @@ object BenchScaling {
     "q233_rate_replay" -> (("events", 1.0, true)),
     "q252_page_hinkley" -> (("events", 1.0, true)),
     "q234_bucketed_join" -> (("lineitem", 1.0, true)), // incl. the layout write
-    "q238_modularity" -> (("documents", 1.5, false)), // label-prop banded pairs
+    "q238_modularity" -> (("documents", 1.5, true)), // label-prop banded pairs; salted-docs sf1
     "q239_energy_distance" -> (("documents", 1.0, false)), // O(grid) identity
-    "q247_feature_mi" -> (("documents", 1.0, false)) // bounded 25x fan-out
+    "q247_feature_mi" -> (("documents", 1.0, true)), // bounded 25x fan-out; salted-docs sf1
+
+    // ===== wave 4 (r11): the q223-q259 stats/drift gates ≥0.6 s at sf0.1
+    // (r10 advisory: their decades were mostly unmeasured); the three
+    // with join fan-out additionally take the synthesized sf1 decade
+    "q223_spearman" -> (("documents", 1.0, false)), // midranks on distinct-value grids
+    "q225_power_iter" -> (("embeddings", 1.0, false)), // corpus once + 64^2 grid iters
+    "q226_isotonic" -> (("documents", 1.0, false)), // PAV on the bounded bin grid
+    "q232_enrich_replay" -> (("events", 1.0, true)), // stream-static equi-join replay
+    "q235_conformal" -> (("documents", 1.0, false)), // score quantile + one pass
+    "q246_bloom_fpr" -> (("documents", 1.0, false)), // per-source bit-or fold
+    "q250_holm" -> (("documents", 1.0, false)), // m-row family grid after one agg
+    "q253_capture_recapture" -> (("documents", 1.5, true)), // two banded detectors; salted-docs sf1
+    "q259_mmd_rff" -> (("embeddings", 1.0, false)) // frozen RFF bank, one pass
     // NOT audited: q32/q207-q209/q216-q219 run a FIXED-SIZE synthetic
     // repo (no sf table feeds them — growth is undefined); sub-second
-    // gates carry more scheduler noise than signal.
+    // gates (the remaining q223-q259 rows, all ≤0.6 s at sf0.1) carry
+    // more scheduler noise than signal.
   )
 
   /** (query, dir) pairs timed once instead of min-of-2: the documented

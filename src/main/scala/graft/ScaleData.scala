@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * replicate 10× with foreign-key-consistent key offsets (replica ·
   * 10⁹), so joins keep their selectivity and group counts scale with the
   * data — exactly how these tables grow in the real generator. region/
-  * nation are fixed dimensions and copy through. documents/embeddings
-  * copy UNCHANGED: replicating text or vectors manufactures cross-replica
-  * (near-)duplicates that inflate every dedup/ANN bucket 10× — a workload
-  * the real generator does not produce — so text/embedding gates are
-  * audited on the genuine sf0.01→sf0.1 decade instead (their tables grow
-  * 10×/4× there).
+  * nation are fixed dimensions and copy through. documents replicate with
+  * TOKEN-SALTED text (disjoint per-replica vocabularies — see the entry
+  * below) and embeddings with fresh random vectors: replicating either
+  * verbatim would manufacture cross-replica (near-)duplicates that
+  * inflate every dedup/ANN bucket 10× — a workload the real generator
+  * does not produce. Most text gates are still audited on the genuine
+  * sf0.01→sf0.1 decade; only the three join-fan-out gates (q238/q247/
+  * q253) take the synthesized documents sf1 decade.
   */
 object ScaleData {
 
@@ -55,7 +57,24 @@ object ScaleData {
       "lineitem" -> replicate("lineitem",
         Seq("l_orderkey", "l_partkey", "l_suppkey")),
       "events" -> replicate("events", Seq("event_id", "user_id")),
-      "documents" -> spark.read.parquet(s"$src/documents.parquet"),
+      // documents: replicas get TOKEN-SALTED text (every alnum run gains
+      // a per-replica suffix), so replica vocabularies are disjoint —
+      // shingles/minhash/simhash buckets never collide across replicas
+      // and the corpus grows like ten unrelated crawls concatenated
+      // (genuine growth), NOT like one corpus duplicated 10× (which would
+      // inflate every dedup/ANN bucket with manufactured near-dups).
+      // Replica 0 keeps the original text, so the real data is a subset.
+      // Used by the documents-backed sf1 decades (q238/q247/q253).
+      "documents" -> {
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        docs.crossJoin(spark.range(Replicas).select(col("id").as("_rep")))
+          .select(
+            (col("doc_id") + col("_rep") * KeyStride).as("doc_id"),
+            when(col("_rep") === 0, col("text"))
+              .otherwise(regexp_replace(col("text"), lit("([a-z0-9]+)"),
+                concat(lit("$1x"), col("_rep")))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+      },
       // embeddings: replicas get FRESH deterministic vectors (md5-derived
       // uniforms in [-1, 1)) — replicating vectors verbatim would
       // manufacture exact cross-replica duplicates and poison every
