@@ -14,13 +14,21 @@ import graft.core.Model._
 object JsParser {
   private val FuncRe = """^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s*\*?\s*([A-Za-z_$][\w$]*)\s*\(([^)]*)\)""".r
   private val ArrowRe = """^\s*(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][\w$]*)\s*=\s*(?:async\s*)?(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*=>""".r
-  private val ClassRe = """^\s*(?:export\s+)?(?:default\s+)?(?:abstract\s+)?class\s+([A-Za-z_$][\w$]*)(?:\s+extends\s+([A-Za-z_$][\w$.]*))?(?:\s+implements\s+([\w$,\s]+))?""".r
-  private val InterfaceRe = """^\s*(?:export\s+)?interface\s+([A-Za-z_$][\w$]*)(?:\s+extends\s+([\w$,\s]+))?""".r
+  // `<...>` spans: a generic class name (`class Box<T>`), a generic base
+  // (`extends Base<T>`), or generic interface args must not block the
+  // extends/implements groups — tree-sitter exposes the bare
+  // type_identifier next to its type_arguments, so the reference records
+  // the BASE name without generic args (javascript_parser.py:629-663)
+  private val ClassRe = """^\s*(?:export\s+)?(?:default\s+)?(?:abstract\s+)?class\s+([A-Za-z_$][\w$]*)(?:<[^>{]*>)?(?:\s+extends\s+([A-Za-z_$][\w$.]*)(?:<[^>{]*>)?)?(?:\s+implements\s+([\w$.,<>\s]+))?""".r
+  private val InterfaceRe = """^\s*(?:export\s+)?interface\s+([A-Za-z_$][\w$]*)(?:<[^>{]*>)?(?:\s+extends\s+([\w$.,<>\s]+))?""".r
   private val ImportRe = """^\s*import\s+(?:.+\s+from\s+)?['"]([^'"]+)['"]""".r
   private val ReExportStarRe = """^\s*export\s+\*\s+from\s+['"]([^'"]+)['"]""".r
   private val ExportListRe = """^\s*export\s+\{([^}]*)\}(?:\s*from\s+['"]([^'"]+)['"])?""".r
   private val RequireRe = """require\s*\(\s*['"]([^'"]+)['"]\s*\)""".r
   private val VarRe = """^(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][\w$]*)\s*(?::[^=]+)?=""".r
+  // single-line destructuring declarations (the multiline form is the
+  // structural parser's documented blind spot, like template literals)
+  private val DestructRe = """^\s*(?:export\s+)?(?:const|let|var)\s+(\{.*\}|\[.*\])\s*=""".r
   private val CallRe = """([A-Za-z_$][\w$]*)\s*\(""".r
   // class members: modifiers + name(params) { — or an arrow-function /
   // plain field. '#' covers private members; <..> covers generic methods.
@@ -38,6 +46,60 @@ object JsParser {
   private val IoRe = """(JSON\.parse|JSON\.stringify|fetch|axios\.\w+)\s*\(\s*(?:['"]([^'"]+)['"])?""".r
   private val StmtKeywords = Set("if", "for", "while", "switch", "catch", "return",
     "else", "do", "try", "new", "function", "typeof", "await", "yield", "case", "async")
+
+  /** Peel generic-argument spans to the bare names the reference records
+    * (`Base<Map<K, V>>, Other` → `Base, Other`): innermost `<...>` pairs
+    * are removed to fixpoint, so nesting unwinds without a real parser.
+    */
+  private def stripGenerics(s: String): String = {
+    var cur = s
+    var prev = ""
+    while (cur != prev) { prev = cur; cur = cur.replaceAll("<[^<>]*>", "") }
+    cur
+  }
+
+  // the reference's variable-inclusion filter, applied to EVERY variable
+  // family (javascript_parser.py:1106-1139): loop/temp names are skipped,
+  // 1-char names only when on the mathematical whitelist
+  private val TempNames = Set("i", "j", "k", "index", "item", "key", "value", "temp", "tmp")
+  private val ShortOk = Set("x", "y", "z", "a", "b", "c", "d", "e", "f", "g", "h",
+    "n", "m", "p", "q", "r", "s", "t", "u", "v", "w")
+  private def includeVar(n: String): Boolean =
+    !TempNames.contains(n) && (n.length > 1 || ShortOk.contains(n))
+
+  /** Names bound by a destructuring pattern (reference families,
+    * javascript_parser.py:958-1105): object shorthand `{name}`, default
+    * `{timeout = 5000}`, renamed `{username: uname}` (the VALUE side is
+    * the binding), nested `{addr: {street, city}}`, rest `{...rest}`;
+    * array elements, rest, and nested patterns.
+    */
+  private[ingest] def destructuredNames(pat: String): Seq[String] = {
+    val t = pat.trim
+    if (t.length < 2 || !(t.head == '{' || t.head == '[')) return Seq.empty
+    val isObj = t.head == '{'
+    val body = t.drop(1).dropRight(1)
+    val parts = ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var d = 0
+    body.foreach {
+      case ch @ ('{' | '[' | '(') => d += 1; sb += ch
+      case ch @ ('}' | ']' | ')') => d -= 1; sb += ch
+      case ',' if d == 0 => parts += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    if (sb.nonEmpty) parts += sb.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).flatMap { p =>
+      if (p.startsWith("..."))
+        Seq(p.drop(3).trim).filter(_.matches("[A-Za-z_$][\\w$]*"))
+      else {
+        val v = if (isObj && p.contains(':')) p.substring(p.indexOf(':') + 1).trim else p
+        val noDefault = v.split("=").head.trim
+        if (noDefault.startsWith("{") || noDefault.startsWith("["))
+          destructuredNames(noDefault)
+        else Seq(noDefault).filter(_.matches("[A-Za-z_$][\\w$]*"))
+      }
+    }.filter(includeVar)
+  }
   private val Builtins = Set("console", "require", "parseInt", "parseFloat", "String",
     "Number", "Boolean", "Array", "Object", "Promise", "setTimeout", "setInterval")
 
@@ -181,9 +243,10 @@ object JsParser {
             obs += s"extends: $e"
             relations += Relation(name, e, "extends", "", "", 1.0)
           }
-          Option(impls).foreach(_.split(",").map(_.trim).filter(_.nonEmpty).foreach { im =>
-            relations += Relation(name, im, "implements", "", "", 1.0)
-          })
+          Option(impls).foreach(s => stripGenerics(s).split(",").map(_.trim)
+            .filter(_.nonEmpty).foreach { im =>
+              relations += Relation(name, im, "implements", "", "", 1.0)
+            })
           val decs = decoratorsAbove(i)
           if (decs.nonEmpty) obs += s"decorators: ${decs.mkString(", ")}"
           val methods = MethodRe.findAllMatchIn(body).map(_.group(1)).toSeq
@@ -203,9 +266,10 @@ object JsParser {
             entities += Entity(name, "interface", relPath, i + 1, endL + 1,
               Seq(s"interface: $name"), "", line.trim.take(120))
             relations += Relation(relPath, name, "contains", "", "", 1.0)
-            Option(m.group(2)).foreach(_.split(",").map(_.trim).filter(_.nonEmpty).foreach { e =>
-              relations += Relation(name, e, "extends", "", "", 1.0)
-            })
+            Option(m.group(2)).foreach(s => stripGenerics(s).split(",").map(_.trim)
+              .filter(_.nonEmpty).foreach { e =>
+                relations += Relation(name, e, "extends", "", "", 1.0)
+              })
             if (endL > i) implChunk(name, "interface", i, endL)
           case None => FuncRe.findFirstMatchIn(line) match {
             case Some(m) =>
@@ -272,12 +336,23 @@ object JsParser {
                   }
                 }
               case None => VarRe.findFirstMatchIn(line) match {
-                case Some(m) if depthBefore == 0 =>
+                case Some(m) if depthBefore == 0 && includeVar(m.group(1)) =>
                   val name = m.group(1)
                   val t = if (name.toUpperCase == name) "constant" else "variable"
                   entities += Entity(name, t, relPath, i + 1, i + 1,
                     Seq(s"$t: $name"), "", line.trim.take(80))
                   relations += Relation(relPath, name, "contains", "", "", 1.0)
+                case Some(_) =>
+                case None if depthBefore == 0 =>
+                  // module-level destructuring declaration: bind each name
+                  // the reference's pattern walk binds (js_parser.py:958-1105)
+                  DestructRe.findFirstMatchIn(stripLiterals(line)).foreach { m =>
+                    destructuredNames(m.group(1)).distinct.foreach { name =>
+                      entities += Entity(name, "variable", relPath, i + 1, i + 1,
+                        Seq(s"variable: $name", "destructured"), "", line.trim.take(80))
+                      relations += Relation(relPath, name, "contains", "", "", 1.0)
+                    }
+                  }
                 case _ =>
               }
             }
