@@ -71,6 +71,25 @@ object IndexBenchQueries {
     * the store from three gates changes nothing about what is asserted —
     * q32 keeps its own fresh end-to-end run (it IS the timing gate).
     */
+  /** Byte-copy of a store directory — q261/q262 mutate (manual-memory
+    * upsert, compaction rewrite) and must not dirty the shared index.
+    */
+  private def copyStore(src: String): String = {
+    val dst = Files.createTempDirectory("graft_store_copy").toString
+    val srcP = Paths.get(src)
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(srcP)
+    try walk.iterator().asScala.foreach { p =>
+      val t = Paths.get(dst).resolve(srcP.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally walk.close()
+    dst
+  }
+
   private val shared = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def indexedStore(s: SparkSession): String =
     shared.computeIfAbsent("store", _ => {
@@ -153,6 +172,63 @@ object IndexBenchQueries {
         .select(col("chunkType").as("chunk_type"),
           explode(col("entities")).as("entity_name"))
         .orderBy(col("chunk_type"), col("entity_name"))
+    }),
+
+    // The LAST spec-only engine verbs, hash-gated over the shared
+    // deterministic store (r10 advisory #7): snippet search, cached
+    // search + invalidation-on-mutation, and store compaction. Golden-
+    // value oracles like q207-q209/q216-q219. q261/q262 mutate, so each
+    // works on its own copy of the store.
+    "q260_search_snippets" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      GraftEngine(s, indexedStore(s))
+        .searchWithSnippets("aggregating items total", "hybrid", limit = 5)
+        .select(col("entityName").as("entity_name"),
+          round(col("rrf_score"), 6).as("score"), col("snippet"))
+        .orderBy(col("score").desc, col("entity_name"))
+    }),
+
+    "q261_search_cache" -> ((s, _) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val engine = GraftEngine(s, copyStore(indexedStore(s)))
+      val q = "aggregating items total"
+      def names(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select(col("entityName")).collect().map(_.getString(0)).toSeq
+      val direct = names(engine.searchSimilar(q, "hybrid", limit = 5))
+      val c1 = names(engine.searchSimilarCached(q, "hybrid", limit = 5))
+      val c2 = names(engine.searchSimilarCached(q, "hybrid", limit = 5))
+      val hits = engine.searchCache.hits
+      val misses = engine.searchCache.misses
+      val sizeBefore = engine.searchCache.size.toLong
+      engine.addManualMemory("cache_note", "manual note that must clear the memo")
+      val sizeAfter = engine.searchCache.size.toLong
+      val rowsAfter = engine.searchSimilarCached(q, "hybrid", limit = 5).count()
+      Seq(
+        ("first_call_rows", c1.size.toLong),
+        ("replay_equals_direct", if (c1 == direct && c2 == c1) 1L else 0L),
+        ("hits_after_two_calls", hits),
+        ("misses_after_two_calls", misses),
+        ("size_before_mutation", sizeBefore),
+        ("size_after_mutation", sizeAfter),
+        ("rows_after_invalidation", rowsAfter)
+      ).toDF("metric", "value")
+    }),
+
+    "q262_compact_store" -> ((s, _) => {
+      import s.implicits._
+      val engine = GraftEngine(s, copyStore(indexedStore(s)))
+      val before = engine.chunks.count()
+      val (nBefore, nAfter) = engine.compactStore()
+      val after = engine.chunks.count()
+      Seq(
+        // chunk count is pinned; file counts only as layout invariants
+        // (the pre-compaction file count varies with writer parallelism)
+        ("chunks_total", after),
+        ("chunks_preserved", if (after == before) 1L else 0L),
+        ("files_after", nAfter.toLong),
+        ("files_not_increased", if (nAfter <= nBefore) 1L else 0L)
+      ).toDF("metric", "value")
     }),
 
     "q32_index_e2e" -> ((s, _) => {
@@ -238,6 +314,35 @@ object IndexBenchQueries {
         |  (CAST(4450248684002044 AS BIGINT), 'mod000.py::helper_0_a::implementation', 'implementation', 'helper_0_a')
         |) t(point_id, chunk_id, chunk_type, entity_name)
         |ORDER BY point_id""".stripMargin,
+
+    "q260_search_snippets" ->
+      """SELECT * FROM (VALUES
+        |  ('helper_18_b', CAST(0.010994 AS DOUBLE), '18 signature def helper 18 items signature def helper 18 items'),
+        |  ('helper_39_b', CAST(0.009347 AS DOUBLE), '39 signature def helper 39 items signature def helper 39 items'),
+        |  ('Processor102', CAST(0.008197 AS DOUBLE), CAST(NULL AS VARCHAR)),
+        |  ('helper_0_b', CAST(0.008197 AS DOUBLE), 'function helper signature def helper items signature def helper items signature'),
+        |  ('helper_1_b', CAST(0.008065 AS DOUBLE), 'function helper signature def helper items signature def helper items signature')
+        |) t(entity_name, score, snippet)
+        |ORDER BY score DESC, entity_name""".stripMargin,
+
+    "q261_search_cache" ->
+      """SELECT * FROM (VALUES
+        |  ('first_call_rows', CAST(5 AS BIGINT)),
+        |  ('replay_equals_direct', CAST(1 AS BIGINT)),
+        |  ('hits_after_two_calls', CAST(1 AS BIGINT)),
+        |  ('misses_after_two_calls', CAST(1 AS BIGINT)),
+        |  ('size_before_mutation', CAST(1 AS BIGINT)),
+        |  ('size_after_mutation', CAST(0 AS BIGINT)),
+        |  ('rows_after_invalidation', CAST(5 AS BIGINT))
+        |) t(metric, value)""".stripMargin,
+
+    "q262_compact_store" ->
+      """SELECT * FROM (VALUES
+        |  ('chunks_total', CAST(2648 AS BIGINT)),
+        |  ('chunks_preserved', CAST(1 AS BIGINT)),
+        |  ('files_after', CAST(3 AS BIGINT)),
+        |  ('files_not_increased', CAST(1 AS BIGINT))
+        |) t(metric, value)""".stripMargin,
 
     "q216_graph_bfs_api" ->
       """SELECT * FROM (VALUES
