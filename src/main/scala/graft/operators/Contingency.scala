@@ -55,4 +55,41 @@ object Contingency {
           round(sqrt(col("chi2d") / (col("nn")
             * (least(col("nrows"), col("ncols")) - 1))), 4)).as("cramers_v"))
   }
+
+  /** Mantel-Haenszel pooled odds ratio across 2×2 strata (Mantel &
+    * Haenszel 1959) — the stratified companion to the q256 Simpson audit:
+    * the common treatment/outcome association AFTER conditioning on the
+    * confounder. Input: one row per item with a stratum, a 0/1 exposure
+    * and a 0/1 outcome. Cells are integers from ONE partial agg; the
+    * a·d/n and b·c/n terms are doubles, so they accumulate on the
+    * single-partition ordered stratum window (bounded grid — the same
+    * total-order fold as KSample). Output: one row per stratum with its
+    * own OR plus the pooled `or_mh` broadcast onto every row.
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String, exposureCol: String,
+                     outcomeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(stratumCol).cast("long").as("stratum"),
+        col(exposureCol).cast("long").as("x"), col(outcomeCol).cast("long").as("y"))
+      .groupBy(col("stratum")).agg(
+        sum(when(col("x") === 1 && col("y") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("x") === 1 && col("y") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("x") === 0 && col("y") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("x") === 0 && col("y") === 0, 1L).otherwise(0L)).as("d"))
+    val w = Window.orderBy(col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val acc = cells
+      .withColumn("nt", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("num", sum(col("a").cast("double") * col("d") / col("nt")).over(w))
+      .withColumn("den", sum(col("b").cast("double") * col("c") / col("nt")).over(w))
+    val pooled = acc.orderBy(col("stratum").desc).limit(1)
+      .select(when(col("den") > 0, round(col("num") / col("den"), 6)).as("or_mh"))
+    acc.crossJoin(broadcast(pooled))
+      .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+        when(col("b") * col("c") > 0,
+          round(col("a").cast("double") * col("d")
+            / (col("b").cast("double") * col("c")), 6)).as("or_stratum"),
+        col("or_mh"))
+      .orderBy(col("stratum"))
+  }
 }

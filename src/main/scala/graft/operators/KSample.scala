@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-sample distribution tests over a grouped value column — the audit
+  * battery for "do these corpus slices actually differ": the two-sample
+  * Kolmogorov-Smirnov D (Kolmogorov 1933, Smirnov 1948), Kruskal-Wallis
+  * H with tie correction (Kruskal & Wallis 1952), Brown-Forsythe
+  * median-based variance homogeneity (Brown & Forsythe 1974), and the
+  * classic one-way ANOVA F.
+  *
+  * Float discipline (the q79/q223 ladder): every statistic is built from
+  * integer or half-integer sufficient statistics (counts, value sums,
+  * midrank sums — exact in double), windows run over DISTINCT-value or
+  * group grids (never per-row), and the double formula appears once at
+  * the output edge with the identical shape in the DuckDB oracles.
+  */
+object KSample {
+
+  /** Two-sample KS: input one row per item with a 0/1 side column and an
+    * integer value column. The EDF difference is evaluated on the merged
+    * distinct-value grid with integer cumulative counts; the sup gap is
+    * kept as the INTEGER cross-multiple |c1·n2 − c2·n1| and only divided
+    * at the edge, so the argmax is float-free. One row: n1, n2, d_num,
+    * ks_d, the α=0.05 asymptotic threshold and the reject flag (compared
+    * on 6dp-rounded values).
+    */
+  def ksTwoSample(df: DataFrame, sideCol: String, valueCol: String): DataFrame = {
+    val d = df.select(col(sideCol).cast("long").as("s"),
+      col(valueCol).cast("long").as("v"))
+    val cells = d.groupBy(col("v")).agg(
+      sum(when(col("s") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("s") =!= 0, 1L).otherwise(0L)).as("c1"))
+    // distinct-value grid: the window is bounded by the value domain,
+    // not the corpus (the q118 discipline)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = cells
+      .withColumn("f0", sum(col("c0")).over(w))
+      .withColumn("f1", sum(col("c1")).over(w))
+    val tot = grid.agg(max(col("f0")).as("n0"), max(col("f1")).as("n1"))
+    grid.crossJoin(broadcast(tot))
+      .withColumn("gap", abs(col("f0") * col("n1") - col("f1") * col("n0")))
+      .agg(max(col("n0")).as("n0x"), max(col("n1")).as("n1x"),
+        max(col("gap")).as("d_num"))
+      .select(col("n0x").as("n1"), col("n1x").as("n2"), col("d_num"),
+        round(col("d_num").cast("double") / (col("n0x") * col("n1x")), 6).as("ks_d"),
+        // c(0.05) = 1.358 as a shared decimal literal
+        round(lit(1.358) * sqrt((col("n0x") + col("n1x")).cast("double")
+          / (col("n0x") * col("n1x"))), 6).as("crit_05"))
+      .withColumn("reject",
+        round(col("d_num").cast("double") / (col("n1") * col("n2")), 6) >
+          round(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+            / (col("n1") * col("n2"))), 6))
+  }
+
+  /** Kruskal-Wallis H across the groups of `grpCol`, with the tie
+    * correction: H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1), H_c = H / (1 −
+    * Σ(t³−t)/(N³−N)). Midranks are global ½-multiples (exact in double);
+    * rank sums R_g are therefore exact too. One row.
+    */
+  def kruskalWallis(df: DataFrame, grpCol: String, valueCol: String): DataFrame = {
+    val d = df.select(col(grpCol).as("g"), col(valueCol).cast("long").as("v"))
+    val cells = d.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = cells.withColumn("cum", sum(col("t")).over(w))
+      .select(col("v"),
+        ((col("cum") - col("t")).cast("double")
+          + (col("t") + 1).cast("double") / 2.0).as("r"))
+    val perGroup = d.join(ranks, Seq("v"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_g"), sum(col("r")).as("r_g"))
+    val ties = cells.agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    // Σ R_g²/n_g is a DOUBLE sum over groups — a partial agg would fold
+    // it in partition order (engine-dependent). The group grid is bounded
+    // (≤ #slices), so accumulate on the single-partition ordered window
+    // and keep the last row: a total order makes the fold deterministic
+    // on both engines (the q239 bounded-grid discipline).
+    val gw = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perGroup
+      .withColumn("nn", sum(col("n_g")).over(gw))
+      .withColumn("k", count(lit(1)).over(gw))
+      .withColumn("s_rr", sum(col("r_g") * col("r_g") / col("n_g")).over(gw))
+      .orderBy(col("g").desc).limit(1)
+      .crossJoin(broadcast(ties))
+      .select(col("nn").as("n"), col("k").as("groups"),
+        round(lit(12.0) / (col("nn") * (col("nn") + 1)) * col("s_rr")
+          - lit(3.0) * (col("nn") + 1), 6).as("h"),
+        round((lit(12.0) / (col("nn") * (col("nn") + 1)) * col("s_rr")
+          - lit(3.0) * (col("nn") + 1))
+          / (lit(1.0) - col("tie3").cast("double")
+            / (col("nn") * col("nn") * col("nn") - col("nn"))), 6).as("h_tie_corrected"))
+  }
+
+  /** Brown-Forsythe W: the ANOVA F applied to z = |x − median_g|.
+    * Group medians are type-7 percentile(0.5) (= DuckDB quantile_cont),
+    * so z is a ½-multiple of the integer values and the z-sums are exact.
+    * One row: n, groups, w_stat.
+    */
+  def brownForsythe(df: DataFrame, grpCol: String, valueCol: String): DataFrame = {
+    val d = df.select(col(grpCol).as("g"), col(valueCol).cast("long").as("v"))
+    val med = d.groupBy(col("g"))
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val z = d.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("z"))
+    val perGroup = z.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("z")).as("sz"),
+        sum(col("z") * col("z")).as("szz"))
+    // z is a ½-multiple so sz/szz sums are exact; the sz²/n_g terms are
+    // general doubles — accumulate them on the ordered bounded-grid
+    // window (see kruskalWallis) instead of an order-free partial agg
+    val gw = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perGroup
+      .withColumn("nn", sum(col("n_g")).over(gw))
+      .withColumn("k", count(lit(1)).over(gw))
+      .withColumn("sz_all", sum(col("sz")).over(gw))
+      // between-group: Σ n_g·z̄_g² = Σ sz²/n_g ; within: Σ(szz − sz²/n_g)
+      .withColumn("s_between_raw",
+        sum(col("sz") * col("sz") / col("n_g")).over(gw))
+      .withColumn("ssw",
+        sum(col("szz") - col("sz") * col("sz") / col("n_g")).over(gw))
+      .orderBy(col("g").desc).limit(1)
+      .select(col("nn").as("n"), col("k").as("groups"),
+        round(((col("s_between_raw") - col("sz_all") * col("sz_all") / col("nn"))
+          / (col("k") - 1))
+          / (col("ssw") / (col("nn") - col("k"))), 6).as("w_stat"))
+  }
+
+  /** One-way ANOVA F from integer sufficient statistics (Σx, Σx² per
+    * group): F = (SSB/(k−1)) / (SSW/(N−k)), η² = SSB/SST. One row.
+    */
+  def anovaF(df: DataFrame, grpCol: String, valueCol: String): DataFrame = {
+    val d = df.select(col(grpCol).as("g"), col(valueCol).cast("long").as("v"))
+    val perGroup = d.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("v")).as("sx"),
+        sum(col("v") * col("v")).as("sxx"))
+    // Σ sx²/n_g is the only non-integer sum — ordered bounded-grid window
+    val gw = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perGroup
+      .withColumn("nn", sum(col("n_g")).over(gw))
+      .withColumn("k", count(lit(1)).over(gw))
+      .withColumn("sx_all", sum(col("sx")).over(gw))
+      .withColumn("sxx_all", sum(col("sxx")).over(gw))
+      .withColumn("s_between_raw",
+        sum(col("sx").cast("double") * col("sx") / col("n_g")).over(gw))
+      .orderBy(col("g").desc).limit(1)
+      .select(col("nn").as("n"), col("k").as("groups"),
+        round(((col("s_between_raw") - col("sx_all").cast("double") * col("sx_all") / col("nn"))
+          / (col("k") - 1))
+          / ((col("sxx_all") - col("s_between_raw")) / (col("nn") - col("k"))), 6)
+          .as("f_stat"),
+        round((col("s_between_raw") - col("sx_all").cast("double") * col("sx_all") / col("nn"))
+          / (col("sxx_all") - col("sx_all").cast("double") * col("sx_all") / col("nn")), 6)
+          .as("eta_sq"))
+  }
+}

@@ -73,6 +73,49 @@ object MultipleTesting {
         (col("kmax").isNotNull && col("i") <= col("kmax")).as("rejected"))
   }
 
+  /** Benjamini-Yekutieli step-up over the same per-group z family as
+    * [[bhFdr]] — FDR control under ARBITRARY dependence (Benjamini &
+    * Yekutieli 2001): the BH cut shrinks by the harmonic factor
+    * c(m) = Σ_{j≤m} 1/j. The harmonic sum accumulates on the ordered
+    * rank window (total order — deterministic float fold on both
+    * engines), and selection compares 6dp-rounded values.
+    */
+  def byFdr(df: DataFrame, grpCol: String, hitCol: String,
+            alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n"), sum(col(hitCol)).cast("long").as("k"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("k")).as("kk"))
+    val z = g.crossJoin(broadcast(tot))
+      .withColumn("n_rest", col("nn") - col("n"))
+      .withColumn("k_rest", col("kk") - col("k"))
+      .withColumn("_pp", col("kk").cast("double") / col("nn"))
+      .withColumn("z",
+        when(col("_pp") > 0 && col("_pp") < 1 && col("n_rest") > 0,
+          (col("k").cast("double") / col("n")
+            - col("k_rest").cast("double") / col("n_rest"))
+            / sqrt(col("_pp") * (lit(1.0) - col("_pp"))
+              * (lit(1.0) / col("n") + lit(1.0) / col("n_rest")))))
+      .withColumn("p",
+        coalesce(round(lit(2.0) * normalSf(abs(col("z"))), 6), lit(1.0)))
+    val m = Window.orderBy(col("p"), col(grpCol))
+    val hw = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = z.withColumn("i", row_number().over(m).cast("long"))
+      .withColumn("m", count(lit(1)).over(allW))
+      .withColumn("h_i", sum(lit(1.0) / col("i")).over(hw))
+      .withColumn("c_m", max(col("h_i")).over(allW)) // H_m: max of an increasing cumsum
+      .withColumn("by_cut", round(col("i") * lit(alpha) / (col("m") * col("c_m")), 6))
+      .withColumn("under", col("p") <= col("by_cut"))
+    val kmax = ranked.agg(max(when(col("under"), col("i"))).as("kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col(grpCol), col("n"), col("k"), round(col("z"), 4).as("z"),
+        col("p"), col("i").as("p_rank"), round(col("c_m"), 6).as("c_m"),
+        col("by_cut"),
+        (col("kmax").isNotNull && col("i") <= col("kmax")).as("rejected"))
+  }
+
   /** Φ(t) from the same A-S tail, valid for either sign. */
   def normalCdf(t: Column): Column =
     when(t >= 0, lit(1.0) - normalSf(t)).otherwise(normalSf(-t))

@@ -1006,6 +1006,106 @@ object AnalyticsQueries {
           (round(col("ph"), 6) > 20.0).as("alarm"),
           col("nSeen").as("n_seen"))
         .orderBy(col("key"), col("bucket"))
+    }),
+
+    // ===== r11 wave: k-sample tests, survival, stratified OR, FDR under
+    // dependence, mixture temperature =====
+
+    // Kaplan-Meier survival curve of SESSION durations (seconds, 30-min
+    // gap sessions — the q9 sessionization): a session whose last event
+    // lies within one gap of the corpus end may still be open and is
+    // right-CENSORED; every other session's end is observed. Integer grid
+    // cumsums; the survival product folds on the ordered duration grid
+    // (operators/Survival.scala). User lifetimes would be degenerate here
+    // (every synthetic user stays active to the corpus end — zero deaths).
+    "q263_kaplan_meier" -> ((s, dir) => {
+      val sess = graft.streaming.Sessionize.sessionSummaries(
+          Tables.events(s, dir), "user_id", "ts", "event_id", 1800L)
+        .select(expr("unix_micros(sess_start)").as("s_us"),
+          expr("unix_micros(sess_end)").as("e_us"))
+      val span = Tables.events(s, dir)
+        .agg(max(expr("unix_micros(ts)")).as("t1"))
+      val subjects = sess.crossJoin(broadcast(span))
+        .select(expr("(e_us - s_us) div 1000000").as("dur"),
+          when(col("e_us") < col("t1") - lit(1800L * 1000000L), 1L)
+            .otherwise(0L).as("ev"))
+      graft.operators.Survival.kaplanMeier(subjects, "dur", "ev")
+    }),
+
+    // Two-sample Kolmogorov-Smirnov: doc-length distribution, en vs rest.
+    // The sup gap stays an integer cross-multiple until the output edge.
+    "q264_ks_test" -> ((s, dir) =>
+      graft.operators.KSample.ksTwoSample(
+        Tables.documents(s, dir)
+          .select(when(col("lang") === "en", 0L).otherwise(1L).as("side"),
+            col("n_chars")),
+        "side", "n_chars")),
+
+    // Kruskal-Wallis H across sources on doc length (global ½-multiple
+    // midranks, tie-corrected) — the k-sample companion to q200's
+    // Mann-Whitney.
+    "q265_kruskal_wallis" -> ((s, dir) =>
+      graft.operators.KSample.kruskalWallis(
+        Tables.documents(s, dir).select(col("source"), col("n_chars")),
+        "source", "n_chars")),
+
+    // Brown-Forsythe median-based variance homogeneity across sources —
+    // "do slices differ in SPREAD, not just level" (the prerequisite
+    // check before pooling variances in q190-style t tests).
+    "q266_brown_forsythe" -> ((s, dir) =>
+      graft.operators.KSample.brownForsythe(
+        Tables.documents(s, dir).select(col("source"), col("n_chars")),
+        "source", "n_chars")),
+
+    // One-way ANOVA F on milli-quantized event values across event types
+    // (integer sufficient statistics; quantize-then-sum, the q111 rule).
+    "q267_anova_f" -> ((s, dir) =>
+      graft.operators.KSample.anovaF(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), round(col("value") * 1000, 0).cast("long").as("mv")),
+        "event_type", "mv")),
+
+    // Benjamini-Yekutieli step-up on the q224 per-source z family — FDR
+    // control under arbitrary dependence; the harmonic factor accumulates
+    // on the ordered rank window.
+    "q268_by_fdr" -> ((s, dir) =>
+      graft.operators.MultipleTesting.byFdr(
+        Tables.documents(s, dir)
+          .select(col("source"), when(col("lang") === "en", 1L).otherwise(0L).as("hit")),
+        "source", "hit", alpha = 0.05)
+        .orderBy(col("source"))),
+
+    // Mantel-Haenszel pooled odds ratio across day-of-week strata —
+    // the confounder-adjusted companion to the q256 Simpson audit.
+    "q269_mantel_haenszel" -> ((s, dir) =>
+      graft.operators.Contingency.mantelHaenszel(
+        Tables.events(s, dir).select(
+          dayofweek(col("ts")).cast("long").as("dow"),
+          pmod(col("user_id"), lit(2)).as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("hit")),
+        "dow", "v", "hit")),
+
+    // Temperature-scaled source mixing weights p_s^α / Σ p_s^α (α = 0.7,
+    // the mT5/multilingual sampling rule): the knob between proportional
+    // (α=1) and uniform (α=0) corpus mixing. Bounded source grid; the
+    // normalizer folds on the ordered window; p^α = exp(α·ln p) with the
+    // identical literal shape in the oracle.
+    "q272_mixture_temperature" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.documents(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = g.agg(sum(col("n_docs")).as("nn"))
+      val w = Window.orderBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.crossJoin(broadcast(tot))
+        .withColumn("p", col("n_docs").cast("double") / col("nn"))
+        .withColumn("w", exp(lit(0.7) * log(col("p"))))
+        .withColumn("z", sum(col("w")).over(w))
+        .withColumn("z_all", max(col("z")).over(allW)) // max of increasing cumsum
+        .select(col("source"), col("n_docs"), round(col("p"), 6).as("p_raw"),
+          round(col("w") / col("z_all"), 6).as("p_temp"))
+        .orderBy(col("source"))
     })
   )
 
@@ -2233,6 +2333,192 @@ object AnalyticsQueries {
 
     // rendered from the SAME frozen (w, b) Scala doubles the gate uses
     "q259_mmd_rff" -> graft.search.MmdRff.oracleSql("label = 0"),
+
+    // KM product-limit on the ordered duration grid; the -infinity
+    // branch is pinned explicitly (Spark log(0) is NULL, DuckDB -inf)
+    "q263_kaplan_meier" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS session_id
+        |  FROM flagged
+        |), summ AS (
+        |  SELECT epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |  FROM sess GROUP BY user_id, session_id
+        |), span AS (SELECT max(epoch_us(ts)) AS t1 FROM events),
+        |subjects AS (
+        |  SELECT (e_us - s_us) // 1000000 AS dur,
+        |         CASE WHEN e_us < t1 - 1800000000 THEN 1 ELSE 0 END AS ev
+        |  FROM summ, span),
+        |cells AS (SELECT dur AS t, sum(ev) AS d, sum(1 - ev) AS c, count(*) AS alln
+        |          FROM subjects GROUP BY dur),
+        |tot AS (SELECT sum(alln) AS nn FROM cells),
+        |g AS (SELECT t, d, c, alln, nn,
+        |             sum(alln) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+        |      FROM cells, tot),
+        |g2 AS (SELECT t, d, c, nn - lt + alln AS n_risk FROM g),
+        |g3 AS (SELECT t, n_risk, d, c,
+        |        exp(sum(CASE WHEN d > 0 AND n_risk > d
+        |                       THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+        |                     WHEN d > 0 THEN CAST('-infinity' AS DOUBLE)
+        |                     ELSE 0.0 END)
+        |            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv
+        |      FROM g2)
+        |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+        |       CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+        |       round(surv, 6) AS survival
+        |FROM g3 WHERE d > 0 ORDER BY t""".stripMargin,
+
+    // sup EDF gap as an integer cross-multiple until the edge
+    "q264_ks_test" ->
+      """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s, n_chars AS v FROM documents),
+        |cells AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS c0,
+        |                 sum(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS c1
+        |          FROM d GROUP BY v),
+        |grid AS (SELECT v, sum(c0) OVER w AS f0, sum(c1) OVER w AS f1 FROM cells
+        |         WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT max(f0) AS n0, max(f1) AS n1 FROM grid),
+        |m AS (SELECT max(abs(f0 * n1 - f1 * n0)) AS d_num, max(n0) AS n0x, max(n1) AS n1x
+        |      FROM grid, tot)
+        |SELECT CAST(n0x AS BIGINT) AS n1, CAST(n1x AS BIGINT) AS n2,
+        |       CAST(d_num AS BIGINT) AS d_num,
+        |       round(CAST(d_num AS DOUBLE) / (n0x * n1x), 6) AS ks_d,
+        |       round(1.358 * sqrt(CAST(n0x + n1x AS DOUBLE) / (n0x * n1x)), 6) AS crit_05,
+        |       round(CAST(d_num AS DOUBLE) / (n0x * n1x), 6)
+        |         > round(1.358 * sqrt(CAST(n0x + n1x AS DOUBLE) / (n0x * n1x)), 6) AS reject
+        |FROM m""".stripMargin,
+
+    // global ½-multiple midranks; Σ R²/n on the ordered group window
+    "q265_kruskal_wallis" ->
+      """WITH d AS (SELECT source AS g, n_chars AS v FROM documents),
+        |cells AS (SELECT v, count(*) AS t FROM d GROUP BY v),
+        |ranks AS (SELECT v, CAST(cum - t AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2.0 AS r
+        |          FROM (SELECT v, t, sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |                FROM cells)),
+        |pg AS (SELECT g, count(*) AS n_g, sum(r) AS r_g FROM d JOIN ranks USING (v) GROUP BY g),
+        |ties AS (SELECT sum(t * t * t - t) AS tie3 FROM cells),
+        |acc AS (SELECT g, sum(n_g) OVER w AS nn, count(*) OVER w AS k,
+        |               sum(r_g * r_g / n_g) OVER w AS s_rr
+        |        FROM pg WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT * FROM acc ORDER BY g DESC LIMIT 1)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS groups,
+        |       round(12.0 / (nn * (nn + 1)) * s_rr - 3.0 * (nn + 1), 6) AS h,
+        |       round((12.0 / (nn * (nn + 1)) * s_rr - 3.0 * (nn + 1))
+        |             / (1.0 - CAST(tie3 AS DOUBLE) / (nn * nn * nn - nn)), 6) AS h_tie_corrected
+        |FROM fin, ties""".stripMargin,
+
+    // z = |x − type-7 median| is a ½-multiple: sums exact; ratio terms on
+    // the ordered group window
+    "q266_brown_forsythe" ->
+      """WITH d AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM d GROUP BY g),
+        |z AS (SELECT d.g, abs(v - med) AS z FROM d JOIN med ON d.g = med.g),
+        |pg AS (SELECT g, count(*) AS n_g, sum(z) AS sz, sum(z * z) AS szz FROM z GROUP BY g),
+        |acc AS (SELECT g, sum(n_g) OVER w AS nn, count(*) OVER w AS k,
+        |               sum(sz) OVER w AS sz_all,
+        |               sum(sz * sz / n_g) OVER w AS s_between_raw,
+        |               sum(szz - sz * sz / n_g) OVER w AS ssw
+        |        FROM pg WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT * FROM acc ORDER BY g DESC LIMIT 1)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS groups,
+        |       round(((s_between_raw - sz_all * sz_all / nn) / (k - 1))
+        |             / (ssw / (nn - k)), 6) AS w_stat
+        |FROM fin""".stripMargin,
+
+    // integer Σx/Σx² per group; only Σ sx²/n rides the ordered window
+    "q267_anova_f" ->
+      """WITH d AS (SELECT event_type AS g, CAST(round(value * 1000, 0) AS BIGINT) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |pg AS (SELECT g, count(*) AS n_g, sum(v) AS sx, sum(v * v) AS sxx FROM d GROUP BY g),
+        |acc AS (SELECT g, sum(n_g) OVER w AS nn, count(*) OVER w AS k,
+        |               sum(sx) OVER w AS sx_all, sum(sxx) OVER w AS sxx_all,
+        |               sum(CAST(sx AS DOUBLE) * sx / n_g) OVER w AS s_between_raw
+        |        FROM pg WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT * FROM acc ORDER BY g DESC LIMIT 1)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS groups,
+        |       round(((s_between_raw - CAST(sx_all AS DOUBLE) * sx_all / nn) / (k - 1))
+        |             / ((sxx_all - s_between_raw) / (nn - k)), 6) AS f_stat,
+        |       round((s_between_raw - CAST(sx_all AS DOUBLE) * sx_all / nn)
+        |             / (sxx_all - CAST(sx_all AS DOUBLE) * sx_all / nn), 6) AS eta_sq
+        |FROM fin""".stripMargin,
+
+    // the q224 family under the BY harmonic correction; c(m) accumulates
+    // on the ordered rank window
+    "q268_by_fdr" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n) AS nn, sum(k) AS kk FROM g),
+        |z AS (
+        |  SELECT source, n, k,
+        |         CASE WHEN kk > 0 AND kk < nn AND nn - n > 0 THEN
+        |           (CAST(k AS DOUBLE) / n - CAST(kk - k AS DOUBLE) / (nn - n))
+        |             / sqrt((CAST(kk AS DOUBLE) / nn) * (1.0 - CAST(kk AS DOUBLE) / nn)
+        |                    * (1.0 / n + 1.0 / (nn - n))) END AS z
+        |  FROM g, t),
+        |p AS (
+        |  SELECT source, n, k, z,
+        |         coalesce(round(2.0 * (exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002
+        |           * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
+        |              + tt * (-1.821255978 + tt * 1.330274429)))))), 6), 1.0) AS p
+        |  FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM z)),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, source) AS BIGINT) AS i,
+        |             CAST(count(*) OVER () AS BIGINT) AS m
+        |      FROM p),
+        |h AS (SELECT *, sum(1.0 / i) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h_i FROM r),
+        |h2 AS (SELECT *, max(h_i) OVER () AS c_m FROM h),
+        |c AS (SELECT *, round(i * 0.05 / (m * c_m), 6) AS by_cut,
+        |             p <= round(i * 0.05 / (m * c_m), 6) AS under
+        |      FROM h2),
+        |km AS (SELECT max(CASE WHEN under THEN i END) AS kmax FROM c)
+        |SELECT source, n, k, round(z, 4) AS z, p, i AS p_rank,
+        |       round(c_m, 6) AS c_m, by_cut,
+        |       (kmax IS NOT NULL AND i <= kmax) AS rejected
+        |FROM c, km ORDER BY source""".stripMargin,
+
+    // DuckDB dayofweek is 0-based; Spark 1-based — shift (the q256 rule).
+    // a·d/n and b·c/n terms fold on the ordered stratum window.
+    "q269_mantel_haenszel" ->
+      """WITH e AS (SELECT dayofweek(ts) + 1 AS stratum, user_id % 2 AS x,
+        |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |           FROM events),
+        |cells AS (SELECT stratum,
+        |                 sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS a,
+        |                 sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+        |                 sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+        |                 sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS d
+        |          FROM e GROUP BY stratum),
+        |acc AS (SELECT *,
+        |               sum(CAST(a AS DOUBLE) * d / (a + b + c + d)) OVER w AS num,
+        |               sum(CAST(b AS DOUBLE) * c / (a + b + c + d)) OVER w AS den
+        |        FROM cells WINDOW w AS (ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pooled AS (SELECT CASE WHEN den > 0 THEN round(num / den, 6) END AS or_mh
+        |           FROM acc ORDER BY stratum DESC LIMIT 1)
+        |SELECT CAST(stratum AS BIGINT) AS stratum, CAST(a AS BIGINT) AS a,
+        |       CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        |       CASE WHEN b * c > 0 THEN
+        |         round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6) END AS or_stratum,
+        |       or_mh
+        |FROM acc, pooled ORDER BY stratum""".stripMargin,
+
+    // p^α = exp(α·ln p), identical literal shape; normalizer on the
+    // ordered source window
+    "q272_mixture_temperature" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS nn FROM g),
+        |a0 AS (SELECT source, n_docs, CAST(n_docs AS DOUBLE) / nn AS p FROM g, t),
+        |a AS (SELECT *, exp(0.7 * ln(p)) AS w FROM a0),
+        |b AS (SELECT *, sum(w) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z FROM a),
+        |c AS (SELECT *, max(z) OVER () AS z_all FROM b)
+        |SELECT source, n_docs, round(p, 6) AS p_raw, round(w / z_all, 6) AS p_temp
+        |FROM c ORDER BY source""".stripMargin,
 
     // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — shift.
     // Directions via integer cross-multiplication: division-free.

@@ -127,6 +127,39 @@ object PipelineQueries {
         .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
     }),
 
+    // Soft-dedup training weights: w(doc) = 1/|near-dup cluster| from the
+    // q36 components (singletons weigh 1) — the reweighting that keeps
+    // duplicate families from dominating a training mix without hard
+    // deletion (near-dedup survivorship's soft twin). Per-source ESS of
+    // the weights = (Σw)²/Σw²; the 1/size ratio terms fold per (source,
+    // size) on the bounded ordered size grid.
+    "q271_dedup_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val edges = MinHashLsh.candidatePairs(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val sizes = DupClusters.components(edges, "doc_a", "doc_b")
+        .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .select(col("node").as("doc_id"), col("csize"))
+      val perDoc = docs.select(col("doc_id"), col("source"))
+        .join(sizes, Seq("doc_id"), "left")
+        .withColumn("size", coalesce(col("csize"), lit(1L)))
+      val grid = perDoc.groupBy(col("source"), col("size")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("source")).orderBy(col("size"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("n_docs", sum(col("cnt")).over(w))
+        .withColumn("n_dup", sum(when(col("size") > 1, col("cnt")).otherwise(0L)).over(w))
+        .withColumn("sum_w", sum(col("cnt").cast("double") / col("size")).over(w))
+        .withColumn("sum_w2", sum(col("cnt").cast("double") / (col("size") * col("size"))).over(w))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("size").desc)))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("n_docs"), col("n_dup").as("n_dup_docs"),
+          round(col("sum_w"), 6).as("sum_w"),
+          round(col("sum_w") * col("sum_w") / col("sum_w2"), 4).as("ess"))
+        .orderBy(col("source"))
+    }),
+
     // Exact triangle count over the near-dup similarity graph by
     // degree-ordered orientation — wedges enumerate only at each
     // triangle's (deg, id)-minimal vertex, so hub nodes never explode
@@ -489,6 +522,43 @@ object PipelineQueries {
          |)
          |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS csize
          |FROM lab""".stripMargin,
+
+    "q271_dedup_weights" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  WHERE list_sum(list_transform(generate_series(1, 12),
+         |          i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) >= 6
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), reach(node, m) AS (
+         |  SELECT DISTINCT src AS node, src AS m FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst AS m FROM reach r JOIN edges e ON r.m = e.src
+         |), lab AS (
+         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+         |), siz AS (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY cluster_id) AS csize FROM lab
+         |), perdoc AS (
+         |  SELECT d.source, coalesce(s.csize, 1) AS size
+         |  FROM documents d LEFT JOIN siz s ON d.doc_id = s.doc_id
+         |), grid AS (SELECT source, size, count(*) AS cnt FROM perdoc GROUP BY 1, 2),
+         |acc AS (SELECT source, size,
+         |          sum(cnt) OVER w AS n_docs,
+         |          sum(CASE WHEN size > 1 THEN cnt ELSE 0 END) OVER w AS n_dup,
+         |          sum(CAST(cnt AS DOUBLE) / size) OVER w AS sum_w,
+         |          sum(CAST(cnt AS DOUBLE) / (size * size)) OVER w AS sum_w2,
+         |          row_number() OVER (PARTITION BY source ORDER BY size DESC) AS rn
+         |        FROM grid
+         |        WINDOW w AS (PARTITION BY source ORDER BY size
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_dup AS BIGINT) AS n_dup_docs,
+         |       round(sum_w, 6) AS sum_w, round(sum_w * sum_w / sum_w2, 4) AS ess
+         |FROM acc WHERE rn = 1 ORDER BY source""".stripMargin,
 
     "q113_triangles" ->
       s"""WITH ${DedupQueries.minhashCtes},

@@ -180,6 +180,45 @@ object SearchQueries {
       }.reduce(_ unionByName _).orderBy(col("probe"))
     }),
 
+    // nDCG@10 with binary same-label relevance over the q94 probes — the
+    // graded-order retrieval metric (Järvelin & Kekäläinen 2002)
+    // completing the MRR/precision eval family. Both DCG and the ideal
+    // DCG fold as ordered 10-row window cumsums (total order → the float
+    // fold is deterministic on both engines); ln(2) is a shared literal.
+    "q270_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val ln2 = lit(0.6931471805599453)
+      Seq(0L, 100L, 300L).map { pid =>
+        val q = graft.search.KnnSearch.vectorOf(emb, "vec_id", "embedding", pid)
+        val pLabel = emb.filter(col("vec_id") === pid)
+          .select(col("label").cast("long")).head().getLong(0)
+        val w = Window.orderBy(col("score").desc, col("vec_id").asc)
+        val iw = Window.orderBy(col("rel").desc, col("rank").asc)
+        val dw = Window.orderBy(col("rank"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ew = Window.orderBy(col("irank"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        graft.search.KnnSearch.topK(
+            emb.filter(col("vec_id") =!= pid), "vec_id", "embedding", q, 10)
+          .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .withColumn("rank", row_number().over(w)) // 10 rows — window is fine
+          .withColumn("rel", when(col("label") === pLabel, 1L).otherwise(0L))
+          .withColumn("irank", row_number().over(iw))
+          .withColumn("dcum",
+            sum(col("rel").cast("double") / (log(col("rank") + 1) / ln2)).over(dw))
+          .withColumn("icum",
+            sum(col("rel").cast("double") / (log(col("irank") + 1) / ln2)).over(ew))
+          .agg(sum(col("rel")).as("hits"),
+            max(col("dcum")).as("dcg_raw"), max(col("icum")).as("idcg_raw"))
+          .select(lit(pid).as("probe"), col("hits"),
+            round(col("dcg_raw"), 6).as("dcg"),
+            round(col("idcg_raw"), 6).as("idcg"),
+            when(col("idcg_raw") > 0, round(col("dcg_raw") / col("idcg_raw"), 6))
+              .otherwise(lit(0.0)).as("ndcg"))
+      }.reduce(_ unionByName _).orderBy(col("probe"))
+    }),
+
     // Product quantization: 8 subspaces × k=4 L2-Lloyd codebooks (2
     // iterations, 6dp centroid contract). Output = per-subspace code
     // histogram + first centroid component as the fit witness.
@@ -576,6 +615,33 @@ object SearchQueries {
          |                   * 127.0 + 0.5))
          |         END AS qv
          |  FROM embeddings)
+         |${Seq(0L, 100L, 300L).map(block).mkString("\nUNION ALL\n")}
+         |ORDER BY probe""".stripMargin
+    },
+
+    "q270_ndcg" -> {
+      def block(pid: Long): String =
+        s"""SELECT CAST($pid AS BIGINT) AS probe, CAST(sum(rel) AS BIGINT) AS hits,
+           |       round(max(dcum), 6) AS dcg, round(max(icum), 6) AS idcg,
+           |       CASE WHEN max(icum) > 0 THEN round(max(dcum) / max(icum), 6) ELSE 0.0 END AS ndcg
+           |FROM (
+           |  SELECT *,
+           |         sum(CAST(rel AS DOUBLE) / (ln(rank + 1) / 0.6931471805599453))
+           |           OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcum,
+           |         sum(CAST(rel AS DOUBLE) / (ln(irank + 1) / 0.6931471805599453))
+           |           OVER (ORDER BY irank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS icum
+           |  FROM (
+           |    SELECT *, row_number() OVER (ORDER BY rel DESC, rank) AS irank
+           |    FROM (
+           |      SELECT e.vec_id,
+           |             CASE WHEN e.label = (SELECT label FROM e WHERE vec_id = $pid) THEN 1 ELSE 0 END AS rel,
+           |             row_number() OVER (
+           |               ORDER BY list_cosine_similarity(e.v, (SELECT v FROM e WHERE vec_id = $pid)) DESC,
+           |                        e.vec_id) AS rank
+           |      FROM e WHERE e.vec_id <> $pid
+           |      ORDER BY list_cosine_similarity(e.v, (SELECT v FROM e WHERE vec_id = $pid)) DESC, e.vec_id
+           |      LIMIT 10)))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |${Seq(0L, 100L, 300L).map(block).mkString("\nUNION ALL\n")}
          |ORDER BY probe""".stripMargin
     },

@@ -41,4 +41,26 @@ class ContingencySpec extends SparkSpec {
     // chi2 must be NULL too — a "0.0" would read as tested-and-passed
     assert(r.isNullAt(r.fieldIndex("chi2")))
   }
+
+  test("Mantel-Haenszel recovers a common odds ratio across unbalanced strata") {
+    // both strata have true OR = 6 (a·d/(b·c)) with very different sizes
+    def stratum(s: Long, scale: Int) =
+      Seq.fill(30 * scale)((s, 1L, 1L)) ++ Seq.fill(10 * scale)((s, 1L, 0L)) ++
+        Seq.fill(20 * scale)((s, 0L, 1L)) ++ Seq.fill(40 * scale)((s, 0L, 0L))
+    val df = (stratum(1L, 1) ++ stratum(2L, 5)).toDF("st", "x", "y")
+    val rows = Contingency.mantelHaenszel(df, "st", "x", "y").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("or_stratum") == 6.0)
+      assert(r.getAs[Double]("or_mh") == 6.0)
+    }
+  }
+
+  test("MH handles a zero-denominator stratum set with NULL, not an error") {
+    // b = 0 everywhere → pooled denominator 0 → NULL pooled OR
+    val df = Seq((1L, 1L, 1L), (1L, 0L, 0L), (1L, 0L, 1L)).toDF("st", "x", "y")
+    val r = Contingency.mantelHaenszel(df, "st", "x", "y").collect().head
+    assert(r.isNullAt(r.fieldIndex("or_mh")))
+    assert(r.isNullAt(r.fieldIndex("or_stratum")))
+  }
 }

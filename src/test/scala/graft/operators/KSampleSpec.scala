@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class KSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KS: identical samples give D = 0; disjoint samples give D = 1") {
+    val same = (1L to 50L).flatMap(v => Seq((0L, v), (1L, v)))
+    val r0 = KSample.ksTwoSample(same.toDF("side", "v"), "side", "v").collect().head
+    assert(r0.getAs[Long]("d_num") == 0L)
+    assert(r0.getAs[Double]("ks_d") == 0.0)
+    assert(!r0.getAs[Boolean]("reject"))
+
+    val disjoint = (1L to 30L).map(v => (0L, v)) ++ (100L to 129L).map(v => (1L, v))
+    val r1 = KSample.ksTwoSample(disjoint.toDF("side", "v"), "side", "v").collect().head
+    assert(r1.getAs[Double]("ks_d") == 1.0)
+    assert(r1.getAs[Boolean]("reject"))
+  }
+
+  test("KS matches the hand EDF sup on a small case") {
+    // side0: 1,2,3,4  side1: 3,4,5,6 → sup |F0-F1| = 0.5 at v=2..2 region
+    val d = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L))
+    val r = KSample.ksTwoSample(d.toDF("side", "v"), "side", "v").collect().head
+    assert(r.getAs[Double]("ks_d") == 0.5)
+  }
+
+  test("Kruskal-Wallis: identical groups give H near 0; shifted groups a large H") {
+    val same = (1L to 40L).flatMap(v => Seq(("a", v), ("b", v), ("c", v)))
+    val h0 = KSample.kruskalWallis(same.toDF("g", "v"), "g", "v")
+      .collect().head.getAs[Double]("h_tie_corrected")
+    assert(math.abs(h0) < 1e-6, s"h=$h0")
+
+    val shifted = (1L to 40L).map(v => ("a", v)) ++
+      (101L to 140L).map(v => ("b", v)) ++ (201L to 240L).map(v => ("c", v))
+    val h1 = KSample.kruskalWallis(shifted.toDF("g", "v"), "g", "v").collect().head
+    assert(h1.getAs[Double]("h") > 100.0) // ≈ N-1 for fully separated groups
+    assert(h1.getAs[Long]("n") == 120L && h1.getAs[Long]("groups") == 3L)
+  }
+
+  test("ANOVA F: textbook two-group case equals the squared t") {
+    // groups {1,2,3}, {5,6,7}: F = t² = 24 exactly
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 5L), ("b", 6L), ("b", 7L))
+    val r = KSample.anovaF(d.toDF("g", "v"), "g", "v").collect().head
+    assert(r.getAs[Double]("f_stat") == 24.0)
+    assert(r.getAs[Double]("eta_sq") == 0.857143) // 24/28
+  }
+
+  test("Brown-Forsythe: equal spreads give W near 0; unequal spreads a large W") {
+    val equal = (1L to 20L).flatMap(v => Seq(("a", v), ("b", v + 100L)))
+    val w0 = KSample.brownForsythe(equal.toDF("g", "v"), "g", "v")
+      .collect().head.getAs[Double]("w_stat")
+    assert(math.abs(w0) < 1e-6, s"w=$w0")
+
+    val unequal = (1L to 20L).map(v => ("a", 50L + (v % 2))) ++ // tight
+      (1L to 20L).map(v => ("b", v * 10L)) // wide
+    val w1 = KSample.brownForsythe(unequal.toDF("g", "v"), "g", "v")
+      .collect().head.getAs[Double]("w_stat")
+    assert(w1 > 10.0, s"w=$w1")
+  }
+
+  test("all four statistics are replay-stable across partitionings") {
+    val d = (1L to 200L).map(v => (s"g${v % 5}", (v * 7919L) % 97L))
+    val runs = (1 to 3).map { i =>
+      val df = d.toDF("g", "v").repartition(1 + i * 3)
+      (KSample.ksTwoSample(df.selectExpr("CASE WHEN g = 'g0' THEN 0 ELSE 1 END AS s", "v"), "s", "v").collect().toSeq,
+        KSample.kruskalWallis(df, "g", "v").collect().toSeq,
+        KSample.brownForsythe(df, "g", "v").collect().toSeq,
+        KSample.anovaF(df, "g", "v").collect().toSeq)
+    }
+    assert(runs.distinct.size == 1)
+  }
+}

@@ -100,4 +100,20 @@ class MultipleTestingSpec extends SparkSpec {
     assert(holmRej.subsetOf(bhRej), s"holm $holmRej vs bh $bhRej")
     assert(holmRej.nonEmpty, "the three deviant groups must survive Holm")
   }
+
+  test("BY is never more liberal than BH, and its harmonic factor is H_m") {
+    val rows = (1 to 26).flatMap { g =>
+      val p = if (g <= 3) 9 else 5
+      (1 to 200).map(i => (s"g$g", if (i % 10 < p) 1L else 0L))
+    }
+    val df = rows.toDF("grp", "hit")
+    val by = MultipleTesting.byFdr(df, "grp", "hit", 0.05).collect()
+    val byRej = by.filter(_.getAs[Boolean]("rejected")).map(_.getString(0)).toSet
+    val bhRej = MultipleTesting.bhFdr(df, "grp", "hit", 0.05)
+      .filter(col("rejected")).collect().map(_.getString(0)).toSet
+    assert(byRej.subsetOf(bhRej), s"by $byRej vs bh $bhRej")
+    assert(byRej.nonEmpty, "the three deviant groups must survive BY")
+    // c(26) = Σ_{i=1..26} 1/i = 3.854420 (6dp)
+    assert(by.head.getAs[Double]("c_m") == 3.85442)
+  }
 }
