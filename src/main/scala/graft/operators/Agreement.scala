@@ -97,4 +97,37 @@ object Agreement {
           .otherwise(round((col("p_bar") - col("pe_bar"))
             / (lit(1.0) - col("pe_bar")), 6)))
   }
+
+  /** Cochran's Q test (Cochran 1950) for k matched binary treatments —
+    * the k-condition generalization of [[mcnemar]]: "do the k conditions
+    * have the same success rate over the same subjects". Input: one row
+    * per (subject, condition) with a 0/1 outcome — the caller supplies
+    * the DENSE grid (absent = 0 rows included), since the test is about
+    * matched subjects.
+    *
+    * Q = (k−1)·(k·ΣT_c² − (ΣT)²) / (k·ΣR_u − ΣR_u²) where T_c are
+    * condition totals and R_u subject row-sums — every sufficient
+    * statistic is an exact integer sum (order-independent, no float
+    * fold anywhere), and Q is one division at the edge.
+    */
+  def cochranQ(df: DataFrame, subjectCol: String, conditionCol: String,
+               hitCol: String): DataFrame = {
+    val d = df.select(col(subjectCol).as("u"), col(conditionCol).as("c"),
+      col(hitCol).cast("long").as("h"))
+    val colTot = d.groupBy(col("c")).agg(sum(col("h")).as("t"))
+      .agg(count(lit(1)).as("k"), sum(col("t")).as("st"),
+        sum(col("t") * col("t")).as("stt"))
+    val rowTot = d.groupBy(col("u")).agg(sum(col("h")).as("r"))
+      .agg(count(lit(1)).as("n_subjects"), sum(col("r")).as("sr"),
+        sum(col("r") * col("r")).as("srr"))
+    colTot.crossJoin(broadcast(rowTot))
+      .select(col("k"), col("n_subjects"),
+        (col("k") - 1).as("dof"),
+        // all-zero / all-one subjects contribute nothing; if EVERY subject
+        // is constant the denominator is 0 and there is no test → NULL
+        when(col("k") * col("sr") - col("srr") > 0,
+          round(((col("k") - 1) * (col("k") * col("stt") - col("st") * col("st")))
+            .cast("double")
+            / (col("k") * col("sr") - col("srr")), 6)).as("q_stat"))
+  }
 }

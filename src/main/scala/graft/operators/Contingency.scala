@@ -92,4 +92,56 @@ object Contingency {
         col("or_mh"))
       .orderBy(col("stratum"))
   }
+
+  /** Fisher's exact test on a 2×2 table (two-sided, the R convention:
+    * sum the probabilities of all tables as or more extreme than the
+    * observed one). Input: one row per item with 0/1 `rowCol` / `colCol`.
+    *
+    * The hypergeometric weights are built WITHOUT factorials: on the
+    * bounded support grid a ∈ [max(0, r1+c1−n), min(r1, c1)], the
+    * log-weight w(a) accumulates the step ratio
+    * ln((r1−a+1)(c1−a+1)) − ln(a(n−r1−c1+a)) as an ordered-window cumsum
+    * (total order → the float fold is deterministic on both engines),
+    * is centred on max(w) so exp never overflows, and the tail mass /
+    * normalizer fold on the same ordered grid. The grid is bounded by
+    * the SMALLER table margin — which is exactly the regime where Fisher
+    * is called for (small expected cells; use [[chiSquare]] otherwise).
+    */
+  def fisherExact(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = df.select(col(rowCol).cast("long").as("x"),
+        col(colCol).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("r1"),
+        sum(col("y")).as("c1"),
+        sum(col("x") * col("y")).as("a_obs"))
+      .withColumn("lo", greatest(lit(0L), col("r1") + col("c1") - col("n")))
+      .withColumn("hi", least(col("r1"), col("c1")))
+    val grid = tot.select(col("n"), col("r1"), col("c1"), col("a_obs"),
+        col("lo"), explode(sequence(col("lo"), col("hi"))).as("a"))
+    val w = Window.orderBy(col("a"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lw = grid.withColumn("lw", sum(
+      when(col("a") === col("lo"), lit(0.0))
+        .otherwise(log(((col("r1") - col("a") + 1)
+            * (col("c1") - col("a") + 1)).cast("double"))
+          - log((col("a") * (col("n") - col("r1") - col("c1") + col("a")))
+            .cast("double")))).over(w))
+    val center = lw.agg(max(col("lw")).as("m"),
+      max(when(col("a") === col("a_obs"), col("lw"))).as("w_obs"))
+    val acc = lw.crossJoin(broadcast(center))
+      .withColumn("s_all", sum(exp(col("lw") - col("m"))).over(w))
+      .withColumn("s_tail", sum(
+        when(col("lw") <= col("w_obs") + 1e-7, exp(col("lw") - col("m")))
+          .otherwise(lit(0.0))).over(w))
+    acc.orderBy(col("a").desc).limit(1)
+      .select(col("n"), col("r1"), col("c1"), col("a_obs").as("a"),
+        round(col("s_tail") / col("s_all"), 6).as("p_two_sided"),
+        // sample odds ratio; a zero off-diagonal cell → NULL, not ±inf
+        when((col("r1") - col("a_obs")) * (col("c1") - col("a_obs")) > 0,
+          round(col("a_obs").cast("double")
+              * (col("n") - col("r1") - col("c1") + col("a_obs"))
+            / ((col("r1") - col("a_obs")).cast("double")
+              * (col("c1") - col("a_obs"))), 6)).as("odds_ratio"))
+  }
 }

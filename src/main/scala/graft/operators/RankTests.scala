@@ -151,4 +151,58 @@ object RankTests {
             / sqrt((col("n0") - col("n1")).cast("double")
               * (col("n0") - col("n2")).cast("double")), 6)).as("tau_b"))
   }
+
+  /** The full ordinal-association panel over the same bounded bin grid
+    * as [[kendallTauB]]: Goodman-Kruskal γ (ignores ties), Somers'
+    * D_{Y|X} / D_{X|Y} (penalizes ties on the independent axis only),
+    * and Stuart's τ-c (the rectangular-table correction). All pair
+    * counts are exact integers from the cell×cell concordance join —
+    * the ratios are one division each at the edge. γ, the two D's and
+    * τ-c answer different tie questions, which is why they ship
+    * together (a 5-bin grid on 100 TB of docs has astronomically many
+    * ties — τ-b alone under-reads the association).
+    */
+  def ordinalAssociation(binned: DataFrame, grpCol: String): DataFrame = {
+    val cells = binned.groupBy(col(grpCol), col("xb"), col("yb"))
+      .agg(count(lit(1)).as("c"))
+    val cd = cells.as("a")
+      .join(cells.as("b"),
+        col(s"a.$grpCol") === col(s"b.$grpCol") &&
+          (col("a.xb") < col("b.xb") ||
+            (col("a.xb") === col("b.xb") && col("a.yb") < col("b.yb"))))
+      .select(col(s"a.$grpCol").as(grpCol),
+        (col("a.c") * col("b.c")).as("m"),
+        ((col("b.xb") - col("a.xb")) * (col("b.yb") - col("a.yb"))).as("prod"))
+      .groupBy(col(grpCol))
+      .agg(sum(when(col("prod") > 0, col("m")).otherwise(0L)).as("nc"),
+        sum(when(col("prod") < 0, col("m")).otherwise(0L)).as("nd"))
+    val tot = cells.groupBy(col(grpCol))
+      .agg(sum(col("c")).as("n"),
+        countDistinct(col("xb")).as("rx"),
+        countDistinct(col("yb")).as("ry"))
+      .withColumn("n0", col("n") * (col("n") - 1) / 2)
+    val tx = cells.groupBy(col(grpCol), col("xb")).agg(sum(col("c")).as("cx"))
+      .groupBy(col(grpCol)).agg(sum(col("cx") * (col("cx") - 1) / 2).as("n1"))
+    val ty = cells.groupBy(col(grpCol), col("yb")).agg(sum(col("c")).as("cy"))
+      .groupBy(col(grpCol)).agg(sum(col("cy") * (col("cy") - 1) / 2).as("n2"))
+    tot.join(cd, Seq(grpCol), "left").join(tx, Seq(grpCol)).join(ty, Seq(grpCol))
+      .withColumn("ncc", coalesce(col("nc"), lit(0L)))
+      .withColumn("ndd", coalesce(col("nd"), lit(0L)))
+      .withColumn("s", col("ncc") - col("ndd"))
+      .select(col(grpCol), col("n"),
+        col("ncc").as("concordant"), col("ndd").as("discordant"),
+        when(col("ncc") + col("ndd") > 0,
+          round(col("s").cast("double") / (col("ncc") + col("ndd")), 6)
+            + lit(0.0)).as("gamma"),
+        when(col("n0") > col("n1"),
+          round(col("s").cast("double") / (col("n0") - col("n1")), 6)
+            + lit(0.0)).as("somers_dyx"),
+        when(col("n0") > col("n2"),
+          round(col("s").cast("double") / (col("n0") - col("n2")), 6)
+            + lit(0.0)).as("somers_dxy"),
+        when(least(col("rx"), col("ry")) > 1,
+          round(lit(2.0) * least(col("rx"), col("ry")) * col("s")
+            / (col("n").cast("double") * col("n")
+              * (least(col("rx"), col("ry")) - 1)), 6) + lit(0.0)).as("tau_c"))
+  }
 }

@@ -1106,6 +1106,93 @@ object AnalyticsQueries {
         .select(col("source"), col("n_docs"), round(col("p"), 6).as("p_raw"),
           round(col("w") / col("z_all"), 6).as("p_temp"))
         .orderBy(col("source"))
+    }),
+
+    // ===== r11 wave 2: survival comparison, exact/matched categorical
+    // tests, ordinal-association panel =====
+
+    // Two-group log-rank test on the q263 session durations, split by
+    // user parity: "do the two user cohorts retain sessions equally".
+    // O₁ is integer; E₁/V fold on the ordered duration grid
+    // (operators/Survival.scala logRank).
+    "q273_log_rank" -> ((s, dir) => {
+      val sess = graft.streaming.Sessionize.sessionSummaries(
+          Tables.events(s, dir), "user_id", "ts", "event_id", 1800L)
+        .select(pmod(col("user_id"), lit(2)).cast("long").as("g"),
+          expr("unix_micros(sess_start)").as("s_us"),
+          expr("unix_micros(sess_end)").as("e_us"))
+      val span = Tables.events(s, dir)
+        .agg(max(expr("unix_micros(ts)")).as("t1"))
+      val subjects = sess.crossJoin(broadcast(span))
+        .select(col("g"), expr("(e_us - s_us) div 1000000").as("dur"),
+          when(col("e_us") < col("t1") - lit(1800L * 1000000L), 1L)
+            .otherwise(0L).as("ev"))
+      graft.operators.Survival.logRank(subjects, "dur", "ev", "g")
+    }),
+
+    // Nelson-Aalen cumulative hazard + Breslow survival over the SAME
+    // censored session durations as q263 — the hazard-scale read of the
+    // same curve (KM multiplies survival fractions, NA sums hazards).
+    "q274_nelson_aalen" -> ((s, dir) => {
+      val sess = graft.streaming.Sessionize.sessionSummaries(
+          Tables.events(s, dir), "user_id", "ts", "event_id", 1800L)
+        .select(expr("unix_micros(sess_start)").as("s_us"),
+          expr("unix_micros(sess_end)").as("e_us"))
+      val span = Tables.events(s, dir)
+        .agg(max(expr("unix_micros(ts)")).as("t1"))
+      val subjects = sess.crossJoin(broadcast(span))
+        .select(expr("(e_us - s_us) div 1000000").as("dur"),
+          when(col("e_us") < col("t1") - lit(1800L * 1000000L), 1L)
+            .otherwise(0L).as("ev"))
+      graft.operators.Survival.nelsonAalen(subjects, "dur", "ev")
+    }),
+
+    // Fisher's EXACT independence test on the small-margin 2×2
+    // "is English over-represented in src7": the factorial-free
+    // hypergeometric fold on the bounded support grid (the margin is
+    // 1/20 of the corpus — exactly the small-cell regime where q201's
+    // χ² approximation is untrustworthy).
+    "q275_fisher_exact" -> ((s, dir) =>
+      graft.operators.Contingency.fisherExact(
+        Tables.documents(s, dir).select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("x"),
+          when(col("source") === "src7", 1L).otherwise(0L).as("y")),
+        "x", "y")),
+
+    // Cochran's Q across k=3 matched binary treatments: for each
+    // (user, day) subject, did the user click / purchase / error that
+    // day — "do the three action types fire at the same per-day rate".
+    // The dense subject×condition grid is built here (absent = 0); every
+    // sufficient statistic in the operator is an exact integer sum.
+    "q276_cochran_q" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select((col("user_id") * 100000L
+          + expr("unix_date(to_date(ts))")).as("subj"), col("event_type"))
+      val conds = Seq("click", "purchase", "error")
+      val subjects = ev.select(col("subj")).distinct()
+      val grid = subjects.crossJoin(broadcast(conds.toDF("cond")))
+      val hits = ev.filter(col("event_type").isin(conds: _*))
+        .select(col("subj"), col("event_type").as("cond")).distinct()
+        .withColumn("h", lit(1L))
+      graft.operators.Agreement.cochranQ(
+        grid.join(hits, Seq("subj", "cond"), "left")
+          .withColumn("h", coalesce(col("h"), lit(0L))),
+        "subj", "cond", "h")
+    }),
+
+    // Ordinal-association panel (Goodman-Kruskal γ, Somers' D both
+    // directions, Stuart τ-c) per source over the SAME length×token bin
+    // grid as q210's τ-b — the tie-sensitivity spectrum on a grid where
+    // ties dominate. Integer pair counts; one division per statistic.
+    "q277_ordinal_assoc" -> ((s, dir) => {
+      val binned = Tables.documents(s, dir)
+        .select(col("source"),
+          expr("n_chars div 64").as("xb"),
+          graft.functions.TextOps.wsTokenCount(col("text")).cast("long").as("_y"))
+        .select(col("source"), col("xb"), expr("_y div 16").as("yb"))
+      graft.operators.RankTests.ordinalAssociation(binned, "source")
+        .orderBy(col("source"))
     })
   )
 
@@ -2519,6 +2606,185 @@ object AnalyticsQueries {
         |c AS (SELECT *, max(z) OVER () AS z_all FROM b)
         |SELECT source, n_docs, round(p, 6) AS p_raw, round(w / z_all, 6) AS p_temp
         |FROM c ORDER BY source""".stripMargin,
+
+    // the q263 session-duration grid split by user parity; O1 integer,
+    // E1/V fold on the ordered duration window
+    "q273_log_rank" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS session_id
+        |  FROM flagged
+        |), summ AS (
+        |  SELECT user_id % 2 AS g, epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |  FROM sess GROUP BY user_id, session_id
+        |), span AS (SELECT max(epoch_us(ts)) AS t1 FROM events),
+        |subjects AS (
+        |  SELECT g, (e_us - s_us) // 1000000 AS dur,
+        |         CASE WHEN e_us < t1 - 1800000000 THEN 1 ELSE 0 END AS ev
+        |  FROM summ, span),
+        |cells AS (SELECT dur AS t, sum(ev) AS d,
+        |                 sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS d1,
+        |                 count(*) AS alln,
+        |                 sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS a1
+        |          FROM subjects GROUP BY dur),
+        |tot AS (SELECT sum(alln) AS nn, sum(a1) AS nn1 FROM cells),
+        |g1 AS (SELECT t, d, d1, alln, a1, nn, nn1,
+        |              sum(alln) OVER w AS lt, sum(a1) OVER w AS lt1
+        |       FROM cells, tot
+        |       WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g2 AS (SELECT *, nn - lt + alln AS n_risk, nn1 - lt1 + a1 AS n1_risk FROM g1),
+        |g3 AS (SELECT t, nn, nn1,
+        |              sum(d1) OVER w AS o1,
+        |              sum(CAST(d AS DOUBLE) * n1_risk / n_risk) OVER w AS e1,
+        |              sum(CASE WHEN n_risk > 1 THEN
+        |                    CAST(d AS DOUBLE) * n1_risk * (n_risk - n1_risk) * (n_risk - d)
+        |                      / (CAST(n_risk AS DOUBLE) * n_risk * (n_risk - 1))
+        |                  ELSE 0.0 END) OVER w AS v
+        |       FROM g2
+        |       WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT * FROM g3 ORDER BY t DESC LIMIT 1)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(nn1 AS BIGINT) AS n1,
+        |       CAST(o1 AS BIGINT) AS o1, round(e1, 6) AS e1, round(v, 6) AS v,
+        |       CASE WHEN v > 0 THEN round((o1 - e1) / sqrt(v), 6) + 0.0 END AS z,
+        |       CASE WHEN v > 0 THEN round(pow(o1 - e1, 2) / v, 6) END AS chi2
+        |FROM fin""".stripMargin,
+
+    // same censored-duration grid as q263; the hazard increments fold on
+    // the ordered grid, Breslow survival is exp(-H) of the raw cumsum
+    "q274_nelson_aalen" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS session_id
+        |  FROM flagged
+        |), summ AS (
+        |  SELECT epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |  FROM sess GROUP BY user_id, session_id
+        |), span AS (SELECT max(epoch_us(ts)) AS t1 FROM events),
+        |subjects AS (
+        |  SELECT (e_us - s_us) // 1000000 AS dur,
+        |         CASE WHEN e_us < t1 - 1800000000 THEN 1 ELSE 0 END AS ev
+        |  FROM summ, span),
+        |cells AS (SELECT dur AS t, sum(ev) AS d, count(*) AS alln
+        |          FROM subjects GROUP BY dur),
+        |tot AS (SELECT sum(alln) AS nn FROM cells),
+        |g AS (SELECT t, d, alln, nn,
+        |             sum(alln) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+        |      FROM cells, tot),
+        |g2 AS (SELECT t, d, nn - lt + alln AS n_risk FROM g),
+        |g3 AS (SELECT t, n_risk, d,
+        |             sum(CAST(d AS DOUBLE) / n_risk)
+        |               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS haz
+        |      FROM g2)
+        |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+        |       CAST(d AS BIGINT) AS d,
+        |       round(haz, 6) AS na_hazard, round(exp(-haz), 6) AS breslow_surv
+        |FROM g3 WHERE d > 0 ORDER BY t""".stripMargin,
+
+    // factorial-free hypergeometric: the log-weight accumulates step
+    // ratios on the ordered bounded support grid, centred on max(w)
+    "q275_fisher_exact" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |                    CAST(sum(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |                    CAST(sum(CASE WHEN lang = 'en' AND source = 'src7' THEN 1 ELSE 0 END) AS BIGINT) AS a_obs
+        |             FROM documents),
+        |t2 AS (SELECT *, greatest(CAST(0 AS BIGINT), r1 + c1 - n) AS lo, least(r1, c1) AS hi FROM tot),
+        |grid AS (SELECT n, r1, c1, a_obs, lo, unnest(generate_series(lo, hi)) AS a FROM t2),
+        |lwt AS (SELECT *, sum(CASE WHEN a = lo THEN 0.0
+        |                           ELSE ln(CAST((r1 - a + 1) * (c1 - a + 1) AS DOUBLE))
+        |                              - ln(CAST(a * (n - r1 - c1 + a) AS DOUBLE)) END)
+        |                    OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lw
+        |        FROM grid),
+        |ctr AS (SELECT max(lw) AS m, max(CASE WHEN a = a_obs THEN lw END) AS w_obs FROM lwt),
+        |acc AS (SELECT a, n, r1, c1, a_obs,
+        |               sum(exp(lw - m)) OVER w AS s_all,
+        |               sum(CASE WHEN lw <= w_obs + 1e-7 THEN exp(lw - m) ELSE 0.0 END) OVER w AS s_tail
+        |        FROM lwt, ctr
+        |        WINDOW w AS (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT * FROM acc ORDER BY a DESC LIMIT 1)
+        |SELECT n, r1, c1, a_obs AS a,
+        |       round(s_tail / s_all, 6) AS p_two_sided,
+        |       CASE WHEN (r1 - a_obs) * (c1 - a_obs) > 0 THEN
+        |         round(CAST(a_obs AS DOUBLE) * (n - r1 - c1 + a_obs)
+        |               / (CAST(r1 - a_obs AS DOUBLE) * (c1 - a_obs)), 6) END AS odds_ratio
+        |FROM fin""".stripMargin,
+
+    // dense (user,day)×condition grid; every sufficient statistic is an
+    // exact integer sum — no float fold anywhere
+    "q276_cochran_q" ->
+      """WITH ev AS (SELECT user_id * 100000 + (CAST(ts AS DATE) - DATE '1970-01-01') AS subj,
+        |                   event_type
+        |            FROM events),
+        |subjects AS (SELECT DISTINCT subj FROM ev),
+        |conds AS (SELECT unnest(['click', 'purchase', 'error']) AS cond),
+        |grid AS (SELECT subj, cond FROM subjects CROSS JOIN conds),
+        |hits AS (SELECT DISTINCT subj, event_type AS cond, 1 AS h FROM ev
+        |         WHERE event_type IN ('click', 'purchase', 'error')),
+        |d AS (SELECT g.subj AS u, g.cond AS c, coalesce(h.h, 0) AS h
+        |      FROM grid g LEFT JOIN hits h ON g.subj = h.subj AND g.cond = h.cond),
+        |ct AS (SELECT c, sum(h) AS t FROM d GROUP BY c),
+        |ctt AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(t) AS BIGINT) AS st,
+        |               CAST(sum(t * t) AS BIGINT) AS stt FROM ct),
+        |rt AS (SELECT u, sum(h) AS r FROM d GROUP BY u),
+        |rtt AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects, CAST(sum(r) AS BIGINT) AS sr,
+        |               CAST(sum(r * r) AS BIGINT) AS srr FROM rt)
+        |SELECT k, n_subjects, k - 1 AS dof,
+        |       CASE WHEN k * sr - srr > 0 THEN
+        |         round(CAST((k - 1) * (k * stt - st * st) AS DOUBLE) / (k * sr - srr), 6) END AS q_stat
+        |FROM ctt, rtt""".stripMargin,
+
+    // the q210 cell grid and pair join; four tie-treatment ratios at the
+    // edge, each sign-pinned with + 0.0
+    "q277_ordinal_assoc" ->
+      """WITH d AS (
+        |  SELECT source, n_chars // 64 AS xb,
+        |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) // 16 AS yb
+        |  FROM documents),
+        |cells AS (SELECT source, xb, yb, count(*) AS c FROM d GROUP BY 1, 2, 3),
+        |cd AS (
+        |  SELECT a.source,
+        |         sum(CASE WHEN (b.xb - a.xb) * (b.yb - a.yb) > 0 THEN a.c * b.c ELSE 0 END) AS nc,
+        |         sum(CASE WHEN (b.xb - a.xb) * (b.yb - a.yb) < 0 THEN a.c * b.c ELSE 0 END) AS nd
+        |  FROM cells a JOIN cells b ON a.source = b.source
+        |    AND (a.xb < b.xb OR (a.xb = b.xb AND a.yb < b.yb))
+        |  GROUP BY 1),
+        |tot AS (SELECT source, sum(c) AS n, sum(c) * (sum(c) - 1) // 2 AS n0,
+        |               count(DISTINCT xb) AS rx, count(DISTINCT yb) AS ry
+        |        FROM cells GROUP BY 1),
+        |tx AS (SELECT source, sum(cx * (cx - 1) // 2) AS n1
+        |       FROM (SELECT source, xb, sum(c) AS cx FROM cells GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (SELECT source, sum(cy * (cy - 1) // 2) AS n2
+        |       FROM (SELECT source, yb, sum(c) AS cy FROM cells GROUP BY 1, 2) GROUP BY 1),
+        |j AS (SELECT tot.source AS source, n, n0, rx, ry, n1, n2,
+        |             coalesce(nc, 0) AS ncc, coalesce(nd, 0) AS ndd,
+        |             coalesce(nc, 0) - coalesce(nd, 0) AS s
+        |      FROM tot LEFT JOIN cd USING (source) JOIN tx USING (source) JOIN ty USING (source))
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |       CAST(ncc AS BIGINT) AS concordant, CAST(ndd AS BIGINT) AS discordant,
+        |       CASE WHEN ncc + ndd > 0 THEN
+        |         round(CAST(s AS DOUBLE) / (ncc + ndd), 6) + 0.0 END AS gamma,
+        |       CASE WHEN n0 > n1 THEN
+        |         round(CAST(s AS DOUBLE) / (n0 - n1), 6) + 0.0 END AS somers_dyx,
+        |       CASE WHEN n0 > n2 THEN
+        |         round(CAST(s AS DOUBLE) / (n0 - n2), 6) + 0.0 END AS somers_dxy,
+        |       CASE WHEN least(rx, ry) > 1 THEN
+        |         round(2.0 * least(rx, ry) * s
+        |               / (CAST(n AS DOUBLE) * n * (least(rx, ry) - 1)), 6) + 0.0 END AS tau_c
+        |FROM j ORDER BY source""".stripMargin,
 
     // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — shift.
     // Directions via integer cross-multiplication: division-free.

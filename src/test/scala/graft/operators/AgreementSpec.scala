@@ -57,4 +57,29 @@ class AgreementSpec extends SparkSpec {
     // c_en = c_other = 3 -> P̄e = (9+9)/36 = 0.5; κ = (1/3−1/2)/(1/2) = −1/3
     assert(math.abs(r2.getAs[Double]("kappa") + 1.0 / 3) < 1e-5)
   }
+
+  test("cochran q: hand-computed 4 subjects x 3 conditions") {
+    // rows R = (2,1,3,1), cols T = (3,3,1):
+    // Q = (k-1)(k·ΣT² - (ΣT)²)/(k·ΣR - ΣR²) = 2(57-49)/(21-15) = 8/3
+    val d = Seq(
+      ("u1", "a", 1L), ("u1", "b", 1L), ("u1", "c", 0L),
+      ("u2", "a", 1L), ("u2", "b", 0L), ("u2", "c", 0L),
+      ("u3", "a", 1L), ("u3", "b", 1L), ("u3", "c", 1L),
+      ("u4", "a", 0L), ("u4", "b", 1L), ("u4", "c", 0L))
+    val r = Agreement.cochranQ(d.toDF("u", "c", "h"), "u", "c", "h")
+      .collect().head
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_subjects") == 4L)
+    assert(r.getAs[Long]("dof") == 2L)
+    assert(r.getAs[Double]("q_stat") == 2.666667)
+  }
+
+  test("cochran q: all-constant subjects yield NULL, not a divide error") {
+    val d = Seq(
+      ("u1", "a", 1L), ("u1", "b", 1L),
+      ("u2", "a", 0L), ("u2", "b", 0L))
+    val r = Agreement.cochranQ(d.toDF("u", "c", "h"), "u", "c", "h")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("q_stat")))
+  }
 }

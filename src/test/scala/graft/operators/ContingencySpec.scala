@@ -63,4 +63,35 @@ class ContingencySpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("or_mh")))
     assert(r.isNullAt(r.fieldIndex("or_stratum")))
   }
+
+  test("fisher exact: the tea-tasting 2x2 gives p = 34/70") {
+    // margins 4/4 of 8, a_obs = 3: P(a) = C(4,a)C(4,4-a)/C(8,4) over a in
+    // 0..4 = (1,16,36,16,1)/70; two-sided tail {0,1,3,4} = 34/70
+    val rows = Seq.fill(3)((1L, 1L)) ++ Seq.fill(1)((1L, 0L)) ++
+      Seq.fill(1)((0L, 1L)) ++ Seq.fill(3)((0L, 0L))
+    val r = Contingency.fisherExact(rows.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("a") == 3L)
+    assert(r.getAs[Double]("p_two_sided") == 0.485714)
+    assert(r.getAs[Double]("odds_ratio") == 9.0)
+  }
+
+  test("fisher exact: extreme table p equals its own point mass; zero cell → NULL OR") {
+    // a_obs = hi = 4 (complete separation on the small margin):
+    // two-sided tail = P(4) + P(0) = 2/70
+    val rows = Seq.fill(4)((1L, 1L)) ++ Seq.fill(4)((0L, 0L))
+    val r = Contingency.fisherExact(rows.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(r.getAs[Double]("p_two_sided") == 0.028571)
+    assert(r.isNullAt(r.fieldIndex("odds_ratio")))
+  }
+
+  test("fisher exact: independent-ish table is replay-stable across partitionings") {
+    val rows = (1L to 200L).map(i => (i % 3 min 1, (i * 7) % 5 min 1))
+    val runs = (1 to 3).map { i =>
+      Contingency.fisherExact(rows.toDF("x", "y").repartition(i * 3), "x", "y")
+        .collect().head.toSeq
+    }
+    assert(runs.distinct.size == 1)
+  }
 }

@@ -94,4 +94,42 @@ class RankTestsSpec extends SparkSpec {
     val r = rho(Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L)))
     assert(r("g").isNullAt(r("g").fieldIndex("rho")))
   }
+
+  test("ordinal association: perfect concordance maxes every statistic") {
+    val d = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L))
+    val r = RankTests.ordinalAssociation(d.toDF("g", "xb", "yb"), "g")
+      .collect().head
+    assert(r.getAs[Long]("concordant") == 3L)
+    assert(r.getAs[Long]("discordant") == 0L)
+    assert(r.getAs[Double]("gamma") == 1.0)
+    assert(r.getAs[Double]("somers_dyx") == 1.0)
+    assert(r.getAs[Double]("somers_dxy") == 1.0)
+    // tau_c = 2m(C-D)/(n²(m-1)) = 2·3·3/(9·2) = 1
+    assert(r.getAs[Double]("tau_c") == 1.0)
+  }
+
+  test("ordinal association: balanced 2x2 grid zeroes to +0.0, not -0.0") {
+    val d = Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 2L, 1L), ("g", 2L, 2L))
+    val r = RankTests.ordinalAssociation(d.toDF("g", "xb", "yb"), "g")
+      .collect().head
+    assert(r.getAs[Long]("concordant") == 1L)
+    assert(r.getAs[Long]("discordant") == 1L)
+    for (c <- Seq("gamma", "somers_dyx", "somers_dxy", "tau_c")) {
+      val v = r.getAs[Double](c)
+      assert(v == 0.0)
+      assert(java.lang.Double.doubleToRawLongBits(v) == 0L,
+        s"$c must be +0.0, not -0.0")
+    }
+  }
+
+  test("ordinal association: all-tied x axis NULLs somers_dyx only") {
+    // xb constant: n0 = n1 → D_{Y|X} undefined; γ undefined too (C+D=0)
+    val d = Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 1L, 3L))
+    val r = RankTests.ordinalAssociation(d.toDF("g", "xb", "yb"), "g")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("somers_dyx")))
+    assert(r.isNullAt(r.fieldIndex("gamma")))
+    assert(r.isNullAt(r.fieldIndex("tau_c"))) // rx = 1 → m = 1
+    assert(r.getAs[Double]("somers_dxy") == 0.0)
+  }
 }
