@@ -98,6 +98,51 @@ object Agreement {
             / (lit(1.0) - col("pe_bar")), 6)))
   }
 
+  /** Krippendorff's α (nominal metric) — the agreement coefficient that
+    * handles VARIABLE raters per item, which [[fleissKappa]] cannot
+    * (its r is fixed): the right tool once some annotators abstain.
+    * Input: per (item, category) rater counts, zero cells omitted.
+    *
+    * α = 1 − D_o/D_e with D_o/D_e the observed/expected disagreement.
+    * Items with m_i < 2 raters are unpairable and drop out. The only
+    * division-before-the-edge, Σᵢ n_ic(m_i−n_ic)/(m_i−1), is regrouped
+    * BY RATER COUNT m: the inner sums are exact integers and the outer
+    * Σ_m S_m/(m−1) folds on the ordered bounded distinct-m grid — so
+    * no corpus-sized float sum exists at any scale. D_e's numerator
+    * Σ_c n_c(n_tot−n_c) is pure integer over the bounded category grid.
+    */
+  def krippendorffAlpha(counts: DataFrame, itemCol: String, catCol: String,
+                        cntCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = counts.groupBy(col(itemCol).as("item"))
+      .agg(sum(col(cntCol)).as("m_i"))
+      .filter(col("m_i") >= 2)
+    val pairable = counts.select(col(itemCol).as("item"),
+        col(catCol).as("cat"), col(cntCol).cast("long").as("cnt"))
+      .join(m, Seq("item"))
+    // Σᵢ Σ_c n_ic(m_i − n_ic), grouped by the (bounded) rater count m_i
+    val perM = pairable.groupBy(col("m_i"))
+      .agg(sum(col("cnt") * (col("m_i") - col("cnt"))).as("s_m"))
+    val w = Window.orderBy(col("m_i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val doNum = perM
+      .withColumn("acc", sum(
+        col("s_m").cast("double") / (col("m_i") - 1)).over(w))
+      .orderBy(col("m_i").desc).limit(1)
+      .select(col("acc").as("do_num"))
+    val tot = m.agg(count(lit(1)).as("n_items"), sum(col("m_i")).as("n_tot"))
+    val deNum = pairable.groupBy(col("cat")).agg(sum(col("cnt")).as("n_c"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(col("n_c") * (col("n_tot") - col("n_c"))).as("de_num"))
+    tot.crossJoin(broadcast(doNum)).crossJoin(broadcast(deNum))
+      .select(col("n_items"), col("n_tot"),
+        // D_o/D_e = do_num·(n_tot−1)/de_num ; all-one-category → no
+        // disagreement is even possible → NULL, not a divide error
+        when(col("de_num") > 0,
+          round(lit(1.0) - col("do_num") * (col("n_tot") - 1)
+            / col("de_num"), 6) + lit(0.0)).as("alpha"))
+  }
+
   /** Cochran's Q test (Cochran 1950) for k matched binary treatments —
     * the k-condition generalization of [[mcnemar]]: "do the k conditions
     * have the same success rate over the same subjects". Input: one row

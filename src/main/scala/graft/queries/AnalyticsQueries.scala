@@ -1193,7 +1193,53 @@ object AnalyticsQueries {
         .select(col("source"), col("xb"), expr("_y div 16").as("yb"))
       graft.operators.RankTests.ordinalAssociation(binned, "source")
         .orderBy(col("source"))
-    })
+    }),
+
+    // Krippendorff's α with VARIABLE raters per item — the q240 Fleiss
+    // panel, but the length-rule rater abstains on short docs
+    // (n_chars < 400), which Fleiss' fixed-r cannot model. The one
+    // rational-per-item division is regrouped onto the bounded
+    // distinct-m grid (operators/Agreement.scala krippendorffAlpha).
+    "q278_krippendorff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val ruleA = lower(col("text")).contains(" the ")
+      val ruleB = length(regexp_replace(col("text"), "[^\\x00-\\x7F]", "")) *
+        20 >= length(col("text")) * 19
+      val ruleC = col("n_chars") >= 800
+      val votes = d.select(col("doc_id"),
+        (ruleA.cast("long") + ruleB.cast("long")
+          + when(col("n_chars") >= 400, ruleC.cast("long")).otherwise(0L))
+          .as("en_cnt"),
+        (lit(2L) + (col("n_chars") >= 400).cast("long")).as("m"))
+      val counts = votes
+        .select(col("doc_id"), lit("en").as("category"),
+          col("en_cnt").as("cnt"))
+        .unionAll(votes.select(col("doc_id"), lit("other").as("category"),
+          (col("m") - col("en_cnt")).as("cnt")))
+      graft.operators.Agreement.krippendorffAlpha(counts, "doc_id",
+        "category", "cnt")
+    }),
+
+    // Sample ACF of the daily event-count series at lags 1..7: per-lag
+    // sufficient statistics are integer sums from a day+lag equi-join;
+    // the ratio is one double formula per LAG with every cross-term
+    // cast to double before multiplying (operators/Autocorr.scala).
+    "q279_acf" -> ((s, dir) =>
+      graft.operators.Autocorr.acf(
+        Tables.events(s, dir)
+          .groupBy(expr("unix_date(to_date(ts))").as("day"))
+          .agg(count(lit(1)).as("x")),
+        "day", "x", 7)),
+
+    // Ljung-Box portmanteau over those 7 lags — "is the daily volume
+    // white noise". Folds the ROUNDED r_l² on the ordered bounded lag
+    // grid; χ²(7, 0.95) = 14.067140 is a shared literal.
+    "q280_ljung_box" -> ((s, dir) =>
+      graft.operators.Autocorr.ljungBox(
+        Tables.events(s, dir)
+          .groupBy(expr("unix_date(to_date(ts))").as("day"))
+          .agg(count(lit(1)).as("x")),
+        "day", "x", 7, crit = 14.06714))
   )
 
   def oracles: Map[String, String] = Map(
@@ -2785,6 +2831,91 @@ object AnalyticsQueries {
         |         round(2.0 * least(rx, ry) * s
         |               / (CAST(n AS DOUBLE) * n * (least(rx, ry) - 1)), 6) + 0.0 END AS tau_c
         |FROM j ORDER BY source""".stripMargin,
+
+    // the q240 rater panel with an abstaining third rater; D_o regrouped
+    // on the bounded distinct-m grid, D_e numerator pure integer
+    "q278_krippendorff" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN contains(lower(text), ' the ') THEN 1 ELSE 0 END
+        |          + CASE WHEN length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) * 20
+        |                      >= length(text) * 19 THEN 1 ELSE 0 END
+        |          + CASE WHEN n_chars >= 400 AND n_chars >= 800 THEN 1 ELSE 0 END)::BIGINT AS en_cnt,
+        |         (2 + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)::BIGINT AS m
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, 'en' AS cat, en_cnt AS cnt, m FROM r
+        |  UNION ALL
+        |  SELECT doc_id, 'other' AS cat, m - en_cnt AS cnt, m FROM r),
+        |perm AS (SELECT m AS m_i, sum(cnt * (m - cnt)) AS s_m FROM counts GROUP BY 1),
+        |don AS (SELECT acc AS do_num FROM (
+        |          SELECT m_i, sum(CAST(s_m AS DOUBLE) / (m_i - 1))
+        |                        OVER (ORDER BY m_i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+        |          FROM perm) ORDER BY m_i DESC LIMIT 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items, CAST(sum(m) AS BIGINT) AS n_tot FROM r),
+        |de AS (SELECT CAST(sum(n_c * (n_tot - n_c)) AS BIGINT) AS de_num
+        |       FROM (SELECT cat, sum(cnt) AS n_c FROM counts GROUP BY 1), tot)
+        |SELECT n_items, n_tot,
+        |       CASE WHEN de_num > 0 THEN
+        |         round(1.0 - do_num * (n_tot - 1) / de_num, 6) + 0.0 END AS alpha
+        |FROM tot, don, de""".stripMargin,
+
+    // integer Σxy/Σx sums from the day+lag equi-join; every cross-term
+    // cast to double BEFORE multiplying, identically on both engines
+    "q279_acf" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+        |                  CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx FROM g),
+        |lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        |p AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS np,
+        |             CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+        |             CAST(sum(a.x) AS BIGINT) AS s1, CAST(sum(b.x) AS BIGINT) AS s2
+        |      FROM lags l CROSS JOIN g a JOIN g b ON b.day = a.day + l.lag
+        |      GROUP BY l.lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, np AS n_pairs,
+        |       CASE WHEN CAST(sxx AS DOUBLE) * n * n - CAST(sx AS DOUBLE) * sx * n > 0 THEN
+        |         round((CAST(sxy AS DOUBLE) * n * n
+        |                - CAST(sx AS DOUBLE) * n * (s1 + s2)
+        |                + CAST(np AS DOUBLE) * sx * sx)
+        |               / (CAST(sxx AS DOUBLE) * n * n - CAST(sx AS DOUBLE) * sx * n), 6)
+        |           + 0.0 END AS r
+        |FROM p, t ORDER BY lag""".stripMargin,
+
+    // the q279 r_l, ROUNDED, squared on the ordered bounded lag grid;
+    // chi2(7, .95) literal shared with the gate
+    "q280_ljung_box" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+        |                  CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx FROM g),
+        |lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        |p AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS np,
+        |             CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+        |             CAST(sum(a.x) AS BIGINT) AS s1, CAST(sum(b.x) AS BIGINT) AS s2
+        |      FROM lags l CROSS JOIN g a JOIN g b ON b.day = a.day + l.lag
+        |      GROUP BY l.lag),
+        |rr AS (SELECT lag,
+        |              CASE WHEN CAST(sxx AS DOUBLE) * n * n - CAST(sx AS DOUBLE) * sx * n > 0 THEN
+        |                round((CAST(sxy AS DOUBLE) * n * n
+        |                       - CAST(sx AS DOUBLE) * n * (s1 + s2)
+        |                       + CAST(np AS DOUBLE) * sx * sx)
+        |                      / (CAST(sxx AS DOUBLE) * n * n - CAST(sx AS DOUBLE) * sx * n), 6)
+        |                  + 0.0 END AS r,
+        |              n
+        |       FROM p, t),
+        |acc AS (SELECT lag, n,
+        |               sum(r * r / (n - lag))
+        |                 OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qacc
+        |        FROM rr),
+        |fin AS (SELECT * FROM acc ORDER BY lag DESC LIMIT 1)
+        |SELECT n, CAST(lag AS BIGINT) AS max_lag,
+        |       round(CAST(n AS DOUBLE) * (n + 2) * qacc, 6) AS q_lb,
+        |       14.06714 AS crit,
+        |       round(CAST(n AS DOUBLE) * (n + 2) * qacc, 6) > 14.06714 AS reject_white_noise
+        |FROM fin""".stripMargin,
 
     // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — shift.
     // Directions via integer cross-multiplication: division-free.

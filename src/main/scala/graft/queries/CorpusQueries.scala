@@ -925,7 +925,15 @@ object CorpusQueries {
           round(sum(col("_js")), 6).as("jsd"),
           round(sum(col("_js")) / math.log(2.0), 6).as("jsd_bits"))
         .orderBy(col("source"))
-    })
+    }),
+
+    // AMS tug-of-war F₂ sketch (16 estimators) vs the exact second
+    // frequency moment — the self-join-size/skew estimator joining HLL
+    // (F₀, q96) and CMS (point freq, q99) in the sketch family. Signs
+    // are md5-derived (portable, no RNG); every sum integer; Y² squared
+    // in double (functions/AmsSketch.scala).
+    "q282_ams_f2" -> ((s, dir) =>
+      graft.functions.AmsSketch.f2(Tables.documents(s, dir), "text", 16))
   )
 
   private val mixBpSql =
@@ -1640,6 +1648,24 @@ object CorpusQueries {
         |       round(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0.0 END
         |               + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0.0 END)
         |             / 0.6931471805599453, 6) AS jsd_bits
-        |FROM j GROUP BY source ORDER BY source""".stripMargin
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // md5-derived ±1 signs per (token, k); Y_k integer, Y² in double;
+    // the exact F2 witness is the integer Σf² over the type grid
+    "q282_ams_f2" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 1)) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+        |exact AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM counts),
+        |ks AS (SELECT unnest(generate_series(0, 15)) AS k),
+        |fanned AS (SELECT c.token, c.f, ks.k,
+        |                  1 - 2 * (CAST(('0x' || substr(md5(c.token || '|' || CAST(ks.k AS VARCHAR)), 1, 15)) AS BIGINT) % 2) AS s
+        |           FROM counts c CROSS JOIN ks),
+        |y AS (SELECT k, CAST(sum(f * s) AS BIGINT) AS y FROM fanned GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS k, y, CAST(y AS DOUBLE) * y AS y_sq, f2_exact,
+        |       round(CAST(y AS DOUBLE) * y / f2_exact, 6) AS ratio
+        |FROM y, exact ORDER BY k""".stripMargin
   )
 }

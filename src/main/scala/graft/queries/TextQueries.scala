@@ -671,7 +671,14 @@ object TextQueries {
           length(col("cleaned")).cast("long").as("len_out"),
           md5(col("cleaned")).as("h"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Zipf rank-frequency slope over the top-100 types — the corpus-law
+    // sibling of Heaps (q176) and Hill (q163): boilerplate floods
+    // flatten the head, generated spam steepens it. OLS sums fold on
+    // the ordered bounded rank grid (functions/ZipfLaw.scala).
+    "q281_zipf_slope" -> ((s, dir) =>
+      graft.functions.ZipfLaw.fit(Tables.documents(s, dir), "text", 100))
   )
 
   private def langScoreSql(profile: Seq[String]): String =
@@ -1558,6 +1565,31 @@ object TextQueries {
         |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_out,
         |       CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS len_out,
         |       md5(array_to_string(kept, chr(10))) AS h
-        |FROM k ORDER BY doc_id""".stripMargin
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // top-100 rank grid (freq desc, token asc tiebreak); OLS sums fold
+    // on the ordered rank window; slope/intercept sign-pinned
+    "q281_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 1)) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+        |types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM counts),
+        |ranked AS (SELECT * FROM (
+        |             SELECT CAST(row_number() OVER (ORDER BY f DESC, token ASC) AS BIGINT) AS rk, f
+        |             FROM counts) WHERE rk <= 100),
+        |g AS (SELECT rk, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y FROM ranked),
+        |acc AS (SELECT rk, count(*) OVER w AS m, sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |               sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy
+        |        FROM g WINDOW w AS (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT * FROM acc ORDER BY rk DESC LIMIT 1)
+        |SELECT n_types, CAST(m AS BIGINT) AS n_top,
+        |       CASE WHEN m * sxx - sx * sx > 0 THEN
+        |         round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) + 0.0 END AS slope,
+        |       CASE WHEN m * sxx - sx * sx > 0 THEN
+        |         round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)
+        |           + 0.0 END AS intercept
+        |FROM fin, types""".stripMargin
   )
 }

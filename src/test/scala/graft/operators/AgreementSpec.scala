@@ -74,6 +74,42 @@ class AgreementSpec extends SparkSpec {
     assert(r.getAs[Double]("q_stat") == 2.666667)
   }
 
+  test("krippendorff alpha: hand-computed with VARIABLE raters per item") {
+    // i1 (m=3): a,a,b ; i2 (m=2): b,b
+    // do_num = (2·1 + 1·2)/2 = 2 ; n_tot = 5, n_a = 2, n_b = 3
+    // de_num = 2·3 + 3·2 = 12 ; α = 1 − 2·4/12 = 1/3
+    val counts = Seq(
+      ("i1", "a", 2L), ("i1", "b", 1L),
+      ("i2", "b", 2L))
+    val r = Agreement.krippendorffAlpha(counts.toDF("item", "cat", "cnt"),
+      "item", "cat", "cnt").collect().head
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Long]("n_tot") == 5L)
+    assert(r.getAs[Double]("alpha") == 0.333333)
+  }
+
+  test("krippendorff alpha: perfect agreement = 1; unanimity category → NULL") {
+    val perfect = Seq(("i1", "a", 2L), ("i2", "b", 2L))
+    val r1 = Agreement.krippendorffAlpha(perfect.toDF("item", "cat", "cnt"),
+      "item", "cat", "cnt").collect().head
+    assert(r1.getAs[Double]("alpha") == 1.0)
+    val unanimous = Seq(("i1", "a", 2L), ("i2", "a", 3L))
+    val r2 = Agreement.krippendorffAlpha(unanimous.toDF("item", "cat", "cnt"),
+      "item", "cat", "cnt").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("alpha")))
+  }
+
+  test("krippendorff alpha: single-rater items drop out as unpairable") {
+    val counts = Seq(
+      ("i1", "a", 2L), ("i2", "b", 2L), // pairable, perfect
+      ("i3", "a", 1L)) // one rater — must not affect anything
+    val r = Agreement.krippendorffAlpha(counts.toDF("item", "cat", "cnt"),
+      "item", "cat", "cnt").collect().head
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Long]("n_tot") == 4L)
+    assert(r.getAs[Double]("alpha") == 1.0)
+  }
+
   test("cochran q: all-constant subjects yield NULL, not a divide error") {
     val d = Seq(
       ("u1", "a", 1L), ("u1", "b", 1L),
