@@ -75,4 +75,47 @@ object Autocorr {
         (round(col("n").cast("double") * (col("n") + 2) * col("qacc"), 6)
           > lit(crit)).as("reject_white_noise"))
   }
+
+  /** Wald-Wolfowitz runs test for randomness: classify each grid point
+    * above/below the global type-7 median (ties drop out), count the
+    * maximal same-sign runs with one lag pass over the ordered bounded
+    * grid, and z-test R against its exact null moments. The complement
+    * of [[acf]]: ACF sees linear dependence, the runs test sees ANY
+    * sign-pattern structure. All sufficient statistics (n₁, n₂, R, the
+    * variance's integer numerator/denominator) are exact integers.
+    */
+  def runsTest(grid: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val g = grid.select(col(keyCol).cast("long").as("day"),
+      col(valCol).cast("long").as("x"))
+    val med = g.agg(expr("percentile(x, 0.5)").as("median"))
+    val signed = g.crossJoin(broadcast(med))
+      .select(col("day"),
+        when(col("x") > col("median"), 1L)
+          .when(col("x") < col("median"), -1L).otherwise(0L).as("s"))
+      .filter(col("s") =!= 0)
+    val w = Window.orderBy(col("day"))
+    val runs = signed
+      .withColumn("newrun",
+        when(lag(col("s"), 1).over(w).isNull
+          || lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+      .agg(sum(when(col("s") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("s") === -1, 1L).otherwise(0L)).as("n2"),
+        sum(col("newrun")).as("r"))
+    runs.crossJoin(broadcast(med))
+      .withColumn("m", col("n1") + col("n2"))
+      .withColumn("var_num",
+        lit(2L) * col("n1") * col("n2")
+          * (lit(2L) * col("n1") * col("n2") - col("n1") - col("n2")))
+      .withColumn("var_den",
+        col("m") * col("m") * (col("m") - 1))
+      .select(col("n1"), col("n2"), col("r"), col("median"),
+        when(col("m") > 0,
+          round(lit(1.0) + lit(2.0) * col("n1") * col("n2") / col("m"), 6))
+          .as("e_r"),
+        when(col("var_num") > 0,
+          round((col("r") - (lit(1.0) + lit(2.0) * col("n1") * col("n2")
+              / col("m")))
+            / sqrt(col("var_num").cast("double") / col("var_den")), 6)
+            + lit(0.0)).as("z"))
+  }
 }

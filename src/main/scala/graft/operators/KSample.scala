@@ -158,4 +158,23 @@ object KSample {
           / (col("sxx_all") - col("sx_all").cast("double") * col("sx_all") / col("nn")), 6)
           .as("eta_sq"))
   }
+
+  /** Mood's median test: the k-sample location test with the weakest
+    * assumptions — classify every value above / not-above the GLOBAL
+    * type-7 median and χ²-test the k×2 table (delegates to
+    * [[Contingency.chiSquare]]'s densified integer grid). Robust to the
+    * heavy tails that invalidate [[anovaF]] and cheaper than
+    * [[kruskalWallis]] (no ranking pass). One row: the χ² report plus
+    * the median itself.
+    */
+  def moodMedian(df: DataFrame, grpCol: String, valueCol: String): DataFrame = {
+    val d = df.select(col(grpCol).as("g"), col(valueCol).cast("long").as("v"))
+    val med = d.agg(expr("percentile(v, 0.5)").as("median"))
+    val flagged = d.crossJoin(broadcast(med))
+      .select(col("g"), (col("v") > col("median")).cast("long").as("above"))
+    Contingency.chiSquare(flagged, "g", "above")
+      .crossJoin(broadcast(med))
+      .select(col("nrows").as("groups"), col("n"), col("median"),
+        col("chi2"), col("dof"), col("cramers_v"))
+  }
 }

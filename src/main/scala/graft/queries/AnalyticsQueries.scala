@@ -1239,7 +1239,59 @@ object AnalyticsQueries {
         Tables.events(s, dir)
           .groupBy(expr("unix_date(to_date(ts))").as("day"))
           .agg(count(lit(1)).as("x")),
-        "day", "x", 7, crit = 14.06714))
+        "day", "x", 7, crit = 14.06714)),
+
+    // ===== r11 wave 4: robust k-sample, trend/randomness tests, ordered
+    // alternatives =====
+
+    // Mood's median test of doc length across sources — the
+    // weakest-assumption location test (q267's ANOVA assumes normal
+    // spread, q265's KW assumes shift): above/not-above the global
+    // type-7 median, χ² on the densified k×2 grid.
+    "q284_mood_median" -> ((s, dir) =>
+      graft.operators.KSample.moodMedian(
+        Tables.documents(s, dir).select(col("source"), col("n_chars")),
+        "source", "n_chars")),
+
+    // Mann-Kendall trend over the daily event-count series — the
+    // nonparametric drift alarm whose slope companion is q198's
+    // Theil-Sen. Pair join on the calendar-bounded day grid; S and the
+    // tie-corrected variance numerator exact integers.
+    "q285_mann_kendall" -> ((s, dir) =>
+      graft.operators.MannKendall.test(
+        Tables.events(s, dir)
+          .groupBy(expr("unix_date(to_date(ts))").as("day"))
+          .agg(count(lit(1)).as("x")),
+        "day", "x")),
+
+    // Wald-Wolfowitz runs test on the same series — sign-pattern
+    // randomness, the complement of q279's linear ACF.
+    "q286_runs_test" -> ((s, dir) =>
+      graft.operators.Autocorr.runsTest(
+        Tables.events(s, dir)
+          .groupBy(expr("unix_date(to_date(ts))").as("day"))
+          .agg(count(lit(1)).as("x")),
+        "day", "x")),
+
+    // Page's L for the ORDERED alternative view ≤ click ≤ purchase per
+    // user (funnel depth): more powerful than q276's any-difference
+    // Cochran Q when the order is known. Dense user×condition grid;
+    // within-user midranks from the bounded k² pair comparison (2L
+    // stays an exact integer).
+    "q287_page_trend" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val conds = Seq(("view", 1L), ("click", 2L), ("purchase", 3L))
+      val users = ev.select(col("user_id")).distinct()
+      val grid = users.crossJoin(broadcast(conds.toDF("cond", "c")))
+      val counts = ev.filter(col("event_type").isin(conds.map(_._1): _*))
+        .groupBy(col("user_id"), col("event_type").as("cond"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.PageTrend.pageL(
+        grid.join(counts, Seq("user_id", "cond"), "left")
+          .withColumn("v", coalesce(col("v"), lit(0L))),
+        "user_id", "c", "v")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -2916,6 +2968,111 @@ object AnalyticsQueries {
         |       14.06714 AS crit,
         |       round(CAST(n AS DOUBLE) * (n + 2) * qacc, 6) > 14.06714 AS reject_white_noise
         |FROM fin""".stripMargin,
+
+    // global type-7 median flag, then the q201 densified chi2 grid
+    "q284_mood_median" ->
+      """WITH d AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |med AS (SELECT quantile_cont(v, 0.5) AS median FROM d),
+        |f AS (SELECT g AS r, CASE WHEN v > median THEN 1 ELSE 0 END AS c FROM d, med),
+        |cells AS (SELECT r, c, count(*) AS n FROM f GROUP BY 1, 2),
+        |rm AS (SELECT r, sum(n) AS nr FROM cells GROUP BY 1),
+        |cm AS (SELECT c, sum(n) AS nc FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn, count(DISTINCT r) AS nrows,
+        |        count(DISTINCT c) AS ncols FROM cells),
+        |dense AS (
+        |  SELECT rm.r, cm.c, rm.nr, cm.nc, coalesce(cells.n, 0) AS n
+        |  FROM rm CROSS JOIN cm LEFT JOIN cells USING (r, c)),
+        |sc AS (
+        |  SELECT tot.nrows, tot.ncols, tot.nn,
+        |         pow(dense.n - CAST(dense.nr AS DOUBLE) * dense.nc / tot.nn, 2)
+        |           / (CAST(dense.nr AS DOUBLE) * dense.nc / tot.nn) AS part
+        |  FROM dense CROSS JOIN tot)
+        |SELECT CAST(nrows AS BIGINT) AS groups, CAST(nn AS BIGINT) AS n, median,
+        |       CASE WHEN least(nrows, ncols) > 1 THEN round(sum(part), 4) END AS chi2,
+        |       CAST((nrows - 1) * (ncols - 1) AS BIGINT) AS dof,
+        |       CASE WHEN least(nrows, ncols) > 1 THEN
+        |         round(sqrt(sum(part) / (nn * (least(nrows, ncols) - 1))), 4) END AS cramers_v
+        |FROM sc, med GROUP BY nrows, ncols, nn, median""".stripMargin,
+
+    // S and the tie-corrected variance numerator exact integers on the
+    // calendar-bounded day-pair grid; continuity-corrected z at the edge
+    "q285_mann_kendall" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+        |                  CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY 1),
+        |s AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |      FROM g a JOIN g b ON a.day < b.day),
+        |t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+        |             CAST(sum(t) AS BIGINT) AS n
+        |      FROM (SELECT x, count(*) AS t FROM g GROUP BY 1)),
+        |rep AS (SELECT s, tsum, n, n * (n - 1) * (2 * n + 5) - tsum AS var_num FROM s, t),
+        |z AS (SELECT *,
+        |        CASE WHEN var_num > 0 AND s > 0 THEN
+        |               round(CAST(s - 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0), 6)
+        |             WHEN var_num > 0 AND s < 0 THEN
+        |               round(CAST(s + 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0), 6)
+        |             WHEN var_num > 0 THEN 0.0 END AS z
+        |      FROM rep)
+        |SELECT n, s,
+        |       CASE WHEN var_num > 0 THEN round(CAST(var_num AS DOUBLE) / 18.0, 6) END AS var_s,
+        |       z,
+        |       CASE WHEN z > 1.959964 THEN 'increasing'
+        |            WHEN z < -1.959964 THEN 'decreasing'
+        |            WHEN z IS NOT NULL THEN 'no_trend' END AS trend
+        |FROM z""".stripMargin,
+
+    // above/below the global median, one lag pass on the ordered day
+    // grid; exact integer null-moment pieces
+    "q286_runs_test" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+        |                  CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY 1),
+        |med AS (SELECT quantile_cont(x, 0.5) AS median FROM g),
+        |signed AS (SELECT day, CASE WHEN x > median THEN 1
+        |                            WHEN x < median THEN -1 ELSE 0 END AS s
+        |           FROM g, med),
+        |nz AS (SELECT day, s FROM signed WHERE s <> 0),
+        |runs AS (SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |                CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |                CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |         FROM (SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM nz)),
+        |rep AS (SELECT n1, n2, r, median, n1 + n2 AS m,
+        |               2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS var_num,
+        |               (n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS var_den
+        |        FROM runs, med)
+        |SELECT n1, n2, r, median,
+        |       CASE WHEN m > 0 THEN round(1.0 + 2.0 * n1 * n2 / m, 6) END AS e_r,
+        |       CASE WHEN var_num > 0 THEN
+        |         round((r - (1.0 + 2.0 * n1 * n2 / m))
+        |               / sqrt(CAST(var_num AS DOUBLE) / var_den), 6) + 0.0 END AS z
+        |FROM rep""".stripMargin,
+
+    // dense user×condition grid; within-user midranks from the bounded
+    // k² pair comparison (2L exact integer); closed-form null moments
+    "q287_page_trend" ->
+      """WITH conds AS (SELECT * FROM (VALUES ('view', 1), ('click', 2), ('purchase', 3)) AS t(cond, c)),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (SELECT user_id, cond, c FROM users CROSS JOIN conds),
+        |counts AS (SELECT user_id, event_type AS cond, CAST(count(*) AS BIGINT) AS v
+        |           FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |           GROUP BY 1, 2),
+        |d AS (SELECT g.user_id AS u, CAST(g.c AS BIGINT) AS c, coalesce(ct.v, 0) AS v
+        |      FROM grid g LEFT JOIN counts ct ON g.user_id = ct.user_id AND g.cond = ct.cond),
+        |r2 AS (SELECT a.u, a.c,
+        |              2 + 2 * sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+        |                + sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) AS r2
+        |       FROM d a JOIN d b ON a.u = b.u AND a.c <> b.c
+        |       GROUP BY a.u, a.c),
+        |sums AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n, CAST(max(c) AS BIGINT) AS k,
+        |                CAST(sum(c * r2) AS BIGINT) AS l2 FROM r2)
+        |SELECT n AS n_subjects, k, CAST(l2 AS DOUBLE) / 2.0 AS l,
+        |       CASE WHEN n > 0 AND k > 1 THEN
+        |         round((CAST(l2 AS DOUBLE) / 2.0
+        |                - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 4.0)
+        |               / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1) * (k * k - 1) / 144.0), 6)
+        |           + 0.0 END AS z
+        |FROM sums""".stripMargin,
 
     // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — shift.
     // Directions via integer cross-multiplication: division-free.

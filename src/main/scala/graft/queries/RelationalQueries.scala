@@ -639,7 +639,22 @@ object RelationalQueries {
         .groupBy(col("prev"), col("event_type").as("next"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("prev"), col("next"))
-    })
+    }),
+
+    // ROLLUP grouping sets with grouping_id — the multi-level report in
+    // ONE pass instead of three unions (Spark plans a single Expand +
+    // partial agg; at 100 TB that's one corpus scan for all levels).
+    // sum_qty is a sum of integer-valued doubles (< 2^53 — exact, so
+    // order-free); gid disambiguates the NULL-filled supertotal rows.
+    "q283_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("sum_qty"), col("cnt"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")))
   )
 
   /** The q9 sessionizer + ordered-step CTE chain shared by the q146 and
@@ -1060,6 +1075,16 @@ object RelationalQueries {
         |  FROM events)
         |SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
         |FROM t WHERE prev IS NOT NULL
-        |GROUP BY prev, next ORDER BY prev, next""".stripMargin
+        |GROUP BY prev, next ORDER BY prev, next""".stripMargin,
+
+    // GROUPING() bit order matches Spark's grouping_id (first col = MSB)
+    "q283_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
   )
 }

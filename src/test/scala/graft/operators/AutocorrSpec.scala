@@ -36,6 +36,27 @@ class AutocorrSpec extends SparkSpec {
       (29L to 23L by -1L).toSeq)
   }
 
+  test("runs test: perfect alternation gives R = n, textbook z") {
+    // x alternates 0/10 over 10 days: median 5, signs alternate → R = 10
+    val g = series((0 until 10).map(i => (i % 2).toLong * 10))
+    val r = Autocorr.runsTest(g, "day", "x").collect().head
+    assert(r.getAs[Long]("n1") == 5L && r.getAs[Long]("n2") == 5L)
+    assert(r.getAs[Long]("r") == 10L)
+    assert(r.getAs[Double]("e_r") == 6.0)
+    // Var = 2000/900 ; z = (10−6)/sqrt(2000/900)
+    val exp = BigDecimal(4.0 / math.sqrt(2000.0 / 900.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == exp)
+  }
+
+  test("runs test: all-tied series has nothing to test -> NULLs") {
+    val g = series(Seq.fill(8)(3L))
+    val r = Autocorr.runsTest(g, "day", "x").collect().head
+    assert(r.getAs[Long]("n1") == 0L && r.getAs[Long]("n2") == 0L)
+    assert(r.isNullAt(r.fieldIndex("e_r")))
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
   test("acf is replay-stable across partitionings") {
     val xs = (0 until 40).map(i => ((i * 17L) % 13L))
     val runs = (1 to 3).map { p =>

@@ -5,6 +5,25 @@ import graft.SparkSpec
 class KSampleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mood median: fully separated groups max the chi2 at N") {
+    // a: 1..5, b: 11..15 → global type-7 median 8; full separation
+    val d = ((1L to 5L).map(("a", _)) ++ (11L to 15L).map(("b", _)))
+      .toDF("g", "v")
+    val r = KSample.moodMedian(d, "g", "v").collect().head
+    assert(r.getAs[Long]("groups") == 2L)
+    assert(r.getAs[Double]("median") == 8.0)
+    assert(r.getAs[Double]("chi2") == 10.0) // = N for a separated 2×2
+    assert(r.getAs[Double]("cramers_v") == 1.0)
+    assert(r.getAs[Long]("dof") == 1L)
+  }
+
+  test("mood median: identical groups give chi2 = 0") {
+    val d = ((1L to 4L).map(("a", _)) ++ (1L to 4L).map(("b", _)))
+      .toDF("g", "v")
+    val r = KSample.moodMedian(d, "g", "v").collect().head
+    assert(r.getAs[Double]("chi2") == 0.0)
+  }
+
   test("KS: identical samples give D = 0; disjoint samples give D = 1") {
     val same = (1L to 50L).flatMap(v => Seq((0L, v), (1L, v)))
     val r0 = KSample.ksTwoSample(same.toDF("side", "v"), "side", "v").collect().head
