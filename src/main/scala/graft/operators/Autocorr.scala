@@ -76,6 +76,32 @@ object Autocorr {
           > lit(crit)).as("reject_white_noise"))
   }
 
+  /** Durbin-Watson statistic over the ordered series: DW =
+    * n·Σ(Δx)² / (n·Σx² − (Σx)²) — the demeaning cancels inside Δ, so
+    * EVERY sufficient statistic is an exact integer (one lag pass on
+    * the ordered bounded grid + plain integer aggs); the cross-terms
+    * are cast to double before multiplying. DW ≈ 2 for white noise,
+    * → 0 under positive serial correlation, → 4 under negative: the
+    * one-number companion to [[acf]]'s per-lag view.
+    */
+  def durbinWatson(grid: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val g = grid.select(col(keyCol).cast("long").as("day"),
+      col(valCol).cast("long").as("x"))
+    val w = Window.orderBy(col("day"))
+    val sums = g
+      .withColumn("dx", col("x") - lag(col("x"), 1).over(w))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("dx") * col("dx")).as("sdd")) // first row's NULL dx drops out
+    sums.select(col("n"),
+      col("sdd").as("sum_sq_diff"),
+      when(col("sxx").cast("double") * col("n")
+          - col("sx").cast("double") * col("sx") > 0,
+        round(col("sdd").cast("double") * col("n")
+          / (col("sxx").cast("double") * col("n")
+            - col("sx").cast("double") * col("sx")), 6)).as("dw"))
+  }
+
   /** Wald-Wolfowitz runs test for randomness: classify each grid point
     * above/below the global type-7 median (ties drop out), count the
     * maximal same-sign runs with one lag pass over the ordered bounded

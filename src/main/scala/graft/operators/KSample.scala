@@ -159,6 +159,43 @@ object KSample {
           .as("eta_sq"))
   }
 
+  /** Two-sample Cramér-von Mises T (Anderson 1962) — the EDF test that
+    * weighs the WHOLE distribution gap where [[ksTwoSample]] sees only
+    * the sup: T = Σ_k t_k·(F₁−F₂)²(x_k) · nm/N². The EDF difference
+    * stays the integer cross-multiple c₁·n₂ − c₂·n₁ (squared in double —
+    * its square overflows a long at corpus scale) and the weighted sum
+    * folds on the ordered distinct-value grid. The asymptotic 5% point
+    * T = 0.461 is a shared literal; reject compares rounded values.
+    */
+  def cramerVonMises(df: DataFrame, sideCol: String, valueCol: String): DataFrame = {
+    val d = df.select(col(sideCol).cast("long").as("s"),
+      col(valueCol).cast("long").as("v"))
+    val cells = d.groupBy(col("v")).agg(
+      sum(when(col("s") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("s") =!= 0, 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = cells
+      .withColumn("t", col("c0") + col("c1"))
+      .withColumn("f0", sum(col("c0")).over(w))
+      .withColumn("f1", sum(col("c1")).over(w))
+    val tot = grid.agg(max(col("f0")).as("n0"), max(col("f1")).as("n1"))
+    val acc = grid.crossJoin(broadcast(tot))
+      .withColumn("gap", (col("f0") * col("n1") - col("f1") * col("n0"))
+        .cast("double"))
+      .withColumn("acc",
+        sum(col("t").cast("double") * col("gap") * col("gap")).over(w))
+    acc.orderBy(col("v").desc).limit(1)
+      .select(col("n0").as("n1"), col("n1").as("n2"),
+        round(col("acc") / (((col("n0") + col("n1")).cast("double")
+            * (col("n0") + col("n1"))) * col("n0") * col("n1")), 6)
+          .as("t_cvm"),
+        lit(0.461).as("crit_05"),
+        (round(col("acc") / (((col("n0") + col("n1")).cast("double")
+            * (col("n0") + col("n1"))) * col("n0") * col("n1")), 6)
+          > lit(0.461)).as("reject"))
+  }
+
   /** Mood's median test: the k-sample location test with the weakest
     * assumptions — classify every value above / not-above the GLOBAL
     * type-7 median and χ²-test the k×2 table (delegates to

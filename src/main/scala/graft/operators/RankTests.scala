@@ -152,6 +152,49 @@ object RankTests {
               * (col("n0") - col("n2")).cast("double")), 6)).as("tau_b"))
   }
 
+  /** Chatterjee's ξ rank correlation (Chatterjee 2021) per group — the
+    * modern dependence coefficient that detects ANY functional
+    * relationship (not just monotone ones like Spearman/Kendall): sort
+    * by x, walk the y-ranks, and measure how wildly consecutive ranks
+    * jump. ξ ≈ 0 for independence, → 1 as y becomes a function of x.
+    *
+    * General tie-handling form: ξ = 1 − n·Σ|r_{i+1}−r_i| / (2·Σ l_i(n−l_i))
+    * with r_i = #(y_j ≤ y_i) and l_i = #(y_j ≥ y_i). Ranks come from
+    * integer cumsums on the per-group distinct-y grid; the |Δr| walk is
+    * one lead() pass over the x-ordered rows (tie-broken by `tieCol`
+    * for determinism — Chatterjee's random tie-break replaced by a
+    * documented stable one). Every sufficient statistic is an exact
+    * integer; n·Σd is cast to double BEFORE multiplying (it overflows
+    * a long at corpus scale).
+    */
+  def chatterjeeXi(df: DataFrame, grpCol: String, xCol: String,
+                   yCol: String, tieCol: String): DataFrame = {
+    val d = df.select(col(grpCol).as("g"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"), col(tieCol).as("tb"))
+    val cells = d.groupBy(col("g"), col("y")).agg(count(lit(1)).as("t"))
+    val gw = Window.partitionBy(col("g")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranks = cells
+      .withColumn("r", sum(col("t")).over(gw)) // #(y_j <= y)
+      .withColumn("n", max(col("r")).over(full))
+      .withColumn("l", col("n") - col("r") + col("t")) // #(y_j >= y)
+    val den = ranks.groupBy(col("g"))
+      .agg(sum(lit(2L) * col("t") * col("l") * (col("n") - col("l"))).as("den"),
+        max(col("n")).as("n"))
+    val seq = d.join(ranks.select(col("g"), col("y"), col("r")), Seq("g", "y"))
+    val xw = Window.partitionBy(col("g")).orderBy(col("x"), col("tb"))
+    val sd = seq
+      .withColumn("dnext", abs(lead(col("r"), 1).over(xw) - col("r")))
+      .groupBy(col("g")).agg(sum(col("dnext")).as("sd")) // last row: NULL, skipped
+    den.join(sd, Seq("g"))
+      .select(col("g").as(grpCol), col("n"),
+        when(col("den") > 0,
+          round(lit(1.0) - col("n").cast("double") * col("sd") / col("den"), 6)
+            + lit(0.0)).as("xi"))
+  }
+
   /** The full ordinal-association panel over the same bounded bin grid
     * as [[kendallTauB]]: Goodman-Kruskal γ (ignores ties), Somers'
     * D_{Y|X} / D_{X|Y} (penalizes ties on the independent axis only),

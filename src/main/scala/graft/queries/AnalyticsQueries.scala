@@ -1291,7 +1291,113 @@ object AnalyticsQueries {
         grid.join(counts, Seq("user_id", "cond"), "left")
           .withColumn("v", coalesce(col("v"), lit(0L))),
         "user_id", "c", "v")
-    })
+    }),
+
+    // Link prediction over the q183 synthetic follow graph: top-20
+    // non-adjacent pairs by Adamic-Adar, with common-neighbor/Jaccard/
+    // preferential-attachment companions. Candidates from the
+    // shared-neighbor equi-join (never all-pairs); the Σ1/ln(deg) fold
+    // is regrouped onto the bounded degree grid.
+    "q288_link_predict" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select((col("user_id") % 60).as("u"))
+      val e1 = ev.select(col("u").as("src"),
+        ((col("u") * col("u") + 7) % 60).as("dst"))
+      val e2 = ev.select(col("u").as("src"),
+        ((col("u") * col("u") * col("u") + 11) % 60).as("dst"))
+      graft.operators.LinkPredict.scores(
+        e1.unionByName(e2).distinct(), "src", "dst", 20)
+    }),
+
+    // Two-sample Cramér-von Mises on doc length, en vs rest — the
+    // whole-distribution companion of q264's sup-only KS (a mid-scale
+    // hump KS misses, CvM sees). Integer cross-multiple gaps squared in
+    // double; the weighted sum folds on the ordered value grid.
+    "q289_cvm" -> ((s, dir) =>
+      graft.operators.KSample.cramerVonMises(
+        Tables.documents(s, dir)
+          .select(when(col("lang") === "en", 0L).otherwise(1L).as("side"),
+            col("n_chars")),
+        "side", "n_chars")),
+
+    // Chatterjee's ξ per source between doc length and token count —
+    // the any-functional-dependence coefficient completing the
+    // correlation family (q79 Pearson, q223 Spearman, q210 Kendall).
+    // Integer rank walks; doc_id is the documented stable tie-break.
+    "q290_chatterjee_xi" -> ((s, dir) =>
+      graft.operators.RankTests.chatterjeeXi(
+        Tables.documents(s, dir)
+          .select(col("source"), col("n_chars").as("x"),
+            graft.functions.TextOps.wsTokenCount(col("text")).cast("long").as("y"),
+            col("doc_id")),
+        "source", "x", "y", "doc_id")
+        .orderBy(col("source"))),
+
+    // ===== r11 wave 6: concordance, serial correlation, inequality,
+    // survey estimation =====
+
+    // Kendall's W: do three corpus metrics (total chars, total tokens,
+    // en-doc count) agree on how they ORDER the 20 sources. Midranks
+    // from per-rater distinct-value grids — every cross-group sum is an
+    // exact ¼-multiple, order-free.
+    "q291_kendall_w" -> ((s, dir) => {
+      val m = Tables.documents(s, dir).groupBy(col("source")).agg(
+        sum(col("n_chars")).as("va"),
+        sum(graft.functions.TextOps.wsTokenCount(col("text")).cast("long")).as("vb"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("vc"))
+      val long = m.select(lit("chars").as("rater"), col("source").as("item"),
+          col("va").as("v"))
+        .unionAll(m.select(lit("tokens").as("rater"), col("source").as("item"),
+          col("vb").as("v")))
+        .unionAll(m.select(lit("enshare").as("rater"), col("source").as("item"),
+          col("vc").as("v")))
+      graft.operators.Concordance.kendallW(long, "rater", "item", "v")
+    }),
+
+    // Friedman's χ² over the q287 user×event-type grid — the unordered
+    // within-block rank test (Page's L is its ordered sharpening,
+    // Cochran's Q its binary reduction).
+    "q292_friedman" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val conds = Seq("view", "click", "purchase")
+      val users = ev.select(col("user_id")).distinct()
+      val grid = users.crossJoin(broadcast(conds.toDF("cond")))
+      val counts = ev.filter(col("event_type").isin(conds: _*))
+        .groupBy(col("user_id"), col("event_type").as("cond"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.Concordance.friedman(
+        grid.join(counts, Seq("user_id", "cond"), "left")
+          .withColumn("v", coalesce(col("v"), lit(0L))),
+        "user_id", "cond", "v")
+    }),
+
+    // Durbin-Watson over the daily event-count series — the one-number
+    // serial-correlation read (≈2 white noise); every sufficient
+    // statistic an exact integer since demeaning cancels inside Δ.
+    "q293_durbin_watson" -> ((s, dir) =>
+      graft.operators.Autocorr.durbinWatson(
+        Tables.events(s, dir)
+          .groupBy(expr("unix_date(to_date(ts))").as("day"))
+          .agg(count(lit(1)).as("x")),
+        "day", "x")),
+
+    // Inequality panel per source (Theil, Atkinson ε=1, Hoover) —
+    // completing the q202 Gini / q251 HHI concentration family with
+    // top-, bottom-, and mass-transfer-sensitive indices.
+    "q294_inequality" -> ((s, dir) =>
+      graft.operators.Inequality.panel(
+        Tables.documents(s, dir).select(col("source"), col("n_chars")),
+        "source", "n_chars")
+        .orderBy(col("source"))),
+
+    // Post-stratified mean of doc length under equal LANGUAGE weights
+    // (languages are genuinely unequal — en ≈ 2.5× the others, so the
+    // reweight moves the mean and deff > 1) + the Kish design effect
+    // pricing it — Neyman's (q241) after-the-fact companion.
+    "q295_post_stratified" -> ((s, dir) =>
+      graft.operators.PostStratify.equalWeight(
+        Tables.documents(s, dir).select(col("lang"), col("n_chars")),
+        "lang", "n_chars"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -3073,6 +3179,209 @@ object AnalyticsQueries {
         |               / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1) * (k * k - 1) / 144.0), 6)
         |           + 0.0 END AS z
         |FROM sums""".stripMargin,
+
+    // the q183 symmetric graph; shared-neighbor candidates, anti-join
+    // against existing edges, AA fold on the bounded degree grid
+    "q288_link_predict" ->
+      """WITH f AS (
+        |  SELECT DISTINCT user_id % 60 AS a, (user_id * user_id + 7) % 60 AS b FROM events
+        |  UNION SELECT DISTINCT user_id % 60, (user_id * user_id * user_id + 11) % 60 FROM events
+        |), e0 AS (
+        |  SELECT a, b FROM f WHERE a <> b
+        |  UNION SELECT b, a FROM f WHERE a <> b
+        |),
+        |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY 1),
+        |thr AS (SELECT x.a AS u, y.a AS w, x.b AS n FROM e0 x JOIN e0 y ON x.b = y.b AND x.a < y.a),
+        |cand AS (SELECT t.u, t.w, t.n FROM thr t
+        |         LEFT JOIN e0 adj ON adj.a = t.u AND adj.b = t.w
+        |         WHERE adj.a IS NULL),
+        |wd AS (SELECT c.u, c.w, d.deg AS deg_n FROM cand c JOIN deg d ON c.n = d.node),
+        |perdeg AS (SELECT u, w, deg_n, CAST(count(*) AS BIGINT) AS c FROM wd GROUP BY 1, 2, 3),
+        |acc AS (SELECT u, w, deg_n,
+        |               sum(c) OVER (PARTITION BY u, w) AS cn,
+        |               sum(CAST(c AS DOUBLE) / ln(CAST(deg_n AS DOUBLE)))
+        |                 OVER (PARTITION BY u, w ORDER BY deg_n
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS aa_acc,
+        |               max(deg_n) OVER (PARTITION BY u, w) AS maxdeg
+        |        FROM perdeg),
+        |one AS (SELECT u, w, cn, deg_n, maxdeg,
+        |               max(aa_acc) OVER (PARTITION BY u, w) AS aa
+        |        FROM acc),
+        |fin AS (SELECT u, w, cn, aa FROM one WHERE deg_n = maxdeg),
+        |sc AS (SELECT f2.u, f2.w, CAST(f2.cn AS BIGINT) AS cn,
+        |              round(CAST(f2.cn AS DOUBLE) / (du.deg + dw2.deg - f2.cn), 6) AS jaccard,
+        |              CAST(du.deg * dw2.deg AS BIGINT) AS pref_attach,
+        |              round(f2.aa, 6) AS adamic_adar
+        |       FROM fin f2 JOIN deg du ON f2.u = du.node JOIN deg dw2 ON f2.w = dw2.node)
+        |SELECT * FROM sc ORDER BY adamic_adar DESC, u, w LIMIT 20""".stripMargin,
+
+    // the q264 value grid; integer cross-multiple gap squared in double,
+    // weighted fold on the ordered grid; 0.461 asymptotic 5% literal
+    "q289_cvm" ->
+      """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s, n_chars AS v FROM documents),
+        |cells AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS c0,
+        |                 sum(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS c1
+        |          FROM d GROUP BY v),
+        |grid AS (SELECT v, c0 + c1 AS t, sum(c0) OVER w AS f0, sum(c1) OVER w AS f1 FROM cells
+        |         WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT max(f0) AS n0, max(f1) AS n1 FROM grid),
+        |acc AS (SELECT v, n0, n1,
+        |               sum(CAST(t AS DOUBLE) * CAST(f0 * n1 - f1 * n0 AS DOUBLE)
+        |                   * CAST(f0 * n1 - f1 * n0 AS DOUBLE))
+        |                 OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+        |        FROM grid, tot),
+        |fin AS (SELECT * FROM acc ORDER BY v DESC LIMIT 1)
+        |SELECT CAST(n0 AS BIGINT) AS n1, CAST(n1 AS BIGINT) AS n2,
+        |       round(acc / ((CAST(n0 + n1 AS DOUBLE) * (n0 + n1)) * n0 * n1), 6) AS t_cvm,
+        |       0.461 AS crit_05,
+        |       round(acc / ((CAST(n0 + n1 AS DOUBLE) * (n0 + n1)) * n0 * n1), 6) > 0.461 AS reject
+        |FROM fin""".stripMargin,
+
+    // integer rank walk sorted by (x, doc_id); den/sd exact integers;
+    // n·Σd cast to double before multiplying
+    "q290_chatterjee_xi" ->
+      """WITH d AS (
+        |  SELECT source AS g, n_chars AS x,
+        |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS y,
+        |         doc_id AS tb
+        |  FROM documents),
+        |cells AS (SELECT g, y, count(*) AS t FROM d GROUP BY 1, 2),
+        |rk AS (SELECT g, y, t,
+        |              sum(t) OVER (PARTITION BY g ORDER BY y
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+        |       FROM cells),
+        |rk2 AS (SELECT g, y, t, r, max(r) OVER (PARTITION BY g) AS n FROM rk),
+        |rk3 AS (SELECT *, n - r + t AS l FROM rk2),
+        |dn AS (SELECT g, CAST(sum(2 * t * l * (n - l)) AS BIGINT) AS dnm,
+        |              CAST(max(n) AS BIGINT) AS n
+        |       FROM rk3 GROUP BY g),
+        |seq AS (SELECT d.g, d.x, d.tb, rk3.r FROM d JOIN rk3 ON d.g = rk3.g AND d.y = rk3.y),
+        |sd AS (SELECT g, CAST(sum(dnext) AS BIGINT) AS sd FROM (
+        |         SELECT g, abs(lead(r) OVER (PARTITION BY g ORDER BY x, tb) - r) AS dnext
+        |         FROM seq)
+        |       GROUP BY g)
+        |SELECT dn.g AS source, dn.n,
+        |       CASE WHEN dnm > 0 THEN
+        |         round(1.0 - CAST(dn.n AS DOUBLE) * sd / dnm, 6) + 0.0 END AS xi
+        |FROM dn JOIN sd USING (g) ORDER BY source""".stripMargin,
+
+    // per-rater midrank grids; all cross-group sums exact ¼-multiples
+    "q291_kendall_w" ->
+      """WITH m AS (SELECT source,
+        |             CAST(sum(n_chars) AS BIGINT) AS va,
+        |             CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |                 t -> len(t) > 0))) AS BIGINT) AS vb,
+        |             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS vc
+        |           FROM documents GROUP BY 1),
+        |d AS (SELECT 'chars' AS rater, source AS item, va AS v FROM m
+        |      UNION ALL SELECT 'tokens', source, vb FROM m
+        |      UNION ALL SELECT 'enshare', source, vc FROM m),
+        |cells AS (SELECT rater, v, count(*) AS t FROM d GROUP BY 1, 2),
+        |ranks AS (SELECT rater, v, CAST(cum - t AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2.0 AS r
+        |          FROM (SELECT rater, v, t,
+        |                       sum(t) OVER (PARTITION BY rater ORDER BY v
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |                FROM cells)),
+        |pi AS (SELECT item, sum(r) AS ri, count(*) AS mm
+        |       FROM d JOIN ranks USING (rater, v) GROUP BY item),
+        |ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum FROM cells),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(mm) AS BIGINT) AS m,
+        |                sum(ri * ri) AS srr, sum(ri) AS sr FROM pi)
+        |SELECT m, n,
+        |       CASE WHEN n > 1 AND CAST(m AS DOUBLE) * m * (n * n * n - n) - m * tsum > 0 THEN
+        |         round(12.0 * (srr - sr * sr / n)
+        |               / (CAST(m AS DOUBLE) * m * (n * n * n - n) - m * tsum), 6) END AS w,
+        |       CASE WHEN n > 1 AND CAST(m AS DOUBLE) * m * (n * n * n - n) - m * tsum > 0 THEN
+        |         round(m * (n - 1) * (12.0 * (srr - sr * sr / n)
+        |               / (CAST(m AS DOUBLE) * m * (n * n * n - n) - m * tsum)), 6) END AS chi2
+        |FROM sums, ties""".stripMargin,
+
+    // within-subject midrank grids; the q265 tie-factor pattern
+    "q292_friedman" ->
+      """WITH conds AS (SELECT unnest(['view', 'click', 'purchase']) AS cond),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (SELECT user_id, cond FROM users CROSS JOIN conds),
+        |counts AS (SELECT user_id, event_type AS cond, CAST(count(*) AS BIGINT) AS v
+        |           FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |           GROUP BY 1, 2),
+        |d AS (SELECT g.user_id AS u, g.cond AS c, coalesce(ct.v, 0) AS v
+        |      FROM grid g LEFT JOIN counts ct ON g.user_id = ct.user_id AND g.cond = ct.cond),
+        |cells AS (SELECT u, v, count(*) AS t FROM d GROUP BY 1, 2),
+        |ranks AS (SELECT u, v, CAST(cum - t AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2.0 AS r
+        |          FROM (SELECT u, v, t,
+        |                       sum(t) OVER (PARTITION BY u ORDER BY v
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |                FROM cells)),
+        |pc AS (SELECT c, sum(r) AS rj, count(*) AS n
+        |       FROM d JOIN ranks USING (u, v) GROUP BY c),
+        |ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum FROM cells),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(n) AS BIGINT) AS n,
+        |                sum(rj * rj) AS srr FROM pc)
+        |SELECT n, k,
+        |       round(12.0 / (n * k * (k + 1)) * srr - 3.0 * n * (k + 1), 6) AS chi2_f,
+        |       CASE WHEN 1.0 - CAST(tsum AS DOUBLE) / (n * k * (k * k * k - k)) > 0 THEN
+        |         round((12.0 / (n * k * (k + 1)) * srr - 3.0 * n * (k + 1))
+        |               / (1.0 - CAST(tsum AS DOUBLE) / (n * k * (k * k * k - k))), 6)
+        |       END AS chi2_f_tie
+        |FROM sums, ties""".stripMargin,
+
+    // demeaning cancels inside the difference — all integers
+    "q293_durbin_watson" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+        |                  CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY 1),
+        |l AS (SELECT x, x - lag(x) OVER (ORDER BY day) AS dx FROM g),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |                CAST(sum(x * x) AS BIGINT) AS sxx,
+        |                CAST(sum(dx * dx) AS BIGINT) AS sdd
+        |         FROM l)
+        |SELECT n, sdd AS sum_sq_diff,
+        |       CASE WHEN CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx > 0 THEN
+        |         round(CAST(sdd AS DOUBLE) * n
+        |               / (CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx), 6) END AS dw
+        |FROM sums""".stripMargin,
+
+    // distinct-value grid per source; ln/abs folds on the ordered
+    // per-slice window; perfectly equal slices sign-pinned to +0.0
+    "q294_inequality" ->
+      """WITH d AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+        |           FROM documents WHERE n_chars > 0),
+        |cells AS (SELECT g, v, count(*) AS t FROM d GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(t) AS BIGINT) AS n, CAST(sum(t * v) AS BIGINT) AS sx
+        |        FROM cells GROUP BY g),
+        |tot2 AS (SELECT g, n, sx, CAST(sx AS DOUBLE) / n AS mu FROM tot),
+        |acc AS (SELECT c.g, c.v, n, sx, mu,
+        |               sum(t * (v / mu) * ln(v / mu)) OVER w AS theil_acc,
+        |               sum(t * ln(CAST(v AS DOUBLE))) OVER w AS ln_acc,
+        |               sum(t * abs(v - mu)) OVER w AS abs_acc
+        |        FROM cells c JOIN tot2 USING (g)
+        |        WINDOW w AS (PARTITION BY c.g ORDER BY c.v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn FROM acc)
+        |SELECT g AS source, n, round(mu, 6) AS mean,
+        |       round(theil_acc / n, 6) + 0.0 AS theil,
+        |       round(1.0 - exp(ln_acc / n) / mu, 6) + 0.0 AS atkinson_1,
+        |       round(abs_acc / (2.0 * sx), 6) + 0.0 AS hoover
+        |FROM fin WHERE rn = 1 ORDER BY source""".stripMargin,
+
+    // per-stratum integer sums; mean/weight terms fold on the ordered
+    // stratum window; Kish deff closed-form
+    "q295_post_stratified" ->
+      """WITH d AS (SELECT lang AS h, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |strata AS (SELECT h, CAST(count(*) AS BIGINT) AS n_h, CAST(sum(v) AS BIGINT) AS sx_h
+        |           FROM d GROUP BY 1),
+        |acc AS (SELECT h, count(*) OVER w AS k, sum(n_h) OVER w AS n, sum(sx_h) OVER w AS sx,
+        |               sum(CAST(sx_h AS DOUBLE) / n_h) OVER w AS mean_acc,
+        |               sum(CAST(n_h AS DOUBLE) * (1.0 / n_h)) OVER w AS sw,
+        |               sum(CAST(n_h AS DOUBLE) * (1.0 / n_h) * (1.0 / n_h)) OVER w AS sww
+        |        FROM strata
+        |        WINDOW w AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT * FROM acc ORDER BY h DESC LIMIT 1)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |       round(CAST(sx AS DOUBLE) / n, 6) AS mean_raw,
+        |       round(mean_acc / k, 6) AS mean_post,
+        |       round(CAST(n AS DOUBLE) * sww / (sw * sw), 6) AS deff_kish
+        |FROM fin""".stripMargin,
 
     // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — shift.
     // Directions via integer cross-multiplication: division-free.

@@ -49,6 +49,21 @@ class AutocorrSpec extends SparkSpec {
     assert(r.getAs[Double]("z") == exp)
   }
 
+  test("durbin-watson: alternation near 4, ramp near 0, constant NULL") {
+    val alt = series((0 until 10).map(i => (i % 2).toLong * 10))
+    val rAlt = Autocorr.durbinWatson(alt, "day", "x").collect().head
+    // sdd = 9·100 = 900; den = 10·500 − 2500 = 2500 → DW = 3.6
+    assert(rAlt.getAs[Double]("dw") == 3.6)
+    val ramp = series((1L to 10L))
+    val rRamp = Autocorr.durbinWatson(ramp, "day", "x").collect().head
+    // sdd = 9; den = 10·385 − 55² = 825 → DW = 90/825
+    assert(rRamp.getAs[Double]("dw") ==
+      BigDecimal(90.0 / 825).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val const = series(Seq.fill(6)(4L))
+    val rConst = Autocorr.durbinWatson(const, "day", "x").collect().head
+    assert(rConst.isNullAt(rConst.fieldIndex("dw")))
+  }
+
   test("runs test: all-tied series has nothing to test -> NULLs") {
     val g = series(Seq.fill(8)(3L))
     val r = Autocorr.runsTest(g, "day", "x").collect().head

@@ -24,6 +24,25 @@ class KSampleSpec extends SparkSpec {
     assert(r.getAs[Double]("chi2") == 0.0)
   }
 
+  test("cramer-von mises: hand-computed separated samples, T = 0.85") {
+    // side0 = 1..5, side1 = 11..15: Σ t·gap² = 25·55 + 750 = 2125;
+    // T = 2125/(10²·5·5) = 0.85 > 0.461 → reject
+    val d = ((1L to 5L).map((0L, _)) ++ (11L to 15L).map((1L, _)))
+      .toDF("side", "v")
+    val r = KSample.cramerVonMises(d, "side", "v").collect().head
+    assert(r.getAs[Long]("n1") == 5L && r.getAs[Long]("n2") == 5L)
+    assert(r.getAs[Double]("t_cvm") == 0.85)
+    assert(r.getAs[Boolean]("reject"))
+  }
+
+  test("cramer-von mises: identical samples give T = 0, no reject") {
+    val d = ((1L to 4L).map((0L, _)) ++ (1L to 4L).map((1L, _)))
+      .toDF("side", "v")
+    val r = KSample.cramerVonMises(d, "side", "v").collect().head
+    assert(r.getAs[Double]("t_cvm") == 0.0)
+    assert(!r.getAs[Boolean]("reject"))
+  }
+
   test("KS: identical samples give D = 0; disjoint samples give D = 1") {
     val same = (1L to 50L).flatMap(v => Seq((0L, v), (1L, v)))
     val r0 = KSample.ksTwoSample(same.toDF("side", "v"), "side", "v").collect().head

@@ -122,6 +122,36 @@ class RankTestsSpec extends SparkSpec {
     }
   }
 
+  test("chatterjee xi: perfect monotone dependence hits (n-2)/(n+1)") {
+    val up = (1L to 10L).map(i => ("g", i, i, i))
+    val dn = (1L to 10L).map(i => ("h", i, -i, i))
+    val rows = RankTests.chatterjeeXi(
+      (up ++ dn).toDF("g", "x", "y", "tb"), "g", "x", "y", "tb")
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("xi")).toMap
+    // ξ_max for n=10 is (n−2)/(n+1) = 8/11; ξ ignores direction
+    val expected = BigDecimal(1.0 - 10.0 * 9 / 330)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows("g") == expected)
+    assert(rows("h") == expected)
+  }
+
+  test("chatterjee xi: constant y has no dependence question -> NULL") {
+    val d = (1L to 6L).map(i => ("g", i, 5L, i))
+    val r = RankTests.chatterjeeXi(d.toDF("g", "x", "y", "tb"),
+      "g", "x", "y", "tb").collect().head
+    assert(r.isNullAt(r.fieldIndex("xi")))
+  }
+
+  test("chatterjee xi: deterministic under the tie-break column") {
+    // many tied x values — the tb ordering pins the walk
+    val d = (1L to 40L).map(i => ("g", i % 5, (i * 7) % 11, i))
+    val runs = (1 to 3).map { p =>
+      RankTests.chatterjeeXi(d.toDF("g", "x", "y", "tb").repartition(p * 3),
+        "g", "x", "y", "tb").collect().map(_.toSeq).toSeq
+    }
+    assert(runs.distinct.size == 1)
+  }
+
   test("ordinal association: all-tied x axis NULLs somers_dyx only") {
     // xb constant: n0 = n1 → D_{Y|X} undefined; γ undefined too (C+D=0)
     val d = Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 1L, 3L))
