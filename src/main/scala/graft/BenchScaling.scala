@@ -138,11 +138,24 @@ object BenchScaling {
     "q246_bloom_fpr" -> (("documents", 1.0, false)), // per-source bit-or fold
     "q250_holm" -> (("documents", 1.0, false)), // m-row family grid after one agg
     "q253_capture_recapture" -> (("documents", 1.5, true)), // two banded detectors; salted-docs sf1
-    "q259_mmd_rff" -> (("embeddings", 1.0, false)) // frozen RFF bank, one pass
-    // NOT audited: q32/q207-q209/q216-q219 run a FIXED-SIZE synthetic
-    // repo (no sf table feeds them — growth is undefined); sub-second
-    // gates (the remaining q223-q259 rows, all ≤0.6 s at sf0.1) carry
-    // more scheduler noise than signal.
+    "q259_mmd_rff" -> (("embeddings", 1.0, false)), // frozen RFF bank, one pass
+
+    // ===== wave 5 (r11): the q260-q295 gates ≥0.6 s at sf0.1 =====
+    "q263_kaplan_meier" -> (("events", 1.0, true)), // session grid cumsums
+    "q268_by_fdr" -> (("documents", 1.0, false)), // one agg + m-row rank grid
+    "q270_ndcg" -> (("embeddings", 1.0, false)), // 3 fixed probes, k=10 folds
+    "q271_dedup_weights" -> (("documents", 1.5, true)), // q36 banded components; salted-docs sf1
+    "q273_log_rank" -> (("events", 1.0, true)), // sessionize + duration grid
+    "q274_nelson_aalen" -> (("events", 1.0, true)), // same grid, hazard fold
+    "q276_cochran_q" -> (("events", 1.0, true)), // dense (user,day)×3 grid
+    "q277_ordinal_assoc" -> (("documents", 1.5, false)), // bounded bin-grid pair join
+    "q278_krippendorff" -> (("documents", 1.0, false)), // one agg + distinct-m grid
+    "q281_zipf_slope" -> (("documents", 1.0, false)), // token agg + top-100 grid
+    "q284_mood_median" -> (("documents", 1.0, false)) // median + densified chi2 grid
+    // NOT audited: q32/q207-q209/q216-q219/q260-q262 run a FIXED-SIZE
+    // synthetic repo (no sf table feeds them — growth is undefined);
+    // sub-second gates (the remaining q223-q295 rows, all ≤0.6 s at
+    // sf0.1) carry more scheduler noise than signal.
   )
 
   /** (query, dir) pairs timed once instead of min-of-2: the documented
