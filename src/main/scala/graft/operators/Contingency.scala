@@ -144,4 +144,42 @@ object Contingency {
             / ((col("r1") - col("a_obs")).cast("double")
               * (col("c1") - col("a_obs"))), 6)).as("odds_ratio"))
   }
+
+  /** VanderWeele-Ding E-value (2017) for an observed risk ratio — "how
+    * strong would an unmeasured confounder have to be to explain this
+    * association away": E = RR* + √(RR*(RR*−1)) with RR* the
+    * away-from-null direction, plus the same for the CI bound closer to
+    * the null (1.0 when the CI crosses it). The sensitivity-analysis
+    * companion to the Mantel-Haenszel adjustment (q269) and the Simpson
+    * audit (q256). All cells are exact integers; RR, the log-RR SE and
+    * both E's are closed-form floats at the edge.
+    */
+  def eValue(df: DataFrame, exposureCol: String, outcomeCol: String): DataFrame = {
+    val tot = df.select(col(exposureCol).cast("long").as("x"),
+        col(outcomeCol).cast("long").as("y"))
+      .agg(
+        sum(when(col("x") === 1, col("y")).otherwise(0L)).as("a"),
+        sum(when(col("x") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("x") === 0, col("y")).otherwise(0L)).as("c"),
+        sum(when(col("x") === 0, 1L).otherwise(0L)).as("n0"))
+    val rr = col("a").cast("double") * col("n0") /
+      (col("c").cast("double") * col("n1"))
+    val se = sqrt(lit(1.0) / col("a") - lit(1.0) / col("n1")
+      + lit(1.0) / col("c") - lit(1.0) / col("n0"))
+    val rrLo = exp(log(rr) - lit(1.959964) * se)
+    val rrHi = exp(log(rr) + lit(1.959964) * se)
+    // away-from-null direction; the CI bound CLOSER to the null
+    val rrStar = when(rr >= 1, rr).otherwise(lit(1.0) / rr)
+    val bound = when(rr >= 1, rrLo).otherwise(lit(1.0) / rrHi)
+    val ok = col("a") > 0 && col("c") > 0 && col("n1") > col("a") &&
+      col("n0") > col("c")
+    tot.select(col("a"), col("n1"), col("c"), col("n0"),
+      when(ok, round(rr, 6)).as("rr"),
+      when(ok, round(rrLo, 6)).as("rr_lo"),
+      when(ok, round(rrHi, 6)).as("rr_hi"),
+      when(ok, round(rrStar + sqrt(rrStar * (rrStar - 1)), 6)).as("e_value"),
+      when(ok, when(bound > 1,
+          round(bound + sqrt(bound * (bound - 1)), 6))
+        .otherwise(lit(1.0))).as("e_value_ci"))
+  }
 }

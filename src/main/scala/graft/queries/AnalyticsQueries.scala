@@ -1397,7 +1397,47 @@ object AnalyticsQueries {
     "q295_post_stratified" -> ((s, dir) =>
       graft.operators.PostStratify.equalWeight(
         Tables.documents(s, dir).select(col("lang"), col("n_chars")),
-        "lang", "n_chars"))
+        "lang", "n_chars")),
+
+    // ===== r11 wave 7: Bayesian decision, balance audit, sensitivity =====
+
+    // Bayesian A/B on click-through by user parity: posterior
+    // P(p₁ > p₀) under Beta(1,1) priors via fixed 512-point midpoint
+    // grid integration (documented convention; q275-style max-centred
+    // log-weights). The decision-ready companion to q190/q212/q245.
+    "q296_bayes_ab" -> ((s, dir) =>
+      graft.operators.BayesAb.betaBinomial(
+        Tables.events(s, dir).select(
+          pmod(col("user_id"), lit(2)).as("variant"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("hit")),
+        "variant", "hit")),
+
+    // Covariate-balance audit of the user-parity split: SMD + variance
+    // ratio per covariate (milli-quantized value, hour, day-of-week) —
+    // the pre-analysis check that the "random" split balanced the
+    // confounders (the q244 CUPED / q256 Simpson design-side sibling).
+    "q297_balance_smd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("g", pmod(col("user_id"), lit(2)))
+      val longf = ev.filter(col("value").isNotNull)
+        .select(lit("value_milli").as("cov"), col("g"),
+          round(col("value") * 1000, 0).cast("long").as("v"))
+        .unionAll(ev.select(lit("hour").as("cov"), col("g"),
+          hour(col("ts")).cast("long").as("v")))
+        .unionAll(ev.select(lit("dow").as("cov"), col("g"),
+          dayofweek(col("ts")).cast("long").as("v")))
+      graft.operators.Balance.smdPanel(longf, "cov", "g", "v")
+    }),
+
+    // E-value sensitivity for the purchase-rate risk ratio by user
+    // parity — "how strong a hidden confounder would explain this
+    // away"; the q269 Mantel-Haenszel / q256 Simpson companion.
+    "q298_e_value" -> ((s, dir) =>
+      graft.operators.Contingency.eValue(
+        Tables.events(s, dir).select(
+          pmod(col("user_id"), lit(2)).as("x"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")),
+        "x", "y"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -3382,6 +3422,107 @@ object AnalyticsQueries {
         |       round(mean_acc / k, 6) AS mean_post,
         |       round(CAST(n AS DOUBLE) * sww / (sw * sw), 6) AS deff_kish
         |FROM fin""".stripMargin,
+
+    // fixed 512-point midpoint grid; max-centred log-weights; exclusive
+    // cross-CDF convention mirrored exactly
+    "q296_bayes_ab" ->
+      """WITH e AS (SELECT user_id % 2 AS g,
+        |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |           FROM events),
+        |tot AS (SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |               CAST(sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS k0,
+        |               CAST(sum(CASE WHEN g <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |               CAST(sum(CASE WHEN g <> 0 THEN y ELSE 0 END) AS BIGINT) AS k1
+        |        FROM e),
+        |grid AS (SELECT n0, k0, n1, k1, unnest(generate_series(1, 512)) AS j FROM tot),
+        |g2 AS (SELECT *, (CAST(j AS DOUBLE) - 0.5) / 512 AS p FROM grid),
+        |g3 AS (SELECT *, k0 * ln(p) + (n0 - k0) * ln(1.0 - p) AS lw0,
+        |              k1 * ln(p) + (n1 - k1) * ln(1.0 - p) AS lw1
+        |       FROM g2),
+        |ctr AS (SELECT max(lw0) AS m0, max(lw1) AS m1 FROM g3),
+        |g4 AS (SELECT g3.*, exp(lw0 - m0) AS w0, exp(lw1 - m1) AS w1 FROM g3, ctr),
+        |g5 AS (SELECT *, sum(w0) OVER w AS s0, sum(w1) OVER w AS s1
+        |       FROM g4 WINDOW w AS (ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |acc AS (SELECT *, sum(w1 * (s0 - w0)) OVER w AS num
+        |        FROM g5 WINDOW w AS (ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT * FROM acc ORDER BY j DESC LIMIT 1)
+        |SELECT n0, k0, n1, k1,
+        |       round(CAST(k0 + 1 AS DOUBLE) / (n0 + 2), 6) AS mean0,
+        |       round(CAST(k1 + 1 AS DOUBLE) / (n1 + 2), 6) AS mean1,
+        |       round(CAST(k1 + 1 AS DOUBLE) / (n1 + 2)
+        |             - CAST(k0 + 1 AS DOUBLE) / (n0 + 2), 6) + 0.0 AS lift,
+        |       round(num / (s0 * s1), 6) AS p_beats
+        |FROM fin""".stripMargin,
+
+    // one partial agg over the bounded covariate×arm grid; closed-form
+    // SMD/ratio at the edge (DuckDB dayofweek is 0-based — shift)
+    "q297_balance_smd" ->
+      """WITH longf AS (
+        |  SELECT 'value_milli' AS cov, user_id % 2 AS g,
+        |         CAST(round(value * 1000, 0) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'hour', user_id % 2, CAST(extract(hour FROM ts) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'dow', user_id % 2, CAST(dayofweek(ts) + 1 AS BIGINT) FROM events),
+        |cells AS (SELECT cov,
+        |                 CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |                 CAST(sum(CASE WHEN g = 0 THEN v ELSE 0 END) AS BIGINT) AS sx0,
+        |                 CAST(sum(CASE WHEN g = 0 THEN v * v ELSE 0 END) AS BIGINT) AS sxx0,
+        |                 CAST(sum(CASE WHEN g <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |                 CAST(sum(CASE WHEN g <> 0 THEN v ELSE 0 END) AS BIGINT) AS sx1,
+        |                 CAST(sum(CASE WHEN g <> 0 THEN v * v ELSE 0 END) AS BIGINT) AS sxx1
+        |          FROM longf GROUP BY cov)
+        |SELECT cov AS covariate, n0, n1,
+        |       CASE WHEN n0 > 0 THEN round(CAST(sx0 AS DOUBLE) / n0, 6) END AS mean0,
+        |       CASE WHEN n1 > 0 THEN round(CAST(sx1 AS DOUBLE) / n1, 6) END AS mean1,
+        |       CASE WHEN n0 > 1 AND n1 > 1 AND
+        |                 ((sxx0 - CAST(sx0 AS DOUBLE) * sx0 / n0) / (n0 - 1)
+        |                  + (sxx1 - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1)) > 0 THEN
+        |         round((CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)
+        |               / sqrt(((sxx1 - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1)
+        |                       + (sxx0 - CAST(sx0 AS DOUBLE) * sx0 / n0) / (n0 - 1)) / 2.0), 6)
+        |           + 0.0 END AS smd,
+        |       CASE WHEN n0 > 1 AND n1 > 1 AND
+        |                 (sxx0 - CAST(sx0 AS DOUBLE) * sx0 / n0) / (n0 - 1) > 0 THEN
+        |         round(((sxx1 - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1))
+        |               / ((sxx0 - CAST(sx0 AS DOUBLE) * sx0 / n0) / (n0 - 1)), 6)
+        |       END AS var_ratio
+        |FROM cells ORDER BY covariate""".stripMargin,
+
+    // integer 2x2 cells; RR / log-RR SE / both E's closed-form
+    "q298_e_value" ->
+      """WITH e AS (SELECT user_id % 2 AS x,
+        |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |           FROM events),
+        |tot AS (SELECT CAST(sum(CASE WHEN x = 1 THEN y ELSE 0 END) AS BIGINT) AS a,
+        |               CAST(sum(CASE WHEN x = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |               CAST(sum(CASE WHEN x = 0 THEN y ELSE 0 END) AS BIGINT) AS c,
+        |               CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        |        FROM e),
+        |t2 AS (SELECT *,
+        |         CAST(a AS DOUBLE) * n0 / (CAST(c AS DOUBLE) * n1) AS rr,
+        |         sqrt(1.0 / a - 1.0 / n1 + 1.0 / c - 1.0 / n0) AS se,
+        |         (a > 0 AND c > 0 AND n1 > a AND n0 > c) AS ok
+        |       FROM tot),
+        |t3 AS (SELECT *,
+        |         exp(ln(rr) - 1.959964 * se) AS rr_lo_raw,
+        |         exp(ln(rr) + 1.959964 * se) AS rr_hi_raw,
+        |         CASE WHEN rr >= 1 THEN rr ELSE 1.0 / rr END AS rr_star
+        |       FROM t2),
+        |t4 AS (SELECT *,
+        |         CASE WHEN rr >= 1 THEN rr_lo_raw ELSE 1.0 / rr_hi_raw END AS bound
+        |       FROM t3)
+        |SELECT a, n1, c, n0,
+        |       CASE WHEN ok THEN round(rr, 6) END AS rr,
+        |       CASE WHEN ok THEN round(rr_lo_raw, 6) END AS rr_lo,
+        |       CASE WHEN ok THEN round(rr_hi_raw, 6) END AS rr_hi,
+        |       CASE WHEN ok THEN round(rr_star + sqrt(rr_star * (rr_star - 1)), 6) END AS e_value,
+        |       CASE WHEN ok THEN
+        |         CASE WHEN bound > 1 THEN round(bound + sqrt(bound * (bound - 1)), 6)
+        |              ELSE 1.0 END
+        |       END AS e_value_ci
+        |FROM t4""".stripMargin,
 
     // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — shift.
     // Directions via integer cross-multiplication: division-free.

@@ -86,6 +86,34 @@ class ContingencySpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("odds_ratio")))
   }
 
+  test("e-value: textbook RR = 2 gives E = 2 + sqrt(2)") {
+    // exposed: 20/100 hit; unexposed: 10/100 → RR = 2
+    val rows = Seq.fill(20)((1L, 1L)) ++ Seq.fill(80)((1L, 0L)) ++
+      Seq.fill(10)((0L, 1L)) ++ Seq.fill(90)((0L, 0L))
+    val r = Contingency.eValue(rows.toDF("x", "y"), "x", "y").collect().head
+    assert(r.getAs[Double]("rr") == 2.0)
+    assert(r.getAs[Double]("e_value") ==
+      BigDecimal(2.0 + math.sqrt(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // CI crosses 1 here → the bound-side E collapses to 1
+    assert(r.getAs[Double]("rr_lo") < 1.0)
+    assert(r.getAs[Double]("e_value_ci") == 1.0)
+  }
+
+  test("e-value: protective RR mirrors through 1/RR; empty cells NULL") {
+    val rows = Seq.fill(10)((1L, 1L)) ++ Seq.fill(90)((1L, 0L)) ++
+      Seq.fill(20)((0L, 1L)) ++ Seq.fill(80)((0L, 0L))
+    val r = Contingency.eValue(rows.toDF("x", "y"), "x", "y").collect().head
+    assert(r.getAs[Double]("rr") == 0.5)
+    // RR* = 2 → same E as the harmful direction
+    assert(r.getAs[Double]("e_value") ==
+      BigDecimal(2.0 + math.sqrt(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val zero = Seq.fill(5)((1L, 0L)) ++ Seq.fill(5)((0L, 1L))
+    val rz = Contingency.eValue(zero.toDF("x", "y"), "x", "y").collect().head
+    assert(rz.isNullAt(rz.fieldIndex("e_value")))
+  }
+
   test("fisher exact: independent-ish table is replay-stable across partitionings") {
     val rows = (1L to 200L).map(i => (i % 3 min 1, (i * 7) % 5 min 1))
     val runs = (1 to 3).map { i =>
