@@ -196,6 +196,68 @@ object KSample {
           > lit(0.461)).as("reject"))
   }
 
+  /** Ansari-Bradley two-sample SCALE test (1960): rank the pooled
+    * sample from BOTH ends (score = min(rank, N+1−rank)), sum sample-0's
+    * scores, and z-test against the exact null moments (which branch on
+    * N's parity — both branches mirrored in the oracle). The dispersion
+    * companion to [[brownForsythe]] that needs no median estimate, and
+    * the scale-shift sibling of [[ksTwoSample]]/[[cramerVonMises]].
+    *
+    * Tie handling: tied values share the MEAN of the scores their rank
+    * block occupies. The per-value score-block sums are closed-form
+    * integer range sums on the distinct-value grid (everything stays
+    * integer until the single /t per grid row), and the AB fold runs on
+    * the ordered bounded value grid.
+    */
+  def ansariBradley(df: DataFrame, sideCol: String, valueCol: String): DataFrame = {
+    val d = df.select(col(sideCol).cast("long").as("s"),
+      col(valueCol).cast("long").as("v"))
+    val cells = d.groupBy(col("v")).agg(
+      sum(when(col("s") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("s") =!= 0, 1L).otherwise(0L)).as("c1"))
+      .withColumn("t", col("c0") + col("c1"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = cells.withColumn("cum", sum(col("t")).over(w))
+    val tot = grid.agg(max(col("cum")).as("nn"),
+      sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    // score-block sum over ranks lo..hi: ascending arm i ≤ ⌊(N+1)/2⌋
+    // scores i; the descending arm scores N+1−i — two integer range
+    // sums, with `div` (Column / on longs is DOUBLE division under
+    // ANSI); both range sums are provably even, so div 2 is exact
+    val acc = grid.crossJoin(broadcast(tot))
+      .withColumn("lo", col("cum") - col("t") + 1)
+      .withColumn("hi", col("cum"))
+      .withColumn("mfloor", expr("(nn + 1) div 2"))
+      .withColumn("atop", least(col("hi"), col("mfloor")))
+      .withColumn("bbot", greatest(col("lo"), col("mfloor") + 1))
+      .withColumn("sc1", when(col("lo") <= col("atop"),
+        expr("(atop * (atop + 1) - (lo - 1) * lo) div 2")).otherwise(0L))
+      .withColumn("sc2", when(col("bbot") <= col("hi"),
+        expr("(hi - bbot + 1) * (nn + 1) - ((hi * (hi + 1) - (bbot - 1) * bbot) div 2)"))
+        .otherwise(0L))
+      .withColumn("ss", col("sc1") + col("sc2"))
+      .withColumn("ab", sum(
+        (col("c0") * col("ss")).cast("double") / col("t")).over(w))
+    val rep = acc.orderBy(col("v").desc).limit(1)
+    val even = col("nn") % 2 === 0
+    val eAb = when(even,
+        col("n0").cast("double") * (col("nn") + 2) / 4.0)
+      .otherwise(col("n0").cast("double") * (col("nn") + 1) * (col("nn") + 1)
+        / (lit(4.0) * col("nn")))
+    val varAb = when(even,
+        col("n0").cast("double") * col("n1") * (col("nn") + 2)
+          * (col("nn") - 2) / (lit(48.0) * (col("nn") - 1)))
+      .otherwise(col("n0").cast("double") * col("n1") * (col("nn") + 1)
+        * (lit(3L) + col("nn") * col("nn"))
+        / (lit(48.0) * col("nn") * col("nn")))
+    rep.select(col("n0").as("n1"), col("n1").as("n2"),
+      round(col("ab"), 6).as("ab"),
+      round(eAb, 6).as("e_ab"),
+      when(varAb > 0,
+        round((col("ab") - eAb) / sqrt(varAb), 6) + lit(0.0)).as("z"))
+  }
+
   /** Mood's median test: the k-sample location test with the weakest
     * assumptions — classify every value above / not-above the GLOBAL
     * type-7 median and χ²-test the k×2 table (delegates to

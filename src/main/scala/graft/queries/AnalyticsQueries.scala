@@ -1437,7 +1437,27 @@ object AnalyticsQueries {
         Tables.events(s, dir).select(
           pmod(col("user_id"), lit(2)).as("x"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")),
-        "x", "y"))
+        "x", "y")),
+
+    // Ansari-Bradley SCALE test on doc length, en vs rest — completes
+    // the two-sample EDF trio (q264 KS sup, q289 CvM mass) with the
+    // rank-from-both-ends dispersion read; exact integer score-block
+    // range sums on the value grid, parity-branched null moments.
+    "q299_ansari_bradley" -> ((s, dir) =>
+      graft.operators.KSample.ansariBradley(
+        Tables.documents(s, dir)
+          .select(when(col("lang") === "en", 0L).otherwise(1L).as("side"),
+            col("n_chars")),
+        "side", "n_chars")),
+
+    // Trimmed + winsorized mean of doc length per source (10% per
+    // tail) — the robust-location panel: integer overlap sums on the
+    // per-slice value grid, no raw-row sort anywhere.
+    "q300_robust_location" -> ((s, dir) =>
+      graft.operators.RobustLocation.panel(
+        Tables.documents(s, dir).select(col("source"), col("n_chars")),
+        "source", "n_chars", trimPct = 10)
+        .orderBy(col("source")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -3523,6 +3543,68 @@ object AnalyticsQueries {
         |              ELSE 1.0 END
         |       END AS e_value_ci
         |FROM t4""".stripMargin,
+
+    // integer score-block range sums on the value grid; parity-branched
+    // exact null moments mirrored on both engines
+    "q299_ansari_bradley" ->
+      """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s, n_chars AS v FROM documents),
+        |cells AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS c0,
+        |                 sum(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS c1,
+        |                 count(*) AS t
+        |          FROM d GROUP BY v),
+        |grid AS (SELECT *, sum(t) OVER w AS cum FROM cells
+        |         WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT max(cum) AS nn, sum(c0) AS n0, sum(c1) AS n1 FROM grid),
+        |sc AS (SELECT g.v, g.c0, g.t, nn, n0, n1,
+        |              g.cum - g.t + 1 AS lo, g.cum AS hi,
+        |              (nn + 1) // 2 AS mfloor
+        |       FROM grid g, tot),
+        |sc2 AS (SELECT *, least(hi, mfloor) AS atop, greatest(lo, mfloor + 1) AS bbot FROM sc),
+        |sc3 AS (SELECT *,
+        |          CASE WHEN lo <= atop THEN (atop * (atop + 1) - (lo - 1) * lo) // 2 ELSE 0 END
+        |          + CASE WHEN bbot <= hi THEN (hi - bbot + 1) * (nn + 1)
+        |                   - ((hi * (hi + 1) - (bbot - 1) * bbot) // 2) ELSE 0 END AS ss
+        |        FROM sc2),
+        |acc AS (SELECT *, sum(CAST(c0 * ss AS DOUBLE) / t)
+        |                    OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ab
+        |        FROM sc3),
+        |fin AS (SELECT * FROM acc ORDER BY v DESC LIMIT 1),
+        |rep AS (SELECT CAST(n0 AS BIGINT) AS n0x, CAST(n1 AS BIGINT) AS n1x, nn, ab,
+        |               CASE WHEN nn % 2 = 0 THEN CAST(n0 AS DOUBLE) * (nn + 2) / 4.0
+        |                    ELSE CAST(n0 AS DOUBLE) * (nn + 1) * (nn + 1) / (4.0 * nn) END AS e_ab,
+        |               CASE WHEN nn % 2 = 0 THEN
+        |                      CAST(n0 AS DOUBLE) * n1 * (nn + 2) * (nn - 2) / (48.0 * (nn - 1))
+        |                    ELSE CAST(n0 AS DOUBLE) * n1 * (nn + 1) * (3 + nn * nn)
+        |                         / (48.0 * nn * nn) END AS var_ab
+        |        FROM fin)
+        |SELECT n0x AS n1, n1x AS n2, round(ab, 6) AS ab, round(e_ab, 6) AS e_ab,
+        |       CASE WHEN var_ab > 0 THEN round((ab - e_ab) / sqrt(var_ab), 6) + 0.0 END AS z
+        |FROM rep""".stripMargin,
+
+    // integer overlap sums on the per-slice value grid; cut values are
+    // conditional-min grid lookups
+    "q300_robust_location" ->
+      """WITH d AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |cells AS (SELECT g, v, count(*) AS t FROM d GROUP BY 1, 2),
+        |grid AS (SELECT *, sum(t) OVER gw AS cum FROM cells
+        |         WINDOW gw AS (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g2 AS (SELECT *, max(cum) OVER (PARTITION BY g) AS n FROM grid),
+        |g3 AS (SELECT *, n * 10 // 100 AS k, cum - t + 1 AS lo FROM g2),
+        |g4 AS (SELECT *, greatest(CAST(0 AS BIGINT),
+        |                          least(cum, n - k) - greatest(lo, k + 1) + 1) AS overlap
+        |       FROM g3),
+        |agg AS (SELECT g, CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k_trim,
+        |               CAST(sum(v * t) AS BIGINT) AS sx,
+        |               CAST(sum(v * overlap) AS BIGINT) AS core_sum,
+        |               CAST(min(CASE WHEN cum >= k + 1 THEN v END) AS BIGINT) AS v_low,
+        |               CAST(min(CASE WHEN cum >= n - k THEN v END) AS BIGINT) AS v_high
+        |        FROM g4 GROUP BY g)
+        |SELECT g AS source, n, k_trim,
+        |       round(CAST(sx AS DOUBLE) / n, 6) AS mean_raw,
+        |       CASE WHEN n - 2 * k_trim > 0 THEN
+        |         round(CAST(core_sum AS DOUBLE) / (n - 2 * k_trim), 6) END AS trimmed_mean,
+        |       round(CAST(core_sum + k_trim * v_low + k_trim * v_high AS DOUBLE) / n, 6) AS winsorized_mean
+        |FROM agg ORDER BY source""".stripMargin,
 
     // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — shift.
     // Directions via integer cross-multiplication: division-free.

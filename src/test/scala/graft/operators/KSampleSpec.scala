@@ -35,6 +35,37 @@ class KSampleSpec extends SparkSpec {
     assert(r.getAs[Boolean]("reject"))
   }
 
+  test("ansari-bradley: hand-computed extremes-vs-middle, even N") {
+    // side0 = {1,4} (the extremes), side1 = {2,3}: scores 1,2,2,1
+    // AB = 2, E = 3, Var = 1/3 → z = -sqrt(3)
+    val d = Seq((0L, 1L), (0L, 4L), (1L, 2L), (1L, 3L)).toDF("side", "v")
+    val r = KSample.ansariBradley(d, "side", "v").collect().head
+    assert(r.getAs[Double]("ab") == 2.0)
+    assert(r.getAs[Double]("e_ab") == 3.0)
+    assert(r.getAs[Double]("z") ==
+      BigDecimal(-1.0 / math.sqrt(1.0 / 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // middle-heavy sample flips the sign
+    val m = Seq((1L, 1L), (1L, 4L), (0L, 2L), (0L, 3L)).toDF("side", "v")
+    val rm = KSample.ansariBradley(m, "side", "v").collect().head
+    assert(rm.getAs[Double]("ab") == 4.0)
+  }
+
+  test("ansari-bradley: ties share mean scores; odd-N branch; zero pins") {
+    // tie: side0 = {1,2}, side1 = {2,3} → scores 1, 2(mean), 2(mean), 1
+    val t = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L)).toDF("side", "v")
+    val rt = KSample.ansariBradley(t, "side", "v").collect().head
+    assert(rt.getAs[Double]("ab") == 3.0)
+    val z = rt.getAs[Double]("z")
+    assert(z == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(z) == 0L, "z must be +0.0")
+    // odd N: side0 = {1,3}, side1 = {2} → AB = 2, E = 8/3
+    val o = Seq((0L, 1L), (0L, 3L), (1L, 2L)).toDF("side", "v")
+    val ro = KSample.ansariBradley(o, "side", "v").collect().head
+    assert(ro.getAs[Double]("ab") == 2.0)
+    assert(ro.getAs[Double]("e_ab") == 2.666667)
+  }
+
   test("cramer-von mises: identical samples give T = 0, no reject") {
     val d = ((1L to 4L).map((0L, _)) ++ (1L to 4L).map((1L, _)))
       .toDF("side", "v")
