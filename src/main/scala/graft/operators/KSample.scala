@@ -196,6 +196,74 @@ object KSample {
           > lit(0.461)).as("reject"))
   }
 
+  /** Hodges-Lehmann two-sample shift estimator (1963): the median of
+    * all pairwise differences x₁ − x₀ — the robust "how much longer are
+    * en docs" effect SIZE that pairs with [[ksTwoSample]]'s yes/no and
+    * q200 Mann-Whitney's p-value. Convention (documented): the weighted
+    * median averages the two middle differences, type-7 style.
+    *
+    * Scale shape: the pairwise differences collapse to the VALUE-GRID
+    * product (c₀·c₁ integer weights per distinct difference) — bounded
+    * by the value domain squared, never the corpus squared (the q198
+    * Theil-Sen discipline, documented ceiling on the grid). Median
+    * positions are integer cum lookups; one /2.0 at the edge.
+    */
+  def hodgesLehmann(df: DataFrame, sideCol: String, valueCol: String): DataFrame = {
+    val d = df.select(col(sideCol).cast("long").as("s"),
+      col(valueCol).cast("long").as("v"))
+    val c0 = d.filter(col("s") === 0).groupBy(col("v").as("v0"))
+      .agg(count(lit(1)).as("c0"))
+    val c1 = d.filter(col("s") =!= 0).groupBy(col("v").as("v1"))
+      .agg(count(lit(1)).as("c1"))
+    val diffs = c0.crossJoin(c1)
+      .groupBy((col("v1") - col("v0")).as("diff"))
+      .agg(sum(col("c0") * col("c1")).as("wgt"))
+    val w = Window.orderBy(col("diff"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = diffs.withColumn("cum", sum(col("wgt")).over(w))
+    val tot = grid.agg(max(col("cum")).as("nw"))
+    val ks = tot.select(col("nw"), expr("(nw + 1) div 2").as("k1"),
+      expr("(nw + 2) div 2").as("k2"))
+    grid.crossJoin(broadcast(ks))
+      .agg(max(col("nw")).as("n_pairs"),
+        min(when(col("cum") >= col("k1"), col("diff"))).as("d1"),
+        min(when(col("cum") >= col("k2"), col("diff"))).as("d2"))
+      .select(col("n_pairs"),
+        round((col("d1") + col("d2")).cast("double") / 2.0, 6) + lit(0.0)
+          as "hl_shift")
+  }
+
+  /** Vargha-Delaney Â₁₂ (2000) — the common-language effect size
+    * P(X₁ > X₀) + ½P(X₁ = X₀): "if you draw one doc from each side, how
+    * often does side 1 win". The magnitude labels are the published
+    * thresholds, decided on the ROUNDED value (cross-engine stable).
+    * Pooled midranks from the distinct-value grid make R̄₁ an exact
+    * ½-multiple; Â is one closed form at the edge.
+    */
+  def varghaDelaney(df: DataFrame, sideCol: String, valueCol: String): DataFrame = {
+    val d = df.select(col(sideCol).cast("long").as("s"),
+      col(valueCol).cast("long").as("v"))
+    val cells = d.groupBy(col("v")).agg(
+      sum(when(col("s") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("s") =!= 0, 1L).otherwise(0L)).as("c1"))
+      .withColumn("t", col("c0") + col("c1"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sums = cells.withColumn("cum", sum(col("t")).over(w))
+      .withColumn("r", (col("cum") - col("t")).cast("double")
+        + (col("t") + 1).cast("double") / 2.0)
+      .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+        sum(col("r") * col("c1")).as("r1sum")) // exact ½-multiples
+    val a12 = (col("r1sum") / col("n1") - (col("n1") + 1).cast("double") / 2.0) /
+      col("n0")
+    sums.select(col("n0").as("n1"), col("n1").as("n2"),
+      round(a12, 6).as("a12"),
+      when(abs(round(a12, 6) - 0.5) < 0.06, lit("negligible"))
+        .when(abs(round(a12, 6) - 0.5) < 0.14, lit("small"))
+        .when(abs(round(a12, 6) - 0.5) < 0.21, lit("medium"))
+        .otherwise(lit("large")).as("magnitude"))
+  }
+
   /** Ansari-Bradley two-sample SCALE test (1960): rank the pooled
     * sample from BOTH ends (score = min(rank, N+1−rank)), sum sample-0's
     * scores, and z-test against the exact null moments (which branch on

@@ -1457,7 +1457,29 @@ object AnalyticsQueries {
       graft.operators.RobustLocation.panel(
         Tables.documents(s, dir).select(col("source"), col("n_chars")),
         "source", "n_chars", trimPct = 10)
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // Hodges-Lehmann shift: the robust "how much longer are en docs"
+    // effect size (median of pairwise differences), collapsing the pair
+    // product onto the value-grid product — the size companion to
+    // q200's Mann-Whitney p-value.
+    "q301_hodges_lehmann" -> ((s, dir) =>
+      graft.operators.KSample.hodgesLehmann(
+        Tables.documents(s, dir)
+          .select(when(col("lang") === "en", 0L).otherwise(1L).as("side"),
+            col("n_chars")),
+        "side", "n_chars")),
+
+    // Vargha-Delaney Â₁₂ — the common-language effect size P(X₁>X₀)+½P(=)
+    // with the published magnitude labels (decided on rounded values):
+    // the benchmark-comparison standard for "does it matter", next to
+    // q301's "by how much".
+    "q302_vargha_delaney" -> ((s, dir) =>
+      graft.operators.KSample.varghaDelaney(
+        Tables.documents(s, dir)
+          .select(when(col("lang") === "en", 0L).otherwise(1L).as("side"),
+            col("n_chars")),
+        "side", "n_chars"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -3605,6 +3627,47 @@ object AnalyticsQueries {
         |         round(CAST(core_sum AS DOUBLE) / (n - 2 * k_trim), 6) END AS trimmed_mean,
         |       round(CAST(core_sum + k_trim * v_low + k_trim * v_high AS DOUBLE) / n, 6) AS winsorized_mean
         |FROM agg ORDER BY source""".stripMargin,
+
+    // pairwise differences collapsed to the value-grid product; weighted
+    // median via integer cum lookups, type-7 middle-pair average
+    "q301_hodges_lehmann" ->
+      """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s, n_chars AS v FROM documents),
+        |c0 AS (SELECT v AS v0, count(*) AS c0 FROM d WHERE s = 0 GROUP BY 1),
+        |c1 AS (SELECT v AS v1, count(*) AS c1 FROM d WHERE s <> 0 GROUP BY 1),
+        |diffs AS (SELECT v1 - v0 AS diff, sum(c0 * c1) AS wgt FROM c0 CROSS JOIN c1 GROUP BY 1),
+        |grid AS (SELECT diff, sum(wgt) OVER (ORDER BY diff
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM diffs),
+        |tot AS (SELECT max(cum) AS nw FROM grid),
+        |ks AS (SELECT nw, (nw + 1) // 2 AS k1, (nw + 2) // 2 AS k2 FROM tot),
+        |agg AS (SELECT CAST(max(nw) AS BIGINT) AS n_pairs,
+        |               min(CASE WHEN cum >= k1 THEN diff END) AS d1,
+        |               min(CASE WHEN cum >= k2 THEN diff END) AS d2
+        |        FROM grid, ks)
+        |SELECT n_pairs, round(CAST(d1 + d2 AS DOUBLE) / 2.0, 6) + 0.0 AS hl_shift
+        |FROM agg""".stripMargin,
+
+    // pooled midranks (exact ½-multiples); Â and its label from the same
+    // closed form; labels decided on the ROUNDED value
+    "q302_vargha_delaney" ->
+      """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS s, n_chars AS v FROM documents),
+        |cells AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS c0,
+        |                 sum(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS c1,
+        |                 count(*) AS t
+        |          FROM d GROUP BY v),
+        |g AS (SELECT *, sum(t) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cells),
+        |r AS (SELECT *, CAST(cum - t AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2.0 AS r FROM g),
+        |sums AS (SELECT CAST(sum(c0) AS BIGINT) AS cnt0, CAST(sum(c1) AS BIGINT) AS cnt1,
+        |                sum(r * c1) AS r1sum FROM r),
+        |sc AS (SELECT cnt0, cnt1,
+        |              round((r1sum / cnt1 - CAST(cnt1 + 1 AS DOUBLE) / 2.0) / cnt0, 6) AS a12
+        |       FROM sums)
+        |SELECT cnt0 AS n1, cnt1 AS n2, a12,
+        |       CASE WHEN abs(a12 - 0.5) < 0.06 THEN 'negligible'
+        |            WHEN abs(a12 - 0.5) < 0.14 THEN 'small'
+        |            WHEN abs(a12 - 0.5) < 0.21 THEN 'medium'
+        |            ELSE 'large' END AS magnitude
+        |FROM sc""".stripMargin,
 
     // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — shift.
     // Directions via integer cross-multiplication: division-free.

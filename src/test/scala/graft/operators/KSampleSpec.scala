@@ -35,6 +35,37 @@ class KSampleSpec extends SparkSpec {
     assert(r.getAs[Boolean]("reject"))
   }
 
+  test("hodges-lehmann: median of the 9 pairwise differences") {
+    // 0:{1,2,3}, 1:{11,12,13} → diffs sorted 8,9,9,10,10,10,11,11,12
+    val d = (Seq(1L, 2L, 3L).map((0L, _)) ++ Seq(11L, 12L, 13L).map((1L, _)))
+      .toDF("side", "v")
+    val r = KSample.hodgesLehmann(d, "side", "v").collect().head
+    assert(r.getAs[Long]("n_pairs") == 9L)
+    assert(r.getAs[Double]("hl_shift") == 10.0)
+  }
+
+  test("hodges-lehmann: even pair count averages the middle pair; zero pins") {
+    val d = Seq((0L, 0L), (1L, 1L), (1L, 2L)).toDF("side", "v")
+    val r = KSample.hodgesLehmann(d, "side", "v").collect().head
+    assert(r.getAs[Double]("hl_shift") == 1.5)
+    val sym = Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L)).toDF("side", "v")
+    val rs = KSample.hodgesLehmann(sym, "side", "v").collect().head
+    val z = rs.getAs[Double]("hl_shift")
+    assert(z == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(z) == 0L, "shift must be +0.0")
+  }
+
+  test("vargha-delaney: separation gives A = 1, identity gives 0.5") {
+    val sep = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("side", "v")
+    val r = KSample.varghaDelaney(sep, "side", "v").collect().head
+    assert(r.getAs[Double]("a12") == 1.0)
+    assert(r.getAs[String]("magnitude") == "large")
+    val same = Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L)).toDF("side", "v")
+    val r2 = KSample.varghaDelaney(same, "side", "v").collect().head
+    assert(r2.getAs[Double]("a12") == 0.5)
+    assert(r2.getAs[String]("magnitude") == "negligible")
+  }
+
   test("ansari-bradley: hand-computed extremes-vs-middle, even N") {
     // side0 = {1,4} (the extremes), side1 = {2,3}: scores 1,2,2,1
     // AB = 2, E = 3, Var = 1/3 → z = -sqrt(3)
