@@ -151,7 +151,8 @@ object BenchScaling {
     "q277_ordinal_assoc" -> (("documents", 1.5, false)), // bounded bin-grid pair join
     "q278_krippendorff" -> (("documents", 1.0, false)), // one agg + distinct-m grid
     "q281_zipf_slope" -> (("documents", 1.0, false)), // token agg + top-100 grid
-    "q284_mood_median" -> (("documents", 1.0, false)) // median + densified chi2 grid
+    "q284_mood_median" -> (("documents", 1.0, false)), // median + densified chi2 grid
+    "q301_hodges_lehmann" -> (("documents", 2.0, false)) // value-GRID product (documented quadratic-in-grid, not corpus)
     // NOT audited: q32/q207-q209/q216-q219/q260-q262 run a FIXED-SIZE
     // synthetic repo (no sf table feeds them — growth is undefined);
     // sub-second gates (the remaining q223-q295 rows, all ≤0.6 s at
