@@ -1479,7 +1479,25 @@ object AnalyticsQueries {
         Tables.documents(s, dir)
           .select(when(col("lang") === "en", 0L).otherwise(1L).as("side"),
             col("n_chars")),
-        "side", "n_chars"))
+        "side", "n_chars")),
+
+    // Average precision + best-F1 of the binned token count ranking the
+    // "long doc" label (n_chars ≥ 400, the upper ~30% of the corpus) — a
+    // genuinely graded, imperfect predictor (the synthetic lang labels
+    // carry no text signal, so a lang target would only measure
+    // prevalence). The threshold-free PR-curve eval completing the
+    // classifier family (q25/q29 fixed-threshold confusions, q174
+    // lang-ID eval, q237 calibration). Integer cumsums on the ordered
+    // score grid; AP folds on the same grid.
+    "q304_avg_precision" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(
+          (graft.functions.TextOps.wsTokenCount(col("text")).cast("long"))
+            .as("tc"),
+          when(col("n_chars") >= 400, 1L).otherwise(0L).as("y"))
+        .select(expr("tc div 16").as("score"), col("y"))
+      graft.operators.ClassifierEval.averagePrecision(d, "score", "y")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -3668,6 +3686,32 @@ object AnalyticsQueries {
         |            WHEN abs(a12 - 0.5) < 0.21 THEN 'medium'
         |            ELSE 'large' END AS magnitude
         |FROM sc""".stripMargin,
+
+    // integer cumsums on the ordered distinct-score grid; F1 is one
+    // integer ratio per row (argmax ties break to the highest score)
+    "q304_avg_precision" ->
+      """WITH d AS (
+        |  SELECT len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) // 16 AS score,
+        |         CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |cells AS (SELECT score, CAST(sum(y) AS BIGINT) AS pos, count(*) AS tot
+        |          FROM d GROUP BY 1),
+        |g AS (SELECT *, sum(pos) OVER w AS tp, sum(tot) OVER w AS np FROM cells
+        |      WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT max(tp) AS p_tot, max(np) AS n FROM g),
+        |acc AS (SELECT *, round(2.0 * tp / (np + p_tot), 6) AS f1,
+        |               sum(pos * (CAST(tp AS DOUBLE) / np))
+        |                 OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS apacc
+        |        FROM g, t),
+        |bf AS (SELECT max(f1) AS best_f1 FROM acc),
+        |bt AS (SELECT CAST(max(score) AS BIGINT) AS best_f1_score,
+        |              CAST(max(best_f1) AS DOUBLE) AS best_f1
+        |       FROM acc, bf WHERE f1 = best_f1),
+        |fin AS (SELECT * FROM acc ORDER BY score ASC LIMIT 1)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(p_tot AS BIGINT) AS n_pos,
+        |       CASE WHEN p_tot > 0 THEN round(apacc / p_tot, 6) END AS ap,
+        |       best_f1, best_f1_score
+        |FROM fin, bt""".stripMargin,
 
     // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — shift.
     // Directions via integer cross-multiplication: division-free.

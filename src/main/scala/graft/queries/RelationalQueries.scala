@@ -654,6 +654,19 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
         .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
           col("sum_qty"), col("cnt"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    // CUBE completes q283's ROLLUP: all four grouping sets (including
+    // the linestatus-only marginal ROLLUP can't express) from the same
+    // single Expand + partial agg — still one corpus scan.
+    "q303_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("sum_qty"), col("cnt"))
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")))
   )
 
@@ -1085,6 +1098,15 @@ object RelationalQueries {
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q303_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
   )
 }

@@ -37,4 +37,28 @@ class ClassifierEvalSpec extends SparkSpec {
     assert(rare.getDouble(rare.fieldIndex("recall")) == 0.0)
     assert(rare.getDouble(rare.fieldIndex("f1")) == 0.0)
   }
+
+  test("average precision: perfect ranker hits AP = 1, best F1 = 1") {
+    val d = Seq((3L, 1L), (3L, 1L), (2L, 0L), (1L, 0L)).toDF("score", "y")
+    val r = ClassifierEval.averagePrecision(d, "score", "y").collect().head
+    assert(r.getAs[Double]("ap") == 1.0)
+    assert(r.getAs[Double]("best_f1") == 1.0)
+    assert(r.getAs[Long]("best_f1_score") == 3L)
+  }
+
+  test("average precision: inverted ranker pays in AP; F1 peaks at recall-all") {
+    // positives carry the LOWEST score → AP = prevalence at the bottom cut
+    val d = Seq((1L, 1L), (1L, 1L), (2L, 0L), (3L, 0L)).toDF("score", "y")
+    val r = ClassifierEval.averagePrecision(d, "score", "y").collect().head
+    assert(r.getAs[Double]("ap") == 0.5)
+    assert(r.getAs[Double]("best_f1") == 0.666667) // 2·2/(4+2)
+    assert(r.getAs[Long]("best_f1_score") == 1L)
+  }
+
+  test("average precision: no positives is NULL, not a divide error") {
+    val d = Seq((1L, 0L), (2L, 0L)).toDF("score", "y")
+    val r = ClassifierEval.averagePrecision(d, "score", "y").collect().head
+    assert(r.isNullAt(r.fieldIndex("ap")))
+    assert(r.getAs[Long]("n_pos") == 0L)
+  }
 }
