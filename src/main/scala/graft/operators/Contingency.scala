@@ -117,6 +117,19 @@ object Contingency {
         sum(col("x") * col("y")).as("a_obs"))
       .withColumn("lo", greatest(lit(0L), col("r1") + col("c1") - col("n")))
       .withColumn("hi", least(col("r1"), col("c1")))
+      // bounded-grid contract, in-plan (tot is one row, so the guard adds
+      // no extra pass): a support width beyond MaxGrid means the margins
+      // are far outside the small-expected-cell regime Fisher exists for
+      .withColumn("hi", when(
+        col("hi") - col("lo") < lit(graft.core.GridGuard.MaxGrid),
+        col("hi")).otherwise(raise_error(concat(
+          lit("graft.operators.Contingency.fisherExact: hypergeometric "
+            + "support grid width "),
+          (col("hi") - col("lo") + 1).cast("string"),
+          lit(" exceeds the bounded-grid contract ("
+            + graft.core.GridGuard.MaxGrid
+            + "); the margins are large enough that chiSquare is the "
+            + "right test"))).cast("long")))
     val grid = tot.select(col("n"), col("r1"), col("c1"), col("a_obs"),
         col("lo"), explode(sequence(col("lo"), col("hi"))).as("a"))
     val w = Window.orderBy(col("a"))

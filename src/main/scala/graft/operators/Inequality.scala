@@ -27,6 +27,8 @@ object Inequality {
     val d = df.select(col(grpCol).as("g"), col(valCol).cast("long").as("v"))
       .filter(col("v") > 0)
     val cells = d.groupBy(col("g"), col("v")).agg(count(lit(1)).as("t"))
+    graft.core.GridGuard.check(cells, "Inequality.panel",
+      s"(group, value) grid of '$grpCol' x '$valCol'")
     val tot = cells.groupBy(col("g"))
       .agg(sum(col("t")).as("n"), sum(col("t") * col("v")).as("sx"))
     val gw = Window.partitionBy(col("g")).orderBy(col("v"))

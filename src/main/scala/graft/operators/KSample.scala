@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.GridGuard
 
 /** k-sample distribution tests over a grouped value column — the audit
   * battery for "do these corpus slices actually differ": the two-sample
@@ -33,6 +34,8 @@ object KSample {
     val cells = d.groupBy(col("v")).agg(
       sum(when(col("s") === 0, 1L).otherwise(0L)).as("c0"),
       sum(when(col("s") =!= 0, 1L).otherwise(0L)).as("c1"))
+    GridGuard.check(cells, "KSample.ksTwoSample",
+      s"distinct-value grid of '$valueCol'")
     // distinct-value grid: the window is bounded by the value domain,
     // not the corpus (the q118 discipline)
     val w = Window.orderBy(col("v"))
@@ -64,6 +67,8 @@ object KSample {
   def kruskalWallis(df: DataFrame, grpCol: String, valueCol: String): DataFrame = {
     val d = df.select(col(grpCol).as("g"), col(valueCol).cast("long").as("v"))
     val cells = d.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    GridGuard.check(cells, "KSample.kruskalWallis",
+      s"distinct-value grid of '$valueCol'")
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranks = cells.withColumn("cum", sum(col("t")).over(w))
@@ -109,6 +114,8 @@ object KSample {
     val perGroup = z.groupBy(col("g"))
       .agg(count(lit(1)).as("n_g"), sum(col("z")).as("sz"),
         sum(col("z") * col("z")).as("szz"))
+    GridGuard.check(perGroup, "KSample.brownForsythe",
+      s"group grid of '$grpCol'")
     // z is a ½-multiple so sz/szz sums are exact; the sz²/n_g terms are
     // general doubles — accumulate them on the ordered bounded-grid
     // window (see kruskalWallis) instead of an order-free partial agg
@@ -138,6 +145,7 @@ object KSample {
     val perGroup = d.groupBy(col("g"))
       .agg(count(lit(1)).as("n_g"), sum(col("v")).as("sx"),
         sum(col("v") * col("v")).as("sxx"))
+    GridGuard.check(perGroup, "KSample.anovaF", s"group grid of '$grpCol'")
     // Σ sx²/n_g is the only non-integer sum — ordered bounded-grid window
     val gw = Window.orderBy(col("g"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -173,6 +181,8 @@ object KSample {
     val cells = d.groupBy(col("v")).agg(
       sum(when(col("s") === 0, 1L).otherwise(0L)).as("c0"),
       sum(when(col("s") =!= 0, 1L).otherwise(0L)).as("c1"))
+    GridGuard.check(cells, "KSample.cramerVonMises",
+      s"distinct-value grid of '$valueCol'")
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val grid = cells
@@ -215,6 +225,12 @@ object KSample {
       .agg(count(lit(1)).as("c0"))
     val c1 = d.filter(col("s") =!= 0).groupBy(col("v").as("v1"))
       .agg(count(lit(1)).as("c1"))
+    // the pair grid is c0 × c1: cap each SIDE so the cross-join
+    // intermediate stays <= MaxPairSide² (~16.8M distributed rows)
+    GridGuard.check(c0, "KSample.hodgesLehmann",
+      s"side-0 value grid of '$valueCol'", GridGuard.MaxPairSide)
+    GridGuard.check(c1, "KSample.hodgesLehmann",
+      s"side-1 value grid of '$valueCol'", GridGuard.MaxPairSide)
     val diffs = c0.crossJoin(c1)
       .groupBy((col("v1") - col("v0")).as("diff"))
       .agg(sum(col("c0") * col("c1")).as("wgt"))
@@ -247,6 +263,8 @@ object KSample {
       sum(when(col("s") === 0, 1L).otherwise(0L)).as("c0"),
       sum(when(col("s") =!= 0, 1L).otherwise(0L)).as("c1"))
       .withColumn("t", col("c0") + col("c1"))
+    GridGuard.check(cells, "KSample.varghaDelaney",
+      s"distinct-value grid of '$valueCol'")
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sums = cells.withColumn("cum", sum(col("t")).over(w))
@@ -284,6 +302,8 @@ object KSample {
       sum(when(col("s") === 0, 1L).otherwise(0L)).as("c0"),
       sum(when(col("s") =!= 0, 1L).otherwise(0L)).as("c1"))
       .withColumn("t", col("c0") + col("c1"))
+    GridGuard.check(cells, "KSample.ansariBradley",
+      s"distinct-value grid of '$valueCol'")
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val grid = cells.withColumn("cum", sum(col("t")).over(w))

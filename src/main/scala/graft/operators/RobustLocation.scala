@@ -25,6 +25,8 @@ object RobustLocation {
             trimPct: Int): DataFrame = {
     val d = df.select(col(grpCol).as("g"), col(valCol).cast("long").as("v"))
     val cells = d.groupBy(col("g"), col("v")).agg(count(lit(1)).as("t"))
+    graft.core.GridGuard.check(cells, "RobustLocation.panel",
+      s"(group, value) grid of '$grpCol' x '$valCol'")
     val gw = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val full = Window.partitionBy(col("g"))
