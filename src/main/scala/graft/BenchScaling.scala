@@ -152,9 +152,16 @@ object BenchScaling {
     "q278_krippendorff" -> (("documents", 1.0, false)), // one agg + distinct-m grid
     "q281_zipf_slope" -> (("documents", 1.0, false)), // token agg + top-100 grid
     "q284_mood_median" -> (("documents", 1.0, false)), // median + densified chi2 grid
-    "q301_hodges_lehmann" -> (("documents", 2.0, false)) // value-GRID product (documented quadratic-in-grid, not corpus)
+    "q301_hodges_lehmann" -> (("documents", 2.0, false)), // value-GRID product (documented quadratic-in-grid, not corpus)
+
+    // ===== wave 6 (r12): close the q302-q304 audit gap (VERDICT r11 #3)
+    "q302_vargha_delaney" -> (("documents", 1.0, false)), // distinct-grid midranks, one agg
+    "q303_cube" -> (("lineitem", 1.0, true)), // ONE Expand + partial agg, all 4 grouping sets
+    "q304_avg_precision" -> (("documents", 1.0, false)), // score-grid integer cumsums, PR fold
+    "q306_ivf_recluster" -> (("embeddings", 1.0, false)) // broadcast-k argmax passes + one mean fold
     // NOT audited: q32/q207-q209/q216-q219/q260-q262 run a FIXED-SIZE
-    // synthetic repo (no sf table feeds them — growth is undefined);
+    // synthetic repo and q305/q307 fixed synthetic media (no sf table
+    // feeds them — growth is undefined);
     // sub-second gates (the remaining q223-q295 rows, all ≤0.6 s at
     // sf0.1) carry more scheduler noise than signal.
   )
@@ -194,10 +201,22 @@ object BenchScaling {
       else math.min(once(), once())
     }
 
+    // SPARK_GRAFT_SCALING_ONLY=q302_...,q305_... audits just the named
+    // queries and writes BENCH_scaling_partial.json for a documented
+    // merge — re-running all 140 fits to add 4 would cost an hour of
+    // wall-clock for timings that are already pinned.
+    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val audited = only match {
+      case Some(f) => Audit.filter { case (n, _) => f(n) }
+      case None => Audit
+    }
+    val outFile =
+      if (only.isDefined) "BENCH_scaling_partial.json" else "BENCH_scaling.json"
     val sb = new StringBuilder
     sb.append("{\"decades\":[")
     var first = true
-    for ((name, (table, ceiling, relational)) <- Audit) {
+    for ((name, (table, ceiling, relational)) <- audited) {
       val useDirs = if (relational && haveSf1) dirs else dirs.take(2)
       val times = useDirs.map(d => d -> timeOne(name, d))
       val counts = useDirs.map(d => d -> rows(d, table)).toMap
@@ -214,7 +233,7 @@ object BenchScaling {
     }
     sb.append("]}")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_scaling.json"), sb.toString + "\n")
+      java.nio.file.Paths.get(outFile), sb.toString + "\n")
     spark.stop()
   }
 }

@@ -183,8 +183,75 @@ object MultimodalQueries {
       val media = s.range(NumImages).map(i => syntheticPhashImage(i.longValue))
       graft.mm.PerceptualHash.imageClusters(media)
         .orderBy(col("hash"))
+    }),
+
+    // Perceptual AUDIO near-dup (r12 depth wave): energy-envelope
+    // fingerprints over the REAL WAV decode, 4-band Hamming candidate
+    // join — never clip×clip. The oracle recomputes every fingerprint
+    // closed-form from the generator AND brute-forces all pairs, so a
+    // hash-match proves both the decode→energy→bits pipeline and the
+    // band split's no-false-negative guarantee (pigeonhole: ≤3 differing
+    // bits across 4 bands leaves one band intact) on real data.
+    "q305_audio_fingerprint" -> ((s, _) => {
+      import s.implicits._
+      val media = s.range(NumClips).map(i => syntheticFpWav(i.longValue))
+      graft.mm.AudioFingerprint.nearDupPairs(media, 3)
+        .orderBy(col("clip_a"), col("clip_b"))
+    }),
+
+    // Shot-boundary detection (r12 depth wave): integer SAD cut detector
+    // over the REAL Y4M decode. Clips carry 4-frame shots (the luma
+    // formula jumps by 97 at shot starts, drifts by 3 within) — the
+    // oracle replays every per-pixel wraparound delta closed-form, so a
+    // hash-match proves the container parse handed the detector the
+    // exact planes.
+    "q307_shot_boundaries" -> ((s, _) => {
+      import s.implicits._
+      val media = s.range(NumShotClips).map(v => syntheticShotY4m(v.longValue))
+      graft.mm.ShotBoundary.boundaries(media, 50)
+        .orderBy(col("media_id"), col("frame"))
     })
   )
+
+  val NumShotClips = 16
+
+  /** Deterministic shot-structured clip for q307: `6 + (v mod 5)` frames
+    * of w×h luma, pixel (x, y) of frame f =
+    * (v·31 + ⌊f/4⌋·97 + f·3 + x·3 + y·5) mod 256 — shots of 4 frames;
+    * within a shot consecutive frames differ by 3 per pixel (mod wrap),
+    * across a boundary by 100 (mod wrap), so threshold 50 separates them
+    * exactly.
+    */
+  def syntheticShotY4m(v: Long): MediaRow = {
+    val w = 12 + (v % 16).toInt
+    val h = 8 + ((v * 3) % 16).toInt
+    val nf = 6 + (v % 5).toInt
+    val frames = (0 until nf).map { f =>
+      Array.tabulate[Byte](w * h) { p =>
+        val x = p % w; val y = p / w
+        ((v * 31 + (f / 4) * 97 + f * 3 + x * 3 + y * 5) % 256).toByte
+      }
+    }
+    MediaRow(v, "video", Multimodal.encodeY4m(w, h, 25, frames), Map("gen" -> "shot"))
+  }
+
+  /** Deterministic modulated clip for q305: sample(t) =
+    * (((t·(i+1)) mod 512) − 256) · (1 + ((⌊t·32/n⌋·(i mod 7 + 3)) mod 5)),
+    * n = 800 + (i mod 5)·400 — an integer sawtooth under a 5-step
+    * per-frame gain envelope. Per-frame abs sums are closed-form
+    * integers, and clips sharing (i mod 5, i mod 7) — e.g. i and i+35 —
+    * share the exact envelope STEP pattern, so their fingerprints
+    * coincide: guaranteed near-dup mass for the banded join to find.
+    */
+  def syntheticFpWav(i: Long): MediaRow = {
+    val n = 800 + (i % 5).toInt * 400
+    val samples = Array.tabulate[Short](n) { t =>
+      val base = ((t.toLong * (i + 1)) % 512L) - 256L
+      val scale = 1L + ((t.toLong * 32L / n) * (i % 7L + 3L)) % 5L
+      (base * scale).toShort
+    }
+    MediaRow(i, "audio", Multimodal.encodeWav(samples, 8000), Map("gen" -> "fp"))
+  }
 
   /** Deterministic raster for the q181 perceptual-hash gate, family
     * i mod 3: solid color (dHash 0), descending gray gradient (all 56
@@ -219,6 +286,57 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // q305: per-frame integer abs-energy sums replayed from the generator
+    // formula (frame f = (t*32)//n, the decode's cell mapping), bits from
+    // adjacent-frame comparisons, then BRUTE-FORCE all 2016 pairs — the
+    // Spark side only ever joins banded candidates, so a hash-match
+    // proves completeness.
+    "q305_audio_fingerprint" ->
+      s"""WITH clips AS (
+         |  SELECT i, 800 + (i % 5) * 400 AS n
+         |  FROM generate_series(0, ${NumClips - 1}) AS t(i)
+         |), samp AS (
+         |  SELECT i, n, unnest(generate_series(0, n - 1)) AS t FROM clips
+         |), en AS (
+         |  SELECT i, (t * 32) // n AS f,
+         |         sum(abs((((t * (i + 1)) % 512) - 256)
+         |             * (1 + (((t * 32) // n) * (i % 7 + 3)) % 5))) AS e
+         |  FROM samp GROUP BY i, (t * 32) // n
+         |), fp AS (
+         |  SELECT e1.i,
+         |         sum(CASE WHEN e2.e > e1.e THEN 1::BIGINT << e1.f ELSE 0 END) AS fp
+         |  FROM en e1 JOIN en e2 ON e1.i = e2.i AND e2.f = e1.f + 1
+         |  GROUP BY e1.i
+         |)
+         |SELECT CAST(a.i AS BIGINT) AS clip_a, CAST(b.i AS BIGINT) AS clip_b,
+         |       CAST(bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.i < b.i
+         |WHERE bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) <= 3
+         |ORDER BY clip_a, clip_b""".stripMargin,
+
+    // q307: per-pixel wraparound deltas replayed from the luma formula;
+    // the threshold is the integer cross-multiply the Spark side uses.
+    "q307_shot_boundaries" ->
+      s"""WITH clips AS (
+         |  SELECT v, 12 + (v % 16) AS w, 8 + ((v * 3) % 16) AS h, 6 + (v % 5) AS nf
+         |  FROM generate_series(0, ${NumShotClips - 1}) t(v)
+         |), fr AS (
+         |  SELECT v, w, h, unnest(generate_series(1, nf - 1)) AS f FROM clips
+         |), px AS (
+         |  SELECT v, f, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM fr
+         |), d AS (
+         |  SELECT v, f, w * h AS npx,
+         |    sum(abs(
+         |      ((v * 31 + (f // 4) * 97 + f * 3 + (p % w) * 3 + (p // w) * 5) % 256)
+         |      - ((v * 31 + ((f - 1) // 4) * 97 + (f - 1) * 3 + (p % w) * 3 + (p // w) * 5) % 256)
+         |    )) AS diff_sum
+         |  FROM px GROUP BY v, f, w * h
+         |)
+         |SELECT CAST(v AS BIGINT) AS media_id, CAST(f AS BIGINT) AS frame,
+         |       CAST(diff_sum AS BIGINT) AS diff_sum, CAST(npx AS BIGINT) AS n_pixels
+         |FROM d WHERE diff_sum >= 50 * npx
+         |ORDER BY media_id, frame""".stripMargin,
+
     // every hash restated from the generator formula: solids are flat
     // (no gradient bits), gradients strictly descend at every sampled
     // column (all 8x7 bits), stripes depend only on the parity of the

@@ -296,6 +296,20 @@ object SearchQueries {
         .select(col("vec_id"), col("cluster"), round(col("score"), 6).as("score"))
     }),
 
+    // Incremental IVF maintenance (r12 depth wave): fit on the base 75%
+    // (vec_id % 4 != 0), land the other 25% as the arriving batch, fold
+    // it into the per-cluster means WITHOUT re-running Lloyd, and report
+    // per cluster the centroid drift and how many indexed vectors the
+    // drift would re-home — the re-fit-due signal. Every pass is a
+    // broadcast-k argmax; the oracle replays fit + fold + re-home in SQL.
+    "q306_ivf_recluster" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.search.IvfRecluster.report(
+        emb.filter(col("vec_id") % 4 =!= 0),
+        emb.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", 8, 2)
+    }),
+
     // int8 max-abs quantization of the vector index (4x memory at 100 TB):
     // per-vector code sums + saturation counts, exactly replayed by the
     // oracle (float32 max, float->double promotion, floor(x+0.5) half-up
@@ -834,6 +848,65 @@ object SearchQueries {
         |FROM a3 JOIN probed USING (cluster)
         |ORDER BY list_cosine_similarity(v, (SELECT v FROM qv)) DESC, vec_id
         |LIMIT 5""".stripMargin,
+
+    // the q46 unrolled fit on the base 75%, then the incremental fold:
+    // batch assignment, merged round(avg,6) means, drift, and the
+    // re-home count — step for step what IvfRecluster.report computes
+    "q306_ivf_recluster" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |eb AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
+        |et AS (SELECT * FROM e WHERE vec_id % 4 = 0),
+        |c0 AS (SELECT vec_id AS cluster, v AS cent FROM eb ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT eb.vec_id, eb.v, c.cluster,
+        |         row_number() OVER (PARTITION BY eb.vec_id
+        |                            ORDER BY list_cosine_similarity(eb.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM eb, c0 c) WHERE rn = 1),
+        |c1 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM (
+        |  SELECT cluster, i, round(avg(v[i]), 6) AS m
+        |  FROM a1, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY cluster, i) GROUP BY cluster),
+        |a2 AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT eb.vec_id, eb.v, c.cluster,
+        |         row_number() OVER (PARTITION BY eb.vec_id
+        |                            ORDER BY list_cosine_similarity(eb.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM eb, c1 c) WHERE rn = 1),
+        |c2 AS (SELECT cluster, list(m ORDER BY i) AS cent FROM (
+        |  SELECT cluster, i, round(avg(v[i]), 6) AS m
+        |  FROM a2, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY cluster, i) GROUP BY cluster),
+        |ab AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT eb.vec_id, eb.v, c.cluster,
+        |         row_number() OVER (PARTITION BY eb.vec_id
+        |                            ORDER BY list_cosine_similarity(eb.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM eb, c2 c) WHERE rn = 1),
+        |at AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT et.vec_id, et.v, c.cluster,
+        |         row_number() OVER (PARTITION BY et.vec_id
+        |                            ORDER BY list_cosine_similarity(et.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM et, c2 c) WHERE rn = 1),
+        |u AS (SELECT cluster, v FROM ab UNION ALL SELECT cluster, v FROM at),
+        |cn AS (SELECT cluster, list(m ORDER BY i) AS cent FROM (
+        |  SELECT cluster, i, round(avg(v[i]), 6) AS m
+        |  FROM u, (SELECT unnest(generate_series(1, 64)) AS i) dims
+        |  GROUP BY cluster, i) GROUP BY cluster),
+        |rb AS (SELECT vec_id, cluster AS cluster_new FROM (
+        |  SELECT eb.vec_id, c.cluster,
+        |         row_number() OVER (PARTITION BY eb.vec_id
+        |                            ORDER BY list_cosine_similarity(eb.v, c.cent) DESC, c.cluster ASC) AS rn
+        |  FROM eb, cn c) WHERE rn = 1),
+        |mv AS (SELECT ab.cluster, count(*) AS n_base,
+        |              sum(CASE WHEN rb.cluster_new <> ab.cluster THEN 1 ELSE 0 END) AS n_moved
+        |       FROM ab JOIN rb USING (vec_id) GROUP BY ab.cluster),
+        |np AS (SELECT cluster, count(*) AS n_new FROM at GROUP BY cluster)
+        |SELECT CAST(c2.cluster AS BIGINT) AS cluster,
+        |       CAST(mv.n_base AS BIGINT) AS n_base,
+        |       CAST(coalesce(np.n_new, 0) AS BIGINT) AS n_new,
+        |       round(1 - list_cosine_similarity(c2.cent, cn.cent), 6) + 0.0 AS drift,
+        |       CAST(mv.n_moved AS BIGINT) AS n_moved
+        |FROM c2 JOIN cn USING (cluster) JOIN mv ON mv.cluster = c2.cluster
+        |LEFT JOIN np ON np.cluster = c2.cluster
+        |ORDER BY cluster""".stripMargin,
 
     // float32 max-abs scale, float->double promotion, floor(x+0.5): the
     // exact arithmetic the Spark side performs, step for step.
