@@ -34,14 +34,35 @@ object MinHashLsh {
     * is identical to the SQL derivation the oracle replays
     * (conv(substring(md5(s),1,15),16,10) % p; affine minima).
     */
-  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    sigsFromGramSets(gramSets(docs, idCol, textCol))
+
+  /** (doc_id, grams) — each doc's distinct word-3-shingle 31-bit hash set
+    * in ONE tokenize+md5 pass. [[calibration]] shares this between the
+    * signature pipeline and the exact-jaccard side, which previously each
+    * re-tokenized and re-hashed the corpus (r12; guide §1.2 "don't compute
+    * things twice").
+    */
+  private[dedup] def gramSets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
+      .map { case (id, text) =>
         val toks = Bm25.tokenizeScala(text)
         val shingles = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toArray.distinct
-        val hs = shingles.map(graft.core.Ids.hash31)
+        (id, shingles.map(graft.core.Ids.hash31))
+      }
+      .toDF("doc_id", "grams")
+  }
+
+  /** Affine-minima signatures from the gram-hash sets. Minima over the
+    * hash multiset are unchanged by string-vs-hash-level dedup, so this is
+    * value-identical to hashing inside the signature pass.
+    */
+  private[dedup] def sigsFromGramSets(gs: DataFrame): DataFrame = {
+    import gs.sparkSession.implicits._
+    gs.as[(Long, Array[Long])]
+      .flatMap { case (id, hs) =>
         // docs with no shingles (under 3 qualifying tokens) have no minhash
         // evidence at all — emitting a degenerate all-P signature would
         // bucket EVERY short doc together as est_jaccard-1.0 "duplicates"
@@ -65,7 +86,10 @@ object MinHashLsh {
 
   /** (doc_id, sig, band, band_key) — band key is md5 of the band's minhashes. */
   def bandKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    signatures(docs, idCol, textCol)
+    bandKeysFromSigs(signatures(docs, idCol, textCol))
+
+  private[dedup] def bandKeysFromSigs(sigs: DataFrame): DataFrame =
+    sigs
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
       .withColumn("band_key", expr(
@@ -131,12 +155,15 @@ object MinHashLsh {
     out
   }
 
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    candidatePairsFromSigs(signatures(docs, idCol, textCol))
+
+  private[dedup] def candidatePairsFromSigs(sigs: DataFrame): DataFrame = {
     // persist: signatures are 12 longs per doc — the band self-join must
     // not recompute the shingle->md5->minhash pipeline for each side. The
     // (small) pair output is materialized eagerly via localCheckpoint so
     // the signature cache can be released before returning.
-    val bk = bandKeys(docs, idCol, textCol).persist()
+    val bk = bandKeysFromSigs(sigs).persist()
     val a = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     val pairs = a.join(b, Seq("band", "band_key"))
@@ -165,8 +192,12 @@ object MinHashLsh {
     * the set sizes differently per engine.
     */
   def calibration(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairs = candidatePairs(docs, idCol, textCol)
-    val grams = Decontamination.docGrams(docs, idCol, textCol, 3)
+    // ONE tokenize+md5 gram pass feeds BOTH the signature/banding pipeline
+    // and the exact-jaccard gram joins (pre-r12 each side re-derived the
+    // grams from text — two full corpus tokenizations)
+    val gs = gramSets(docs, idCol, textCol).persist()
+    val pairs = candidatePairsFromSigs(sigsFromGramSets(gs))
+    val grams = gs.select(col("doc_id"), explode(col("grams")).as("gram"))
       .distinct() // set semantics on the HASH value (see scaladoc)
       .persist()
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -189,6 +220,7 @@ object MinHashLsh {
         round(avg(col("est_jaccard") - col("_exact")), 6).as("bias"))
       .localCheckpoint(true)
     grams.unpersist()
+    gs.unpersist()
     out
   }
 }

@@ -250,13 +250,13 @@ object RemoteEmbedder {
 case class DeterministicEmbedder(dim: Int = 64) extends Embedder {
 
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame =
-    df.withColumn(outCol, expr(
-      // cast to double BEFORE the division: a bare `/ 1000.0` literal is
-      // DecimalType in Spark SQL and drags the whole expression through
-      // decimal arithmetic (slower, same values)
-      s"""transform(sequence(0, ${dim - 1}), d ->
-         |  cast((cast(conv(substring(md5(concat($textCol, ':', d)), 1, 15), 16, 10) as bigint)
-         |    % 2147483647 % 2001) - 1000 as double) / cast(1000 as double))""".stripMargin))
+    // one incremental-md5 codegen expression instead of the old
+    // transform(sequence(...)) HOF, which re-hashed the full text once per
+    // dimension through an interpreted lambda (+ hex format / substring /
+    // conv parse per element). Bit-identical values — see
+    // [[org.apache.spark.sql.graftx.DeterministicEmbed]].
+    df.withColumn(outCol,
+      org.apache.spark.sql.graftx.DeterministicEmbed.asColumn(col(textCol), dim))
 
   override def embedText(text: String): Seq[Double] =
     (0 until dim).map { d =>

@@ -55,13 +55,18 @@ object Bm25 {
   /** Model fit: (term, df, idf) — the vocab/df/idf table of SURVEY §7.1. */
   def fit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val dt = docTerms(docs, idCol, textCol)
-    val n = docs.count()
+    // N rides the plan as a broadcast 1-row aggregate (not an eager
+    // .count() at construction — see search()); integer count consumed as
+    // a column is value-identical to the literal
+    val n = docs.agg(count(lit(1)).as("_n"))
     // docTerms rows are unique per (doc, term) — its groupBy key — so a
     // plain count IS the document frequency; countDistinct would add a
     // needless distinct expansion before the aggregate
     dt.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-      .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .crossJoin(broadcast(n))
+      .withColumn("idf", log((col("_n").cast("double") - col("df") + 0.5) / (col("df") + 0.5)))
+      .drop("_n")
   }
 
   /** Persist the fitted model as store tables (`bm25_model`: term/df/idf;
@@ -112,9 +117,13 @@ object Bm25 {
   def search(docs: DataFrame, idCol: String, textCol: String,
              queryTerms: Seq[String], k: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-    val statsRow = toks.agg(count(lit(1)).as("n"), avg(size(col("toks"))).as("avgdl")).head()
-    val n = statsRow.getLong(0)
-    val avgdl = statsRow.getDouble(1)
+    // corpus stats stay IN the plan as a broadcast 1-row aggregate instead
+    // of an eager .head() — the old form serialized a full corpus-tokenize
+    // job at DataFrame-CONSTRUCTION time before the real query even ran
+    // (guide §1/§5: no blocking driver actions on a query path). n is an
+    // exact integer and avgdl an exact intSum/count, so consuming them as
+    // columns is value-identical to the literal form.
+    val stats = toks.agg(count(lit(1)).as("_n"), avg(size(col("toks"))).as("_avgdl"))
     val dt = toks
       .withColumn("dl", size(col("toks")))
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
@@ -125,10 +134,11 @@ object Bm25 {
       // dt rows are unique per (doc, term) — its groupBy key — so plain
       // count is the df (same invariant as fit())
       .agg(count(lit(1)).as("df"))
-      .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
-      .select(col("term"), col("idf"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("_n").cast("double") - col("df") + 0.5) / (col("df") + 0.5)))
+      .select(col("term"), col("idf"), col("_avgdl"))
     dt.join(broadcast(model), "term")
-      .withColumn("contrib", contrib(col("idf"), col("tf"), col("dl"), lit(avgdl)))
+      .withColumn("contrib", contrib(col("idf"), col("tf"), col("dl"), col("_avgdl")))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
