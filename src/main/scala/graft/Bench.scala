@@ -19,6 +19,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: a 300+-query suite generates thousands of
+      // codegen units per pass, so by the time pass 2 of a query runs its
+      // compiled classes are long evicted and EVERY query re-pays Janino
+      // compilation in every pass. Scale-independent (any long-lived app
+      // running many distinct operators wants this); it caches compiled
+      // code, never results — every pass still computes from parquet.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + parquet-footer caches, so the first

@@ -24,6 +24,7 @@ object ProfileOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096") // match Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

@@ -76,7 +76,7 @@ object DupClusters {
       changed = !jumped.filter(col("lbl") =!= col("own")).isEmpty
       labels = jumped.select(col("node"), col("lbl"))
     }
-    val out = labels.withColumnRenamed("lbl", "cluster_id").localCheckpoint(true)
+    val out = labels.withColumnRenamed("lbl", "cluster_id").localCheckpoint(false) // lazy: lineage is one select over the last (materialized) round
     sym.unpersist()
     out
   }

@@ -74,13 +74,18 @@ object TextOps {
     * All-zero scores → "unknown" (no profile evidence at all).
     */
   def langGuess(text: Column): Column = {
-    val scores = LangProfiles.map { case (l, p) => l -> langScore(text, p) }
-    val ordered = scores.sortBy(_._1)
-    val anySignal = ordered.map(_._2).reduce((a, b) => greatest(a, b)) > 0
-    val argmax = ordered.foldRight(lit("unknown")) { case ((l, s), els) =>
-      when(ordered.filter(_._1 != l).map(o => s >= o._2).reduce(_ && _), lit(l)).otherwise(els)
-    }
-    when(anySignal, argmax).otherwise(lit("unknown"))
+    // argmax via array_position: the first (lexicographically, since the
+    // array is sorted by language) index holding the max — exactly the old
+    // fold's "first language ≥ all others" winner, and all-zero still
+    // yields "unknown". The old form inlined every langScore tree into
+    // every other language's comparison (~n² tokenize+filter subtrees per
+    // row); here each score is evaluated once (r12; guide §1.2).
+    val ordered = LangProfiles.map { case (l, p) => l -> langScore(text, p) }.sortBy(_._1)
+    val arr = array(ordered.map(_._2): _*)
+    val names = array(ordered.map(o => lit(o._1)): _*)
+    when(array_max(arr) > 0,
+      element_at(names, array_position(arr, array_max(arr)).cast("int")))
+      .otherwise(lit("unknown"))
   }
 
   /** Within-document word-3-gram repetition ratio (the Gopher-family

@@ -128,11 +128,16 @@ object ChatPipeline {
     * 'general'.
     */
   def classify(content: Column): Column = {
-    val scores = CategoryPatterns.map { case (c, ks) => c -> categoryScore(content, ks) }
-    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("general"): Column) { case ((c, s), els) =>
-      when(maxScore > 0 && s === maxScore, lit(c)).otherwise(els)
-    }
+    // argmax via array_position (FIRST index of the max = declaration-order
+    // tie-break, same as the old when-fold) — the old form inlined the
+    // greatest-of-8 tree into every branch, so each score expression
+    // appeared ~10x and the tree hit Catalyst/codegen super-linearly (r12;
+    // guide §1.2 "per-task work"). Values are identical by construction.
+    val arr = array(CategoryPatterns.map { case (_, ks) => categoryScore(content, ks) }: _*)
+    val names = array(CategoryPatterns.map { case (c, _) => lit(c) }: _*)
+    when(array_max(arr) > 0,
+      element_at(names, array_position(arr, array_max(arr)).cast("int")))
+      .otherwise(lit("general"))
   }
 
   /** Per-session transcript: messages sorted by (ts, content, role),

@@ -63,20 +63,25 @@ object CurationFunnel {
       .select(col("doc_id")).withColumn("_elected", lit(true))
     val tagged = base.join(firsts, Seq("doc_id"), "left")
       .withColumn("_ok3", col("_ok2") && coalesce(col("_elected"), lit(false)))
-      .localCheckpoint(true) // one corpus evaluation feeds every count below
+      .localCheckpoint(false) // lazy: one corpus evaluation, cached at first use inside the single count action (r12)
     val s3 = tagged.filter(col("_ok3")).select(col("doc_id"), col("text"))
-    val n4 = NgramNovelty.docNovelty(s3, "doc_id", "text", 3)
+    // BOTH count sets in ONE action (1-row × 1-row crossJoin): the old
+    // separate .head() calls serialized two full job round-trips over the
+    // checkpointed corpus (r12; guide §1.2 — fewer sequential barriers)
+    val novAgg = NgramNovelty.docNovelty(s3, "doc_id", "text", 3)
       .filter(col("novelty") > noveltyFloor)
-      .agg(count(lit(1)).as("n")).as[Long].head()
+      .agg(count(lit(1)).as("n4"))
     val c = tagged.agg(
       count(lit(1)).as("n0"),
       count(when(col("_ok1"), 1)).as("n1"),
       count(when(col("_ok2"), 1)).as("n2"),
-      count(when(col("_ok3"), 1)).as("n3")).head()
+      count(when(col("_ok3"), 1)).as("n3"))
+      .crossJoin(novAgg)
+      .head()
     val rows = Seq(
       (0L, "all", c.getLong(0)), (1L, "lang", c.getLong(1)),
       (2L, "quality", c.getLong(2)), (3L, "exact_dedup", c.getLong(3)),
-      (4L, "novelty", n4))
+      (4L, "novelty", c.getLong(4)))
     rows.toDF("stage", "filter", "n_docs")
       .withColumn("share", col("n_docs") / lit(c.getLong(0)))
   }

@@ -38,9 +38,12 @@ object GraphOps {
                iterations: Int, damping: Double = 0.85): DataFrame = {
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")).distinct()
     val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
-    val ed = e.join(deg, "_src").localCheckpoint()
+    // lazy checkpoints (r12): the plan is truncated identically, but the
+    // fixed-iteration loop no longer pays a driver job barrier per round —
+    // everything materializes in one cascaded action at the sink
+    val ed = e.join(deg, "_src").localCheckpoint(false)
     val nodes = e.select(col("_src").as("node"))
-      .unionByName(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
+      .unionByName(e.select(col("_dst").as("node"))).distinct().localCheckpoint(false)
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
       val contribs = ed
@@ -50,7 +53,7 @@ object GraphOps {
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("_in"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -70,7 +73,7 @@ object GraphOps {
                            damping: Double = 0.85): DataFrame = {
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")).distinct()
     val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
-    val ed = e.join(deg, "_src").localCheckpoint()
+    val ed = e.join(deg, "_src").localCheckpoint(false) // lazy — see pageRank
     val seedSet = seeds.select(col(seeds.columns.head).as("node"))
       .distinct().withColumn("_s", lit(1.0))
     // node set = edge endpoints ∪ SEEDS: an isolated seed (a fresh
@@ -82,7 +85,7 @@ object GraphOps {
       .distinct()
       .join(broadcast(seedSet), Seq("node"), "left")
       .withColumn("_s", coalesce(col("_s"), lit(0.0)))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var ranks = nodes.select(col("node"), col("_s").as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = ed
@@ -93,7 +96,7 @@ object GraphOps {
         .select(col("node"),
           (lit(1.0 - damping) * col("_s")
             + lit(damping) * coalesce(col("_in"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -145,16 +148,16 @@ object GraphOps {
                      seeds: DataFrame, nodeCol: String, labelCol: String,
                      rounds: Int): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("_src"),
-      col(dstCol).cast("long").as("_dst")).distinct().localCheckpoint(true)
+      col(dstCol).cast("long").as("_dst")).distinct().localCheckpoint(false) // lazy — fixed rounds, no probe
     val sym = e0.unionByName(
       e0.select(col("_dst").as("_src"), col("_src").as("_dst"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = sym.select(col("_src").as("node")).distinct()
     var labels = nodes
       .join(seeds.select(col(nodeCol).cast("long").as("node"),
         col(labelCol).cast("string").as("lbl")), Seq("node"), "left")
       .withColumn("is_seed", col("lbl").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val votes = sym
         .join(labels.filter(col("lbl").isNotNull)
@@ -168,7 +171,7 @@ object GraphOps {
           when(col("is_seed"), col("lbl"))
             .otherwise(coalesce(col("_vote"), col("lbl"))).as("lbl"),
           col("is_seed"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels
   }
@@ -190,7 +193,7 @@ object GraphOps {
     val e = edges.select(
       least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
       greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(false) // lazy — no probe before the sink
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
     val keyed = e
@@ -201,7 +204,7 @@ object GraphOps {
       when(fwd, col("u")).otherwise(col("v")).as("a"),
       when(fwd, col("v")).otherwise(col("u")).as("b"),
       when(fwd, col("dv")).otherwise(col("du")).as("db"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val x = o.select(col("a"), col("b").as("p"), col("db").as("dp"))
     val y = o.select(col("a"), col("b").as("q"), col("db").as("dq"))
     val wedges = x.join(y, Seq("a"))

@@ -36,9 +36,12 @@ object Hits {
     * out-edges, hub 0.
     */
   def run(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // lazy checkpoints (r12): plan truncation is identical, but the fixed
+    // 5-iteration loop no longer pays a driver job barrier per half-step —
+    // the whole walk materializes in one cascaded action at the sink
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val nodes = e.select(col("src").as("page"))
-      .union(e.select(col("dst").as("page"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("page"))).distinct().localCheckpoint(false)
 
     def renorm(raw: DataFrame, outCol: String): DataFrame = {
       val total = raw.agg(sum(col("raw")).as("_t"))
@@ -65,7 +68,7 @@ object Hits {
         "auth_ppm")
       hubRaw = e.join(auth.withColumnRenamed("page", "dst"), Seq("dst"))
         .groupBy(col("src").as("page")).agg(sum(col("auth_ppm")).as("raw"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     renorm(hubRaw, "hub_ppm").join(auth, Seq("page"))
   }

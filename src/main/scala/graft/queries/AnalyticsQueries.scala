@@ -500,11 +500,17 @@ object AnalyticsQueries {
         .filter(col("rk") > 1).drop("rk")
       val feedDir = Files.createTempDirectory("g232feed")
       val outDir = Files.createTempDirectory("g232out").toString
+      // ONE partitioned write instead of three filter+coalesce(1) jobs
+      // that each re-scanned events (r12; guide §1.2). repartition(3,
+      // shard) puts each shard in exactly one task → one file per shard
+      // dir; batch membership is unchanged (same rows per shard file,
+      // row order within a shard is irrelevant to the gate's aggregates
+      // and the oracle mirrors shards as event_id % 3).
+      val part = Files.createTempDirectory("g232part").toString
+      evAll.repartition(3, col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(part)
       (0 until 3).foreach { i =>
-        val part = Files.createTempDirectory("g232part").toString
-        evAll.filter(col("shard") === i).drop("shard")
-          .coalesce(1).write.mode("overwrite").parquet(part)
-        val f = new java.io.File(part).listFiles()
+        val f = new java.io.File(s"$part/shard=$i").listFiles()
           .filter(_.getName.endsWith(".parquet")).head
         Files.move(f.toPath, feedDir.resolve(s"shard-$i.parquet"),
           StandardCopyOption.REPLACE_EXISTING)

@@ -274,12 +274,15 @@ object RelationalQueries {
       val w = Window.partitionBy(col("cohort")).orderBy(col("lag_s"))
       val cum = counts.withColumn("cum", sum(col("c")).over(w))
         .join(broadcast(tot), Seq("cohort"))
-      val med = cum.filter(col("cum") >= expr("(n + 1) div 2"))
-        .groupBy(col("cohort")).agg(min(col("lag_s")).as("med_lag_s"))
-      val p90 = cum.filter(col("cum") * 10 >= col("n") * 9)
-        .groupBy(col("cohort")).agg(min(col("lag_s")).as("p90_lag_s"))
-      tot.join(med, Seq("cohort")).join(p90, Seq("cohort"))
-        .select(col("cohort"), col("n").as("n_conversions"),
+      // med and p90 in ONE conditional aggregate over ONE cum evaluation
+      // (was two filter+agg branches that each re-derived the funnel
+      // window pipeline — r12, guide §1.2; min-over-filtered-set ≡
+      // min(when(...)) so values are unchanged)
+      cum.groupBy(col("cohort"))
+        .agg(max(col("n")).as("n_conversions"), // n constant per cohort
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("lag_s"))).as("med_lag_s"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("lag_s"))).as("p90_lag_s"))
+        .select(col("cohort"), col("n_conversions"),
           col("med_lag_s"), col("p90_lag_s"))
         .orderBy(col("cohort"))
     }),

@@ -26,8 +26,14 @@ object ClusterEval {
     * purity, nmi.
     */
   def purityReport(assigned: DataFrame, clusterCol: String, labelCol: String): DataFrame = {
+    // eager-checkpoint the ≤ k·|labels| contingency grid: FIVE consumers
+    // below (tot, h_c, h_l, h_cl, the majority window) would otherwise each
+    // re-run the full upstream assignment pipeline (centroid join + argmax
+    // window over the corpus) — ReuseExchange only collapses some of them
+    // (r12; guide §1.2 "don't compute things twice")
     val cont = assigned.groupBy(col(clusterCol).as("cluster"), col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_cl"))
+      .localCheckpoint(true)
 
     val tot = cont.agg(sum(col("n_cl")).as("n"))
     // entropies from the contingency grid + its two marginals

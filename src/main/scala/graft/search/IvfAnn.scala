@@ -29,15 +29,26 @@ object IvfAnn {
 
   /** Assign each vector to its max-cosine centroid (ties → lowest cluster
     * id).
+    *
+    * r12 shape: argmax as ONE partial-aggregated `max(struct(cos,
+    * -cluster, payload))` — the k candidate rows per vector collapse
+    * MAP-SIDE before the exchange, so the shuffle carries one row per
+    * vector instead of k, and the per-partition sort + row_number window
+    * disappears (guide §2.3 "aggregate before you shuffle"; the q89
+    * max-struct election discipline). `max(struct(cos, -cluster))` picks
+    * exactly the old window's rank-1 row: highest cosine, ties to the
+    * LOWEST cluster id (negation flips the tiebreak under max); -cluster
+    * can't itself tie since cluster ids are unique per centroid row.
     */
   def assign(emb: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_ccos").desc, col("cluster").asc)
+    val payload = emb.columns.map(c => col(c).as(c))
     emb.crossJoin(broadcast(cents))
       .withColumn("_ccos", VectorOps.cosine(col(vecCol), col("centroid")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_ccos", "centroid")
+      .groupBy(col(idCol).as("_gid"))
+      .agg(max(struct(col("_ccos").as("c"), (-col("cluster")).as("nc"),
+        struct(payload.toIndexedSeq: _*).as("p"))).as("_best"))
+      .select((emb.columns.map(c => col(s"_best.p.$c").as(c)) :+
+        (-col("_best.nc")).as("cluster")).toIndexedSeq: _*)
   }
 
   /** Multi-probe assignment: each vector is replicated into its `nprobe`
