@@ -62,10 +62,12 @@ object Hits {
     var hubRaw = nodes.select(col("page"), lit(Scale).as("raw"))
     var auth: DataFrame = null
     (1 to iters).foreach { _ =>
+      // auth is consumed 2-3x (hub step, next renorm total, final join) —
+      // the lazy checkpoint caches ONE evaluation of the renorm join
       auth = renorm(
         e.join(hubRaw.withColumnRenamed("page", "src"), Seq("src"))
           .groupBy(col("dst").as("page")).agg(sum(col("raw")).as("raw")),
-        "auth_ppm")
+        "auth_ppm").localCheckpoint(false)
       hubRaw = e.join(auth.withColumnRenamed("page", "dst"), Seq("dst"))
         .groupBy(col("src").as("page")).agg(sum(col("auth_ppm")).as("raw"))
         .localCheckpoint(false)
