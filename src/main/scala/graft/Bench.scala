@@ -63,7 +63,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
+    // echo the EFFECTIVE parallelism (r12 verdict item 2: the scaling
+    // contract must be checkable from the artifact — `cpus` alone can't
+    // distinguish "env var ignored" from "overhead-bound at this SF")
+    val par = spark.sparkContext.defaultParallelism
+    val master = spark.sparkContext.master
+    val envJson = f""""cpus":$cpus,"parallelism":$par,"master":"$master""""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$envJson,"queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
     println(json)
     // side-channel: sbt prefixes stdout with [info], which can defeat a
     // strict line parser — the same JSON is always available as a file
@@ -83,7 +89,7 @@ object Bench {
     slowest.foreach { e =>
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${kept.mkString("{", ",", "}")},"queries_full":"bench_out.json","sf":"$sfDir","runs":$runs,"agg":"min"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$envJson,"n_queries":${results.size},"queries":${kept.mkString("{", ",", "}")},"queries_full":"bench_out.json","sf":"$sfDir","runs":$runs,"agg":"min"}"""
     System.out.flush()
     println(compact)
     System.out.flush()

@@ -31,6 +31,12 @@ object Cli {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: a long-lived engine session runs many
+      // distinct operators (index + search verbs + maintenance), whose
+      // generated classes thrash a 100-entry compiled-class cache; size it
+      // to the operator count (same sizing as the harness mains). Caches
+      // compiled CODE only, never data or results.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -297,10 +297,18 @@ case class GraftEngine(spark: SparkSession, storeDir: String,
       "", "", hasImplementation = false)
     val df = embedder.embed(Seq(chunk).toDS().toDF(), "content")
       .withColumn("pointId", expr("cast(conv(substring(sha2(chunkId, 256), 1, 15), 16, 10) as bigint)"))
+    // partition-selective upsert (guide §6): a manual memory is ALWAYS a
+    // metadata chunk, so only the chunkType=metadata partition changes —
+    // read it pruned, rewrite it alone; implementation/relation partition
+    // files are untouched (the old path re-read and rewrote the whole
+    // store for one row)
     val existing = chunks
-    val all = existing.filter(col("chunkId") =!= chunkId)
-      .unionByName(df.select(existing.columns.toIndexedSeq.map(col): _*))
-    IndexStore.writeChunks(all, storeDir)
+    val dataCols = existing.columns.toIndexedSeq.filterNot(_ == "chunkType")
+    val meta = existing.filter(col("chunkType") === "metadata")
+      .filter(col("chunkId") =!= chunkId)
+      .select(dataCols.map(col): _*)
+      .unionByName(df.select(dataCols.map(col): _*))
+    IndexStore.replaceTypePartition(meta, storeDir, "metadata")
   }
 
   /** Clear auto-generated points, optionally preserving manual memories

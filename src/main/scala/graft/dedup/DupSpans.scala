@@ -54,7 +54,7 @@ object DupSpans {
 
     // The gram pipeline (tokenize + md5 per window) feeds the dup-set agg
     // AND the instance join — checkpoint so it runs once, not per branch.
-    val gramsCk = grams.localCheckpoint()
+    val gramsCk = grams.localCheckpoint(false) // lazy (r13): no extra driver barrier
 
     // Grams seen in >1 distinct doc. distinct-before-agg keeps the count
     // exact while the gram table stays gram-hash-partitioned throughout.
@@ -64,7 +64,7 @@ object DupSpans {
       .select("g")
 
     // reused by both the per-doc count and the coverage explode
-    val dupInst = gramsCk.join(dup, Seq("g"), "left_semi").localCheckpoint()
+    val dupInst = gramsCk.join(dup, Seq("g"), "left_semi").localCheckpoint(false)
 
     val perDoc = dupInst
       .groupBy(col("doc_id"))

@@ -43,7 +43,7 @@ object EditDistanceDedup {
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("_ta"), col("_tb"), thr).as("lev"),
         greatest(length(col("_ta")), length(col("_tb"))).as("_mx"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy (r13): same pushdown barrier, no extra driver job
     scored
       // -1 = distance exceeded the bound → cannot reach minSim
       .filter(col("lev") >= 0)

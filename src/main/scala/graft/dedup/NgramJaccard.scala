@@ -62,6 +62,14 @@ object NgramJaccard {
     // GB of memcpy at sf0.1, unbounded at scale). Arrays join in AFTER the
     // candidate set is pruned, once per surviving pair side.
     val ids = grams.select(col("grp"), col("doc_id"), col("sz"))
+    // A LENGTH-BAND join-key component (band = floor(ln sz / ln(1/t)),
+    // b keyed on its band, a exploded to {band−1, band, band+1}) was
+    // A/B-measured in r13 and REJECTED: at t=0.6 the ratio window spans
+    // a full ×1.67, so 62% of candidate pairs survive ±1-band pruning on
+    // this corpus's length distribution while the a side triples — four
+    // interleaved jar-vs-jar sessions showed 0.89×–1.10× (flat, noise-
+    // bound), short of the ≥15% keep bar. The size-ratio FILTER below
+    // already removes the same pairs post-join at codegen cost ~zero.
     val a = ids.select(col("grp"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
       .withColumn("bi", pmod(hash(col("doc_a")), lit(buckets)))
       .withColumn("bj", explode(sequence(lit(0), lit(buckets - 1))))

@@ -43,12 +43,16 @@ object PrefixJoin {
     */
   def similarPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minJaccard: Double): DataFrame = {
+    // LAZY checkpoints (r13; guide §5 — the eager form serialized two
+    // full driver job barriers before the real query even started): the
+    // plan truncation and the compute-once caching are identical, but
+    // grams and docArr now materialize inside the single query action.
     val grams = Decontamination.docGrams(docs, idCol, textCol, n)
       .distinct() // per-doc distinct HASHES: merge-walk ∩ == join-count ∩
-      .localCheckpoint(true) // reused: df, prefix, per-doc arrays
+      .localCheckpoint(false) // reused: df, prefix, per-doc arrays
     val docArr = grams.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("gram"))).as("g"), count(lit(1)).as("sz"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val dfT = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
     // ceil slack mirrors NgramJaccard's: float error may only LENGTHEN

@@ -45,14 +45,22 @@ object SourceOverlap {
       .distinct()
 
     // tokenize + md5 per window feeds four consumers (band, totals, both
-    // pair-join sides) — checkpoint so the gram pipeline runs once
-    val gramsCk = grams.localCheckpoint()
+    // pair-join sides) — checkpoint so the gram pipeline runs once.
+    // LAZY (r13; guide §5): the eager form was two serialized job
+    // barriers before the pair join; lazy keeps the identical truncation
+    // + compute-once caching but materializes inside the one query action.
+    val gramsCk = grams.localCheckpoint(false)
 
     // hub cap: drop grams shared by more than maxSources sources BEFORE
-    // the pair join — bounds the self-join fan-out per gram
-    val banded = gramsCk.groupBy(col("g")).agg(count(lit(1)).as("ns"))
-      .filter(col("ns") <= maxSources).select("g")
-    val g2 = gramsCk.join(banded, Seq("g"), "left_semi").localCheckpoint()
+    // the pair join — bounds the self-join fan-out per gram. Expressed as
+    // an ANTI-join against the HUB set (r13; guide §3.2): every gram of
+    // gramsCk is either banded (ns ≤ maxSources) or a hub, so
+    // anti(hubs) ≡ semi(banded) row-for-row — but hubs is the SMALL side
+    // (boilerplate chrome), so the planner can broadcast it and the gram
+    // stream is not shuffled a second time for the cap.
+    val hubs = gramsCk.groupBy(col("g")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") > maxSources).select("g")
+    val g2 = gramsCk.join(hubs, Seq("g"), "left_anti").localCheckpoint(false)
 
     val totals = g2.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
     val pairs = g2.as("a").join(g2.as("b"),

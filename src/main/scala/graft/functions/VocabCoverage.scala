@@ -39,7 +39,7 @@ object VocabCoverage {
     // the tokenize+count pipeline feeds three consumers (vocab filter,
     // membership tag, rollup) — checkpoint so the corpus scans once
     val counts = toks.groupBy(col("split"), col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy (r13)
 
     val vocab = counts.filter(col("split") === "train" && col("c") >= minCount)
       .select("w")

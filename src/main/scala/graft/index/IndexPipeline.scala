@@ -182,10 +182,11 @@ object IndexPipeline {
 
     // --- parse + merge ---------------------------------------------------
     val results = SourceScan.parseAll(toParse).cache()
-    // the count materializes content read + hash + parse for the batch
-    val filesParsed = timed("parse")(results.count())
     val replaced = toParse.map(_.relPath).toDF("relPath").union(removed)
 
+    // filesParsed comes out of applyChanges' single parse-metadata
+    // aggregate (one job materializes content read + hash + parse AND
+    // the entity/error counts — was a separate count() barrier here)
     val res = applyChanges(spark, storeDir, results, replaced, incremental, embedder)
 
     val newState = unchangedState.unionByName(
@@ -193,7 +194,7 @@ object IndexPipeline {
     timed("state_write")(IndexStore.writeState(newState, storeDir))
     hashed.unpersist(); results.unpersist()
     res.copy(mode = if (incremental) "incremental" else "full",
-      filesScanned = filesScanned, filesParsed = filesParsed)
+      filesScanned = filesScanned)
   }
 
   /** Merge a batch of parse results into the store: drop replaced/deleted
@@ -217,10 +218,24 @@ object IndexPipeline {
                    incremental: Boolean, embedder: Embedder): IndexingResult = {
     import spark.implicits._
 
-    val errors = results.flatMap(_.errors).collect().toSeq
+    // ONE parse-metadata action (guide §5: the driver serialized three
+    // jobs here — errors.collect(), entities.count(), and index()'s
+    // results.count() — each a full barrier over the same cached batch).
+    // The error list is additionally CAPPED: collecting every parse error
+    // of a pathological corpus would hold an unbounded Seq on the driver;
+    // 1000 is far above any real batch (every gate/test corpus is ≤ a
+    // handful) so the reported list and its length stay exact there.
+    val metaRow = timed("parse")(results
+      .select(size(col("entities")).as("_ne"), col("errors"))
+      .agg(count(lit(1)).as("files"),
+        coalesce(sum(col("_ne")), lit(0L)).as("ents"),
+        slice(flatten(collect_list(col("errors"))), 1, 1000).as("errs"))
+      .head())
+    val filesParsed = metaRow.getLong(0)
+    val errors = metaRow.getSeq[String](2).toSeq
     val entities = results.flatMap(_.entities.map(e => (e.filePath, e.name, e.entityType)))
       .toDF("filePath", "name", "entityType")
-    val nEntities = entities.count()
+    val nEntities = metaRow.getLong(1)
 
     val newChunksRaw = results.flatMap(r => ChunkBuilder.chunksOf(r)).toDF().cache()
 
@@ -297,24 +312,27 @@ object IndexPipeline {
       .dropDuplicates("chunkId")
       .persist()
 
-    // one job for written + embedded counts over finalNew; this head()
-    // materializes the persisted embed DAG, so its wall IS the embed stage
-    val newStats = timed("embed")(finalNew.agg(
-      count(lit(1)).as("total"),
-      count(when(col("_fromEmbedder"), 1)).as("emb")).head())
-    val chunksWritten = newStats.getLong(0)
-    val chunksEmbedded = newStats.getLong(1)
-    // one job for total + relation count instead of two over `all`
-    val statRow = all.agg(
-      count(lit(1)).as("total"),
-      count(when(col("chunkType") === "relation", 1)).as("rel")).head()
-    val nRelations = statRow.getLong(1)
-    val chunksCarried = statRow.getLong(0) - chunksWritten
+    // ONE job for ALL four stat counts (1-row × 1-row crossJoin — the
+    // CurationFunnel pattern): written/embedded over finalNew and
+    // total/relations over `all` were two serialized .head() barriers.
+    // The merged action materializes the persisted embed DAG (and the
+    // carried-chunk union on top of it), so its wall IS the embed stage.
+    val statRow = timed("embed")(finalNew.agg(
+        count(lit(1)).as("total"),
+        count(when(col("_fromEmbedder"), 1)).as("emb"))
+      .crossJoin(all.agg(
+        count(lit(1)).as("all_total"),
+        count(when(col("chunkType") === "relation", 1)).as("rel")))
+      .head())
+    val chunksWritten = statRow.getLong(0)
+    val chunksEmbedded = statRow.getLong(1)
+    val nRelations = statRow.getLong(3)
+    val chunksCarried = statRow.getLong(2) - chunksWritten
 
     timed("store_write")(IndexStore.writeChunks(all, storeDir))
     newChunksRaw.unpersist(); names.unpersist(); all.unpersist(); finalNew.unpersist()
     IndexingResult(if (incremental) "incremental" else "full",
-      0, 0, nEntities, nRelations, chunksWritten, chunksCarried, errors, chunksEmbedded)
+      0, filesParsed, nEntities, nRelations, chunksWritten, chunksCarried, errors, chunksEmbedded)
   }
 
   /** Phantom-CALLS detection (reference: storage/qdrant.py:2325-2381):

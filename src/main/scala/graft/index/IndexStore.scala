@@ -32,6 +32,24 @@ object IndexStore {
   private def recover(path: String): Unit = {
     val p = Paths.get(path); val old = Paths.get(path + "_old")
     if (!Files.exists(p) && Files.exists(old)) Files.move(old, p)
+    // partition-level swap leftovers ([[replaceTypePartition]]):
+    // <path>_pold_<pt> holds the previous chunkType=<pt> partition when a
+    // crash hit the window between its two moves — restore it unless the
+    // new partition landed.
+    val parent = p.getParent
+    if (parent != null && Files.exists(parent)) {
+      val prefix = p.getFileName.toString + "_pold_"
+      import scala.jdk.CollectionConverters._
+      val l = Files.list(parent)
+      try l.iterator().asScala.toVector
+        .filter(_.getFileName.toString.startsWith(prefix)).foreach { o =>
+          val pt = o.getFileName.toString.stripPrefix(prefix)
+          val part = p.resolve(s"chunkType=$pt")
+          if (!Files.exists(part)) { Files.createDirectories(p); Files.move(o, part) }
+          else deleteRecursive(o)
+        }
+      finally l.close()
+    }
   }
 
   def exists(root: String): Boolean = {
@@ -73,6 +91,31 @@ object IndexStore {
   def writeChunks(df: DataFrame, root: String): Unit = {
     Files.createDirectories(Paths.get(root))
     overwrite(df, chunksPath(root), Seq("chunkType"))
+  }
+
+  /** Partition-selective COW rewrite (guide §6): replace ONLY the
+    * `chunkType=<pt>` partition of the chunk store with `df` — which must
+    * NOT carry the chunkType column (partition values are directory-
+    * encoded). A single-partition upsert (addManualMemory's one metadata
+    * chunk) rewrites that partition's bytes instead of the whole store,
+    * and the read side prunes to the same partition. Staging dirs live
+    * OUTSIDE the table directory: a `chunkType=metadata_tmp` sibling
+    * would register as a phantom partition value during discovery. Crash
+    * recovery mirrors the table-level swap ([[recover]] heals
+    * `chunks_pold_<pt>` leftovers).
+    */
+  def replaceTypePartition(df: DataFrame, root: String, pt: String): Unit = {
+    recover(chunksPath(root))
+    val part = Paths.get(chunksPath(root), s"chunkType=$pt")
+    val tmp = Paths.get(chunksPath(root) + s"_ptmp_$pt")
+    val old = Paths.get(chunksPath(root) + s"_pold_$pt")
+    deleteRecursive(tmp)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    deleteRecursive(old)
+    if (Files.exists(part)) Files.move(part, old)
+    Files.createDirectories(part.getParent)
+    Files.move(tmp, part)
+    deleteRecursive(old)
   }
 
   def writeState(df: DataFrame, root: String): Unit = {

@@ -28,7 +28,7 @@ object AssociationRules {
             tieCol: String, itemCol: String, gapSec: Long,
             minSupport: Long, k: Int): DataFrame = {
     val sess = Covisitation.sessionItems(events, userCol, tsCol, tieCol,
-      itemCol, gapSec).localCheckpoint()
+      itemCol, gapSec).localCheckpoint(false) // lazy (r13)
     val itemSupp = sess.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
     val total = sess.select(col("sid")).distinct()
       .agg(count(lit(1)).as("n_total")) // 1 row

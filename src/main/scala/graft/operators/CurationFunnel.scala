@@ -56,6 +56,13 @@ object CurationFunnel {
       col(textCol).as("text"))
       .withColumn("_ok1", TextOps.langGuess(col("text")) === keepLang)
       .withColumn("_ok2", col("_ok1") && qualityKeep(col("text"), stopwords))
+      // lazy-checkpointed: base feeds BOTH the dedup election subtree and
+      // the tagged join's probe side — unchecked, the corpus was
+      // file-scanned twice and langGuess/quality (the two expensive
+      // codegen predicates) evaluated twice per doc (r13; guide §1.2
+      // "don't compute twice"). Lazy: materializes inside the single
+      // count action, no extra driver barrier.
+      .localCheckpoint(false)
     // keep-first election among stage-2 survivors only (same semantics as
     // filtering first): groupBy(hash).min — partial-agged, no window
     val firsts = base.filter(col("_ok2"))

@@ -83,7 +83,7 @@ object Dsir {
     // raw features feed BOTH the raw model and the scoring join — one
     // materialization instead of tokenizing the raw corpus twice (the
     // q19/q73 reused-branch discipline)
-    val rawFeats = bigramBuckets(raw, idCol, textCol).localCheckpoint(true)
+    val rawFeats = bigramBuckets(raw, idCol, textCol).localCheckpoint(false) // lazy (r13)
     importanceScores(rawFeats,
         bucketModel(bigramBuckets(target, idCol, textCol)),
         bucketModel(rawFeats))

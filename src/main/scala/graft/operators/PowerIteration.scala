@@ -39,7 +39,7 @@ object PowerIteration {
       .select(col("i"), col("j"),
         (col("sij") / col("n")
           - (col("si") / col("n")) * (col("sj") / col("n"))).as("c"))
-      .localCheckpoint(true) // d² rows; iterations must not re-run the corpus agg
+      .localCheckpoint(false) // d² rows; iterations must not re-run the corpus agg (lazy r13: the d-probe head() below materializes it)
     val d = cells.agg(max(col("i")).cast("int")).head().getInt(0) + 1
     val start = spark.range(d).select(col("id").cast("int").as("j"),
       lit(1.0 / math.sqrt(d.toDouble)).as("vj"))

@@ -684,7 +684,7 @@ object CorpusQueries {
       // level would re-run the corpus tokenize scan (q19/q73 discipline)
       val fine = HllSketch.registers(
         toks.withColumn("grp", concat_ws("|", col("source"), col("lang"))), "grp", "w")
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false) // lazy (r13): materializes inside the gate's one action
       val bySrc = HllSketch.merge(fine.withColumn("grp", substring_index(col("grp"), "|", 1)))
       val global = HllSketch.merge(fine.withColumn("grp", lit("ALL")))
       val est = HllSketch.estimate(fine).withColumn("level", lit("1_source_lang"))
@@ -853,9 +853,9 @@ object CorpusQueries {
       val toks = Tables.documents(s, dir)
         .select(col("source"), explode(graft.search.Bm25.tokens(col("text"))).as("w"))
       // one tokenize scan feeds registers AND the exact validation
-      val dw = toks.distinct().localCheckpoint(eager = true)
+      val dw = toks.distinct().localCheckpoint(eager = false) // lazy (r13)
       val regs = HllSketch.registers(dw, "source", "w")
-        .localCheckpoint(eager = true) // reused 3x (a-side, b-side, singles)
+        .localCheckpoint(eager = false) // reused 3x (a-side, b-side, singles); lazy (r13)
       val estS = HllSketch.estimate(regs)
       val srcs = regs.select(col("grp")).distinct()
       val pairs = srcs.select(col("grp").as("sa"))

@@ -159,7 +159,7 @@ object DedupQueries {
       val docs = Tables.documents(s, dir)
       val cb = MinHashLsh.corpusBands(
         docs.filter(col("source") =!= "src0"), "doc_id", "text")
-        .localCheckpoint(true) // the static state: computed once, probed thrice
+        .localCheckpoint(false) // the static state: computed once (lazily, r13), probed thrice
       val feed = docs.filter(col("source") === "src0")
       (0 until 3).map { mb =>
         MinHashLsh.newVsCorpusBands(cb, feed.filter(col("doc_id") % 3 === mb),

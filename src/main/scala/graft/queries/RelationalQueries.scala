@@ -33,6 +33,16 @@ object RelationalQueries {
     f.delete(): Unit
   }
 
+  /** On-disk byte size of a parquet table dir (driver-side metadata walk —
+    * no Spark job). Feeds q234's scale-adaptive bucket count.
+    */
+  private def dirBytes(path: String): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
+      else f.length()
+    sz(new java.io.File(path))
+  }
+
   /** Per-session ordered-step times (t_view → t_click → t_purchase) —
     * the funnel table shared by q146 (counts) and q164 (latency).
     */
@@ -79,7 +89,7 @@ object RelationalQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
       val counts = ev.groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy (r13)
       val tot = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
       def lowerMedian(t: DataFrame, vCol: String, out: String): DataFrame = {
         val w = Window.partitionBy(col("event_type")).orderBy(col(vCol))
@@ -551,15 +561,23 @@ object RelationalQueries {
         q234Layout = Some(t)
         t
       }
+      // scale-adaptive bucket count (guide §6, r13): ~128 MB of fact-table
+      // input per bucket rather than a constant — a fixed count is either
+      // small-file overhead at test SFs or absurd bucket density at 100 TB.
+      // Floor 4 keeps the gate a genuinely multi-bucket co-location
+      // demonstration; cap 4096 bounds per-table file count at scale. Both
+      // tables MUST share the count or the join shuffles.
+      val buckets = math.min(4096, math.max(4,
+        math.ceil(dirBytes(s"$dir/lineitem.parquet") / (128.0 * (1 << 20))).toInt))
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       val ord = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority"))
       li.write.mode("overwrite").option("path", s"$tmp/li")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .format("parquet").saveAsTable(liName)
       ord.write.mode("overwrite").option("path", s"$tmp/ord")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .format("parquet").saveAsTable(ordName)
       s.table(liName)
         .join(s.table(ordName).hint("merge"),

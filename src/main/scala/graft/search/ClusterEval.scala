@@ -33,7 +33,7 @@ object ClusterEval {
     // (r12; guide §1.2 "don't compute things twice")
     val cont = assigned.groupBy(col(clusterCol).as("cluster"), col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_cl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy (r13): same reuse, one less driver barrier
 
     val tot = cont.agg(sum(col("n_cl")).as("n"))
     // entropies from the contingency grid + its two marginals

@@ -56,7 +56,7 @@ object ProductQuant {
     */
   def fit(emb: DataFrame, idCol: String, vecCol: String,
           numSub: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    val sub = subvectors(emb, idCol, vecCol, numSub).localCheckpoint(true)
+    val sub = subvectors(emb, idCol, vecCol, numSub).localCheckpoint(false) // lazy (r13)
     // Seed = the k SMALLEST vector ids, renumbered 0..k-1 — exactly k
     // centroids per subspace whatever the id space looks like (a
     // `vid < k` filter would silently under-seed sparse or non-zero-based
@@ -74,7 +74,7 @@ object ProductQuant {
         .agg(round(avg(col("x")), 6).as("m")) // 6dp contract: SQL replays
         .groupBy(col("s"), col("cluster"))
         .agg(expr("transform(array_sort(collect_list(struct(i, m))), t -> t.m)").as("cent"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy (r13): fixed rounds, no probe
     }
     val codes = assign(sub, cents).select(col("vid"), col("s"), col("cluster"))
     (codes, cents)
